@@ -1,0 +1,677 @@
+"""Relational operator surface: scans, projections, filters, joins
+(broadcast/shuffle/semi/anti), aggregations (hash, distinct, rollup/
+cube/grouping sets), window functions, sorts/top-k, set operations, and
+scalar functions — the SURVEY.md §2.2 categories the reference lacks,
+expressed as native DataFrame plans so Catalyst handles pushdown,
+pruning, join selection and AQE.
+
+Scale notes (100 TB design intent), per query:
+
+* Fact-side scans always project + filter before joins/aggs so parquet
+  pushdown prunes columns and row groups.
+* Dimension joins use ``F.broadcast`` explicitly — at 100 TB the fact
+  table never shuffles for a dim join.
+* Top-k is ``orderBy().limit(k)`` → Spark plans TakeOrderedAndProject:
+  per-partition heaps + single driver merge, no global sort.
+* Per-group top-k is a window over a single hash-partitioned shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+from ._det import davg, dsum, sql_davg, sql_dsum
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {sql_davg('l_quantity', 'avg_qty')},
+       {sql_davg('l_extendedprice', 'avg_price')},
+       {sql_davg('l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 (pricing summary) adapted to the driver schema. "
+    "Partial (map-side) aggregation + tiny 6-group final merge; the only "
+    "shuffle carries 6 rows per partition. Mirrors the agg surface the "
+    "reference lacks entirely (SURVEY §2.2; reference has count-only, "
+    "app/services/json_reader.py:52).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Distinct aggregation: Spark expands to a two-phase plan "
+    "(partial distinct by (group, key) then final) — scales to high-"
+    "cardinality keys without driver involvement.",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="ROLLUP hierarchy totals — Spark expands grouping sets into one "
+    "Expand + single hash aggregate (one shuffle for all levels).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (same Expand-based plan as rollup)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: filtered dim → broadcast to orders, shuffle join "
+    "to lineitem on the join key both sides already need for the agg. "
+    "Final top-10 is TakeOrderedAndProject (no global sort).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    oracle=f"""
+SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM region JOIN nation   ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    doc="TPC-H Q5 shape (minus supplier co-location, absent from the "
+    "synthetic schema): a 5-way star join. region/nation broadcast; "
+    "customer folds into orders broadcast-side; lineitem never shuffles "
+    "until the final 25-row agg.",
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    ord_dim = orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey).select(
+        "o_orderkey", "n_name"
+    )
+    return (
+        li.join(F.broadcast(ord_dim), li.l_orderkey == ord_dim.o_orderkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders, {sql_dsum('o_totalprice', 'segment_value')}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="Canonical fact⋈dim broadcast hash join: customer broadcasts, "
+    "orders (the 100 TB side) streams through map-side with zero shuffle "
+    "before the 5-row aggregate.",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "segment_value"))
+    )
+
+
+@register(
+    "join_shuffle_hash",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_lines, {sql_dsum('l_quantity', 'sum_qty')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+    doc="Fact⋈fact equi-join (lineitem⋈orders) with a SHUFFLE_HASH hint: "
+    "both sides hash-partition on the key once; no sort. At 100 TB with "
+    "both tables bucketed on orderkey this becomes a zero-shuffle join.",
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return (
+        li.join(orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+    doc="Left-semi join (EXISTS): emits each customer at most once; "
+    "Spark builds only the distinct key set on the build side.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return cust.join(
+        F.broadcast(big), cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        F.broadcast(orders), cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_outer_coalesce",
+    oracle="""
+SELECT c_custkey,
+       COALESCE(o.n, 0) AS n_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) o
+       ON c_custkey = o_custkey
+""",
+    doc="Left outer join against a pre-aggregated side: aggregate-below-"
+    "join keeps the shuffled payload at one row per key.",
+)
+def join_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select("c_custkey", F.coalesce("n", F.lit(0)).alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders)
+WHERE rk <= 3
+""",
+    doc="Per-group top-k via row_number window — single hash shuffle on "
+    "the partition key; Spark inserts a WindowGroupLimit (partial top-k "
+    "before the shuffle) so skewed groups don't blow memory.",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend,
+       LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+FROM orders
+""",
+    doc="Running (cumulative) aggregate + lag over an event-ordered "
+    "per-customer window.",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       RANK()       OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS qty_rank,
+       DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_returnflag) AS flag_dense_rank,
+       NTILE(4)     OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS quartile
+FROM lineitem
+WHERE l_orderkey <= 100
+""",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile in one windowed pass."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
+    w_qty = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_quantity"), F.asc("l_linenumber")
+    )
+    w_flag = Window.partitionBy("l_orderkey").orderBy("l_returnflag")
+    w_line = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w_qty).alias("qty_rank"),
+        F.dense_rank().over(w_flag).alias("flag_dense_rank"),
+        F.ntile(4).over(w_line).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / limits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top10_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    doc="Global top-k: orderBy().limit(k) plans TakeOrderedAndProject — "
+    "per-partition bounded heaps, no full sort, no shuffle of the data.",
+)
+def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "sort_multi_key",
+    oracle="""
+SELECT n_name, c_custkey, c_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 9000
+ORDER BY n_name ASC, c_acctbal DESC, c_custkey
+""",
+    doc="Multi-key global sort over a filtered join (range-partitioned "
+    "sort; filter keeps the sorted set small).",
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", "c_acctbal")
+        .orderBy(F.asc("n_name"), F.desc("c_acctbal"), F.asc("c_custkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+""",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    cust = load(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.where(F.col("c_acctbal") > 8000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers having both fulfilled and open orders."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customer keys never appearing in orders."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    ordered = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.subtract(ordered)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       LOWER(p_brand) AS brand_lower,
+       SUBSTR(p_type, 1, 5) AS type_prefix,
+       LENGTH(p_name) AS name_len,
+       CONCAT_WS('#', p_brand, p_type) AS brand_type,
+       REPLACE(p_name, ' ', '_') AS name_snake,
+       CASE WHEN CONTAINS(p_type, 'BRASS') THEN 1 ELSE 0 END AS is_brass
+FROM part
+""",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: upper/lower/substr/length/concat/replace/contains."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.when(F.col("p_type").contains("BRASS"), 1).otherwise(0).alias("is_brass"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+SELECT p_partkey,
+       ABS(p_size - 25) AS size_dev,
+       p_partkey % 7 AS key_mod,
+       CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(SQRT(CAST(p_size AS DOUBLE)) AS DOUBLE) AS size_sqrt,
+       GREATEST(p_size, 10) AS size_floor10,
+       LEAST(p_size, 40) AS size_cap40
+FROM part
+""",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface (floor/ceil instead of round: round-half "
+    "behavior on binary doubles is engine-defined)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        F.greatest("p_size", F.lit(10)).alias("size_floor10"),
+        F.least("p_size", F.lit(40)).alias("size_cap40"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       YEAR(o_orderdate) AS order_year,
+       MONTH(o_orderdate) AS order_month,
+       DAY(o_orderdate) AS order_day,
+       QUARTER(o_orderdate) AS order_quarter,
+       DATE_TRUNC('month', o_orderdate) AS order_month_start,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date_str
+FROM orders
+WHERE o_orderkey <= 1000
+""",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time extraction surface."""
+    return (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        )
+    )
+
+
+@register(
+    "scalar_json_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS prop_k_bucket
+FROM events
+WHERE event_id <= 2000
+""",
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (events.props)."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") <= 2000)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id", k.alias("prop_k"), (k % 10).alias("prop_k_bucket")
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END AS tier,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT') AS segment_or_default,
+       CASE WHEN c_nationkey % 2 = 0 THEN c_acctbal ELSE -c_acctbal END AS signed_bal
+FROM customer
+""",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF conditional surface."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")).alias(
+            "segment_or_default"
+        ),
+        F.when(F.col("c_nationkey") % 2 == 0, F.col("c_acctbal"))
+        .otherwise(-F.col("c_acctbal"))
+        .alias("signed_bal"),
+    )
