@@ -1,0 +1,232 @@
+"""Bounded chunker: ordered chunk assignment by record count or byte
+budget (reference C1/C2 — `app/services/json_reader.py:129-136`,
+`app/services/excel_reader.py:77`).
+
+The reference streams one file sequentially, so "chunk order" is file
+order. At 100 TB the equivalent invariant is a *declared* total order
+(`order_cols`, e.g. ``(input_file_name, intra-file index)`` or a unique
+key) — SURVEY §7.4.3. Everything here is built on that order. If
+``order_cols`` has ties, ties are interchangeable only when the full
+records are identical — pass a tiebreaker column (e.g. the canonical
+record string) to totalize the order.
+
+Scale design — no global single-task sort, no caching, no reliance on
+cross-job shuffle determinism:
+
+* A small deterministic sample (seeded) picks range boundaries ONCE on
+  the driver; each row's range id (``__pid``) is then a PURE FUNCTION
+  of its key (a chain of codegen'd struct comparisons). Every job that
+  recomputes the lineage derives identical partitioning — unlike
+  ``repartitionByRange``, whose per-query boundary resampling is not
+  stable across the counts pass and the final pass.
+* Rows hash-partition by ``__pid`` (all rows of a range land in one
+  task) and sort locally; per-range counts become global offsets via a
+  tiny broadcast join — the classic zipWithIndex pattern, two passes
+  over the data, driver state O(#ranges).
+* Count-based chunking is then a pure projection ``floor((rn-1)/N)``.
+* Byte-budget chunking runs the (inherently sequential) greedy fold
+  per range via Arrow-batched ``mapInPandas``, then renumbers local
+  chunk ids into a global sequence with the same offset mechanism.
+  Each range starts a fresh chunk, so boundaries can differ from a
+  strict single-stream greedy — but every reference invariant holds:
+  budget never exceeded (except a single record alone above budget,
+  which gets its own chunk, matching the pre-append check in
+  `json_reader.py:129-136`), no empty chunks, contiguous global
+  numbering in order.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+_PID = "__pid"
+_RN = "__rn"
+_LOCAL_CHUNK = "__local_chunk"
+CHUNK_COL = "chunk_number"
+
+_SAMPLE_PER_RANGE = 200
+_SEED = 42
+
+
+def _key_struct(df: DataFrame, order_cols: list[str]) -> Column:
+    return F.struct(*[F.col(c) for c in order_cols])
+
+
+def _boundary_lit(df: DataFrame, order_cols: list[str], values: tuple) -> Column:
+    fields = []
+    for c, v in zip(order_cols, values):
+        fields.append(F.lit(v).cast(df.schema[c].dataType).alias(c))
+    return F.struct(*fields)
+
+
+def _deterministic_pid(
+    df: DataFrame, order_cols: list[str], num_ranges: int
+) -> tuple[DataFrame, int]:
+    """Attach ``__pid``: the row's range index under boundaries sampled
+    once on the driver. Pure function of the key → stable across jobs."""
+    if num_ranges <= 1:
+        return df.withColumn(_PID, F.lit(0).cast("long")), 1
+    n = df.count()
+    if n == 0:
+        return df.withColumn(_PID, F.lit(0).cast("long")), 1
+    frac = min(1.0, (_SAMPLE_PER_RANGE * num_ranges) / n)
+    sample = [
+        tuple(r)
+        for r in df.select(*order_cols).sample(fraction=frac, seed=_SEED).collect()
+    ]
+    sample.sort()
+    if not sample:
+        return df.withColumn(_PID, F.lit(0).cast("long")), 1
+    step = max(1, len(sample) // num_ranges)
+    boundaries = sample[step::step][: num_ranges - 1]
+    # Dedup equal boundary tuples (heavy skew) — equal keys stay together.
+    uniq = []
+    for b in boundaries:
+        if not uniq or b != uniq[-1]:
+            uniq.append(b)
+    key = _key_struct(df, order_cols)
+    pid: Column = F.lit(0).cast("long")
+    for b in uniq:
+        pid = pid + (key > _boundary_lit(df, order_cols, b)).cast("long")
+    return df.withColumn(_PID, pid), len(uniq) + 1
+
+
+def _partitioned(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None
+) -> tuple[DataFrame, int]:
+    parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    withpid, n_ranges = _deterministic_pid(df, order_cols, parts)
+    return (
+        withpid.repartition(n_ranges, F.col(_PID)).sortWithinPartitions(
+            _PID, *order_cols
+        ),
+        n_ranges,
+    )
+
+
+def _offsets_df(counts: list[tuple[int, int]], spark, value_col: str) -> DataFrame:
+    """[(pid, count)] → DataFrame(pid, offset) with cumulative offsets."""
+    counts = sorted(counts)
+    rows, acc = [], 0
+    for pid, cnt in counts:
+        rows.append((int(pid), acc))
+        acc += int(cnt)
+    schema = StructType(
+        [StructField(_PID, LongType()), StructField(value_col, LongType())]
+    )
+    return spark.createDataFrame(rows or [(0, 0)], schema)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    col_name: str = _RN,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based global row number over a total order, without a global
+    sort: deterministic range ids → local sort + local enumerate →
+    per-range offsets."""
+    part, _ = _partitioned(df, order_cols, num_partitions)
+    counts = [(r[_PID], r["count"]) for r in part.groupBy(_PID).count().collect()]
+    offsets = F.broadcast(_offsets_df(counts, df.sparkSession, "__offset"))
+
+    out_schema = StructType(part.schema.fields + [StructField(col_name, LongType())])
+
+    def enumerate_ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # partition holds one pid (repartition by _PID with n_ranges
+        # partitions may collide pids into one task; enumerate per pid)
+        local: dict[int, int] = {}
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for pid in pdf[_PID]:
+                nxt = local.get(pid, 0) + 1
+                local[pid] = nxt
+                out.append(nxt)
+            pdf[col_name] = out
+            yield pdf
+
+    enumerated = part.mapInPandas(enumerate_ranges, schema=out_schema)
+    return (
+        enumerated.join(offsets, _PID)
+        .withColumn(col_name, F.col(col_name) + F.col("__offset"))
+        .drop(_PID, "__offset")
+    )
+
+
+def assign_chunks_by_count(
+    df: DataFrame,
+    order_cols: list[str],
+    chunk_size: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """chunk_number = floor((global_rn - 1) / chunk_size), 0-based chunks
+    in total order (reference count-mode C1)."""
+    withrn = global_row_number(df, order_cols, _RN, num_partitions)
+    return withrn.withColumn(
+        CHUNK_COL, F.floor((F.col(_RN) - 1) / chunk_size).cast("long")
+    ).drop(_RN)
+
+
+def assign_chunks_by_bytes(
+    df: DataFrame,
+    order_cols: list[str],
+    byte_budget: int,
+    size_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy byte-budget chunking (reference byte-mode C1, strict
+    pre-append check): a chunk is flushed *before* a record that would
+    push it past ``byte_budget``.
+
+    Adds ``record_bytes`` (canonical serialized size, C2) unless
+    ``size_col`` names an existing column.
+    """
+    from .integrity import record_bytes_col
+
+    if size_col is None:
+        df = df.withColumn("record_bytes", record_bytes_col(df))
+        size_col = "record_bytes"
+    part, _ = _partitioned(df, order_cols, num_partitions)
+
+    out_schema = StructType(part.schema.fields + [StructField(_LOCAL_CHUNK, LongType())])
+    budget = int(byte_budget)
+
+    def greedy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[int, tuple[int, int]] = {}  # pid → (chunk, cur_bytes)
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for pid, size in zip(pdf[_PID], pdf[size_col]):
+                chunk, cur = state.get(pid, (0, 0))
+                size = int(size)
+                if cur > 0 and cur + size > budget:
+                    chunk += 1
+                    cur = 0
+                cur += size
+                state[pid] = (chunk, cur)
+                out.append(chunk)
+            pdf[_LOCAL_CHUNK] = out
+            yield pdf
+
+    local = part.mapInPandas(greedy, schema=out_schema)
+    counts = [
+        (r[_PID], r["n_chunks"])
+        for r in local.groupBy(_PID)
+        .agg((F.max(_LOCAL_CHUNK) + 1).alias("n_chunks"))
+        .collect()
+    ]
+    offsets = F.broadcast(_offsets_df(counts, df.sparkSession, "__offset"))
+    return (
+        local.join(offsets, _PID)
+        .withColumn(CHUNK_COL, (F.col(_LOCAL_CHUNK) + F.col("__offset")).cast("long"))
+        .drop(_PID, _LOCAL_CHUNK, "__offset")
+    )

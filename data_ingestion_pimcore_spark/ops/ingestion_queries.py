@@ -1,1 +1,246 @@
-"""placeholder — filled in below."""
+"""Registered queries for the ingestion dataflow itself — the
+reference's operators (identity, canonicalization, chunking, integrity
+manifest, resume skip) expressed as verifiable declarative plans.
+
+The flagship ``ingest_chunk_manifest`` is the reference's whole
+pipeline as ONE query: scan → canonical projection → deterministic
+global order → chunk assignment → per-chunk integrity metadata
+(chunk_id, checksum, counts, is_last). It is fully SQL-expressible, so
+the DuckDB oracle checks every step including the sha256 chunk
+checksums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..chunker import assign_chunks_by_bytes, global_row_number
+from ..integrity import (
+    build_file_id,
+    build_ingestion_id,
+    canonical_string_col,
+    sql_canonical_string,
+)
+from ..registry import register
+from ..tables import load
+
+# Deterministic flagship identity (computed once; embedded as literals
+# in both engines' plans).
+_FILE_ID = build_file_id("/root/testdata/lineitem.parquet", "parquet")
+_INGESTION_ID = build_ingestion_id(_FILE_ID, "resume")
+
+_LI_ORDER = ["l_orderkey", "l_linenumber"]
+_LI_COLS_SQL = [
+    ("l_orderkey", "bigint"),
+    ("l_partkey", "bigint"),
+    ("l_suppkey", "bigint"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "double"),
+    ("l_extendedprice", "double"),
+    ("l_discount", "double"),
+    ("l_tax", "double"),
+    ("l_returnflag", "string"),
+    ("l_linestatus", "string"),
+    ("l_shipdate", "timestamp"),
+]
+_CANON_SQL = sql_canonical_string(_LI_COLS_SQL)
+
+CHUNK_SIZE = 4000  # reference max chunk_size_by_records (request_model.py:22)
+
+
+def chunk_manifest(
+    df: DataFrame,
+    order_cols: list[str],
+    chunk_size: int,
+    ingestion_id: str,
+) -> DataFrame:
+    """Per-chunk integrity manifest over a deterministic total order.
+
+    Chunk checksum = sha256 over the newline-joined canonical record
+    strings in row order — computed entirely JVM-side (collect_list of
+    (rn, canon) structs, array_sort by rn, array_join, sha2), grouped
+    by chunk so each chunk's hash is one shuffle group. No Python in
+    the loop; scales with the number of chunks, not rows on the driver.
+    """
+    canon = df.withColumn("__canon", canonical_string_col(df))
+    # Totalize the order: order_cols may have ties (synthetic lineitem
+    # repeats (orderkey, linenumber)); the canonical string is unique
+    # because no full-row duplicates exist, and identical records would
+    # be interchangeable anyway.
+    withrn = global_row_number(canon, [*order_cols, "__canon"], "rn")
+    chunked = withrn.withColumn(
+        "chunk_number", F.floor((F.col("rn") - 1) / chunk_size).cast("long")
+    )
+    manifest = chunked.groupBy("chunk_number").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rn"), F.col("__canon").alias("c")))
+                    ),
+                    lambda x: x["c"],
+                ),
+                "\n",
+            ),
+            256,
+        ).alias("checksum"),
+        F.min("rn").alias("first_rn"),
+        F.max("rn").alias("last_rn"),
+    )
+    w = Window.partitionBy()  # manifest is tiny (one row per chunk)
+    return manifest.select(
+        "chunk_number",
+        F.concat_ws(":", F.lit(ingestion_id), F.col("chunk_number").cast("string")).alias(
+            "chunk_id"
+        ),
+        "n_records",
+        "checksum",
+        "first_rn",
+        "last_rn",
+        (F.col("chunk_number") == F.max("chunk_number").over(w)).alias("is_last"),
+    )
+
+
+_MANIFEST_ORACLE = f"""
+WITH canon_t AS (
+  SELECT l_orderkey, l_linenumber, {_CANON_SQL} AS canon FROM lineitem
+), base AS (
+  SELECT canon,
+         ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, canon) AS rn
+  FROM canon_t
+), chunks AS (
+  SELECT canon, rn, CAST(FLOOR((rn - 1) / {CHUNK_SIZE}) AS BIGINT) AS chunk_number
+  FROM base
+), m AS (
+  SELECT chunk_number,
+         COUNT(*) AS n_records,
+         sha256(string_agg(canon, chr(10) ORDER BY rn)) AS checksum,
+         MIN(rn) AS first_rn,
+         MAX(rn) AS last_rn
+  FROM chunks GROUP BY chunk_number
+)
+SELECT chunk_number,
+       '{_INGESTION_ID}:' || CAST(chunk_number AS VARCHAR) AS chunk_id,
+       n_records, checksum, first_rn, last_rn,
+       chunk_number = MAX(chunk_number) OVER () AS is_last
+FROM m
+"""
+
+
+@register(
+    "ingest_chunk_manifest",
+    oracle=_MANIFEST_ORACLE,
+    doc="Flagship: the reference's full dataflow (S1→I1→C1→I2/I3) as one "
+    "declarative plan; DuckDB verifies counts AND sha256 chunk checksums.",
+)
+def ingest_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return chunk_manifest(li, _LI_ORDER, CHUNK_SIZE, _INGESTION_ID)
+
+
+@register(
+    "ingest_resume_filter",
+    oracle=f"""
+WITH base AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+)
+SELECT CAST(FLOOR((rn - 1) / {CHUNK_SIZE}) AS BIGINT) AS chunk_number,
+       COUNT(*) AS n_records
+FROM base
+GROUP BY 1
+HAVING CAST(FLOOR((rn - 1) / {CHUNK_SIZE}) AS BIGINT) > 2
+""",
+    doc="K3 resume skip: chunks <= last_chunk (here 2) are filtered out "
+    "BEFORE any expensive work — Catalyst pushes the predicate below "
+    "the manifest aggregation.",
+)
+def ingest_resume_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    withrn = global_row_number(li, _LI_ORDER, "rn")
+    return (
+        withrn.withColumn(
+            "chunk_number", F.floor((F.col("rn") - 1) / CHUNK_SIZE).cast("long")
+        )
+        .where(F.col("chunk_number") > 2)
+        .groupBy("chunk_number")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+
+
+@register(
+    "ingest_ids",
+    oracle="""
+SELECT n_nationkey,
+       '/data/pim/' || LOWER(n_name) || '.json' AS file_path,
+       sha256('/data/pim/' || LOWER(n_name) || '.json' || '|json') AS file_id,
+       sha256(sha256('/data/pim/' || LOWER(n_name) || '.json' || '|json') || '|resume') AS ingestion_id,
+       sha256(sha256('/data/pim/' || LOWER(n_name) || '.json' || '|json') || '|resume')
+         || ':' || CAST(n_nationkey AS VARCHAR) AS chunk_id
+FROM nation
+""",
+    doc="I3/I4 identity derivation (generate_ingestion_id.py:13-21, "
+    "data_integrity_manager.py:48-54) as codegen'd sha2/concat exprs.",
+)
+def ingest_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    file_path = F.concat(F.lit("/data/pim/"), F.lower("n_name"), F.lit(".json"))
+    file_id = F.sha2(F.concat_ws("|", file_path, F.lit("json")), 256)
+    ingestion_id = F.sha2(F.concat_ws("|", file_id, F.lit("resume")), 256)
+    return n.select(
+        "n_nationkey",
+        file_path.alias("file_path"),
+        file_id.alias("file_id"),
+        ingestion_id.alias("ingestion_id"),
+        F.concat_ws(":", ingestion_id, F.col("n_nationkey").cast("string")).alias(
+            "chunk_id"
+        ),
+    )
+
+
+@register(
+    "ingest_record_bytes",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       STRLEN({_CANON_SQL}) AS record_bytes
+FROM lineitem
+WHERE l_orderkey <= 200
+""",
+    doc="C2 record byte measurement (json_reader.py:66) over the "
+    "canonical record string.",
+)
+def ingest_record_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.octet_length(canonical_string_col(li)).alias("record_bytes"),
+    )
+
+
+@register(
+    "ingest_chunk_by_bytes",
+    oracle=None,  # partition-local greedy: invariants asserted in tests
+    doc="Byte-budget chunker (C1 byte mode): per-chunk totals. Greedy "
+    "fold runs per ordered partition (Arrow-batched), renumbered "
+    "globally — budget strictly respected except single oversized "
+    "records (pre-append check semantics, json_reader.py:129-136).",
+)
+def ingest_chunk_by_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sized = li.withColumn("record_bytes", F.octet_length(canonical_string_col(li)))
+    chunked = assign_chunks_by_bytes(
+        sized, _LI_ORDER, byte_budget=64 * 1024, size_col="record_bytes"
+    )
+    return (
+        chunked.groupBy("chunk_number")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("record_bytes").alias("chunk_bytes"),
+            F.max("record_bytes").alias("max_record_bytes"),
+        )
+        .orderBy("chunk_number")
+    )

@@ -1,0 +1,108 @@
+"""Ordered, ACK-gated chunk sink + consumer-side validator.
+
+Producer side (reference K1–K4, `app/services/json_reader.py:138-196`):
+POST-shaped payloads ``{ingestion_id, chunk_number, chunk_id, checksum,
+records, is_last}``, up to 3 attempts per chunk, transport success is
+NOT enough — the business-level ``ack`` must be True; offsets commit
+only after ACK; completion event marked only after consumer ACK.
+
+Consumer side (the Pimcore-mock contract our sink must satisfy,
+`tests/pim_core_mock_test/services/chunk_data_integrity_validator.py:27-60`
+and `tests/pim_core_mock_test/pim_core_mock_test.py:25-96`):
+* CV1 duplicate chunk_id → ACK without reprocessing (idempotency)
+* CV2 chunk_number != last+1 → NACK "Out-of-order chunk"
+* CV3 checksum mismatch → NACK "Checksum mismatch"
+* CV4 empty records → NACK "Empty chunk"
+* CV5 completion event resets + ACKs
+
+Transports are pluggable: the in-process validator for tests/bench, or
+any callable(payload) -> AckResponse (an HTTP POST in production).
+Ordering (CV2) makes the *send* inherently sequential per ingestion —
+compute parallelizes, the emit loop does not (SURVEY §4.3.2); many
+ingestions parallelize across each other.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from .integrity import compute_checksum
+
+ERR_OUT_OF_ORDER = "Out-of-order chunk"
+ERR_CHECKSUM = "Checksum mismatch"
+ERR_EMPTY = "Empty chunk"
+
+MAX_ATTEMPTS = 3  # json_reader.py:163
+
+
+@dataclass
+class AckResponse:
+    ack: bool
+    ingestion_id: str
+    chunk_number: int
+    error: str | None = None
+
+
+class ChunkRejected(RuntimeError):
+    """Raised when a chunk is NACKed MAX_ATTEMPTS times (json_reader.py:193-196)."""
+
+
+@dataclass
+class ChunkValidator:
+    """In-process consumer double implementing CV1–CV5."""
+
+    processed_chunks: set[str] = field(default_factory=set)
+    last_chunk: dict[str, int] = field(default_factory=dict)
+    received_chunks: list[int] = field(default_factory=list)
+    received_records: list[list[dict]] = field(default_factory=list)
+    total_records: dict[str, int] = field(default_factory=dict)
+    completed: list[str] = field(default_factory=list)
+    # Test hook: chunk numbers to NACK once (fake_pim_core.py reject_chunk).
+    reject_once: set[int] = field(default_factory=set)
+
+    def __call__(self, payload: dict) -> AckResponse:
+        iid = payload["ingestion_id"]
+        if payload.get("status") == "COMPLETED":
+            # CV5 completion accounting (pim_core_mock_test.py:30-48)
+            self.completed.append(iid)
+            self.last_chunk.pop(iid, None)
+            self.total_records.pop(iid, None)
+            return AckResponse(True, iid, payload.get("chunk_number", -1))
+
+        n = payload["chunk_number"]
+        if n in self.reject_once:
+            self.reject_once.discard(n)
+            return AckResponse(False, iid, n, "SIMULATED_FAILURE")
+        if not payload.get("records"):
+            return AckResponse(False, iid, n, ERR_EMPTY)  # CV4
+        if payload["chunk_id"] in self.processed_chunks:
+            return AckResponse(True, iid, n)  # CV1 idempotent replay
+        if n != self.last_chunk.get(iid, -1) + 1:
+            return AckResponse(False, iid, n, ERR_OUT_OF_ORDER)  # CV2
+        if compute_checksum(payload["records"]) != payload["checksum"]:
+            return AckResponse(False, iid, n, ERR_CHECKSUM)  # CV3
+        self.processed_chunks.add(payload["chunk_id"])
+        self.last_chunk[iid] = n
+        self.received_chunks.append(n)
+        self.received_records.append(payload["records"])
+        self.total_records[iid] = self.total_records.get(iid, 0) + len(payload["records"])
+        return AckResponse(True, iid, n)
+
+
+Transport = Callable[[dict], AckResponse]
+
+
+def send_chunk_with_retry(transport: Transport, payload: dict) -> AckResponse:
+    """At-least-once delivery with bounded retry; ACK gate, not HTTP
+    status, decides success (json_reader.py:163-196; README:345-362)."""
+    last_err = None
+    for _attempt in range(MAX_ATTEMPTS):
+        resp = transport(payload)
+        if resp.ack:
+            return resp
+        last_err = resp.error
+    raise ChunkRejected(
+        f"chunk {payload.get('chunk_number')} rejected after "
+        f"{MAX_ATTEMPTS} attempts: {last_err}"
+    )

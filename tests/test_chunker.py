@@ -1,0 +1,102 @@
+"""Chunker invariants: deterministic global numbering and strict byte
+budgets, verified against both a window-function oracle and a pure
+Python greedy reference."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_pimcore_spark.chunker import (
+    assign_chunks_by_bytes,
+    assign_chunks_by_count,
+    global_row_number,
+)
+from data_ingestion_pimcore_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+ORDER = ["l_orderkey", "l_linenumber"]
+
+
+def test_global_row_number_matches_window(spark):
+    """Scalable (deterministic-range + offsets) numbering must equal the
+    single-window row_number over the same total order.
+
+    (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    totalize with the canonical record string."""
+    from data_ingestion_pimcore_spark.integrity import canonical_string_col
+
+    li = load(spark, SF, "lineitem")
+    li = li.withColumn("__canon", canonical_string_col(li))
+    order = [*ORDER, "__canon"]
+    scalable = global_row_number(li, order, "rn", num_partitions=7)
+    w = Window.orderBy(*order)
+    oracle = li.withColumn("rn_o", F.row_number().over(w).cast("long"))
+    joined = scalable.join(oracle, order)
+    assert joined.where(F.col("rn") != F.col("rn_o")).count() == 0
+    n = li.count()
+    assert scalable.agg(F.min("rn"), F.max("rn")).first() == (1, n)
+
+
+def test_chunk_by_count_sizes(spark):
+    li = load(spark, SF, "lineitem")
+    chunked = assign_chunks_by_count(li, ORDER, 1000, num_partitions=5)
+    sizes = {
+        r["chunk_number"]: r["count"]
+        for r in chunked.groupBy("chunk_number").count().collect()
+    }
+    n = li.count()
+    full, rem = divmod(n, 1000)
+    assert sorted(sizes) == list(range(full + (1 if rem else 0)))
+    for c, sz in sizes.items():
+        assert sz == (1000 if c < full else rem)
+
+
+def test_byte_budget_invariants(spark):
+    budget = 16 * 1024
+    li = load(spark, SF, "lineitem")
+    chunked = assign_chunks_by_bytes(li, ORDER, budget, num_partitions=5)
+    stats = (
+        chunked.groupBy("chunk_number")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("record_bytes").alias("bytes"),
+        )
+        .collect()
+    )
+    ids = sorted(r["chunk_number"] for r in stats)
+    assert ids == list(range(len(ids)))  # contiguous 0-based numbering
+    for r in stats:
+        assert r["n"] > 0  # no empty chunks
+        assert r["bytes"] <= budget or r["n"] == 1  # strict budget
+
+    # chunk order respects record order: per-chunk [min,max] rn ranges
+    # must not interleave
+    withrn = global_row_number(chunked, ORDER, "rn", num_partitions=5)
+    ranges = sorted(
+        (r["chunk_number"], r["lo"], r["hi"])
+        for r in withrn.groupBy("chunk_number")
+        .agg(F.min("rn").alias("lo"), F.max("rn").alias("hi"))
+        .collect()
+    )
+    for (c1, _lo1, hi1), (c2, lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert c2 == c1 + 1 and lo2 == hi1 + 1
+
+
+def test_byte_budget_single_partition_matches_python_greedy(spark):
+    """With one partition, the distributed greedy must equal the
+    reference's sequential pre-append-check algorithm exactly
+    (json_reader.py:129-136)."""
+    budget = 8 * 1024
+    li = load(spark, SF, "lineitem").limit(500)
+    chunked = assign_chunks_by_bytes(li, ORDER, budget, num_partitions=1)
+    rows = chunked.orderBy(*ORDER).select("record_bytes", "chunk_number").collect()
+
+    chunk, cur = 0, 0
+    for r in rows:
+        size = r["record_bytes"]
+        if cur > 0 and cur + size > budget:
+            chunk += 1
+            cur = 0
+        cur += size
+        assert r["chunk_number"] == chunk
