@@ -412,7 +412,8 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_orderkey, l_linenumber,
        RANK()       OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS qty_rank,
        DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_returnflag) AS flag_dense_rank,
-       NTILE(4)     OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS quartile
+       NTILE(4)     OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS quartile
 FROM lineitem
 WHERE l_orderkey <= 100
 """,
@@ -424,7 +425,11 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("l_quantity"), F.asc("l_linenumber")
     )
     w_flag = Window.partitionBy("l_orderkey").orderBy("l_returnflag")
-    w_line = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # ntile needs a TOTAL order: (l_orderkey, l_linenumber) repeats in the
+    # synthetic data and tied rows tile differently per engine.
+    w_line = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",

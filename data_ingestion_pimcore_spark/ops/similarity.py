@@ -1,1 +1,188 @@
-"""placeholder — filled in below."""
+"""Similarity search over the ``embeddings`` table
+(``embedding array<float>``, 64-dim).
+
+Three tiers, smallest-correct to 100-TB path:
+
+1. ``sim_knn_bruteforce`` — exact top-k by cosine via a broadcast
+   nested-loop join of the (small) query set against all vectors; the
+   per-pair dot product is a codegen'd ``aggregate(zip_with(...))`` in
+   double precision. This is the correctness baseline every ANN tier
+   is tested against.
+2. ``sim_cosine_pairs`` — all-pairs above a threshold, same JVM-side
+   math, self-join pruned to ``a < b``.
+3. ``sim_knn_blocked`` — the scale path: queries broadcast as a numpy
+   matrix; candidates stream through ``mapInPandas`` where each Arrow
+   batch does ONE BLAS matmul against the query matrix and emits only
+   each batch's local top-k, which a final tiny per-query top-k merge
+   reduces. Compute is O(N·Q·d) flops at full memory locality, shuffle
+   is O(#batches · Q · k) rows — independent of N's width. An IVF
+   refinement (cluster-prune) would sit on top of the same skeleton.
+
+Exactness note for the oracle: dot products are summed left-to-right
+in double on both engines (Spark ``aggregate``; DuckDB
+``list_cosine_similarity`` over DOUBLE[]), and cosines are rounded to
+9 decimals before ranking/threshold so formula-order bit differences
+cannot flip results.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+
+K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+PAIR_THRESHOLD = 0.35
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, accumulated in double."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nb = F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / F.sqrt(na * nb)
+
+
+@register(
+    "sim_knn_bruteforce",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qv, e.v), 9) AS cosine
+  FROM q JOIN e ON e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {K}
+""",
+    doc="Exact top-k cosine: query set broadcasts, candidates stream "
+    "map-side (no shuffle of the big side), per-query top-k via "
+    "window-group-limit.",
+)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_col(F.col("qv"), F.col("embedding")), 9).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+@register(
+    "sim_cosine_pairs",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 9) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 9) >= {PAIR_THRESHOLD}
+""",
+    doc="Embedding-cosine near-dup pairs above a threshold (bounded "
+    "subset for the O(n²) oracle; the scale path is sim_knn_blocked / "
+    "LSH bucketing).",
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    cos = F.round(cosine_col(F.col("va"), F.col("vb")), 9)
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= PAIR_THRESHOLD)
+    )
+
+
+@register(
+    "sim_knn_blocked",
+    oracle=None,  # equality vs sim_knn_bruteforce asserted in pytest
+    doc="Scale-path ANN skeleton: broadcast query matrix, one numpy "
+    "matmul per Arrow batch, per-batch local top-k, tiny global top-k "
+    "merge. Shuffle volume independent of corpus size.",
+)
+def sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    qrows = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows])
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    sc = e.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qnorm))
+
+    def topk_per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qn = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cand_ids = pdf["vec_id"].to_numpy()
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = qn @ mat.T  # (Q, B) — one BLAS call per batch
+            for qi, qid in enumerate(ids):
+                row = sims[qi]
+                mask = cand_ids != qid
+                order = np.argsort(-row)
+                picked = [j for j in order if mask[j]][:K]
+                yield pd.DataFrame(
+                    {
+                        "query_id": int(qid),
+                        "neighbor_id": cand_ids[picked],
+                        "cosine": np.round(row[picked], 9),
+                    }
+                )
+
+    local = e.select("vec_id", "embedding").mapInPandas(
+        topk_per_batch, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

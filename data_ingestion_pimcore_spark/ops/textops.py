@@ -1,1 +1,219 @@
-"""placeholder — filled in below."""
+"""Text-analysis operators for LLM training-data pipelines over the
+``documents`` table: tokenization stats, BPE-ish token counting,
+language-ID heuristics, quality scoring, and rolling-hash document
+fingerprints.
+
+All hot-path expressions are JVM built-ins (split/regexp/transform/
+aggregate) — no Python UDFs — so they stay inside whole-stage codegen
+and scale linearly with document count. Hashes are md5-derived 60-bit
+ints (``conv(substr(md5(x),1,15),16,10)``), portable to the DuckDB
+oracle via hex-string casts, unlike engine-specific ``hash()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+STOPWORDS = ("the", "a", "of", "to", "in", "and", "is", "on")
+_SQL_STOPLIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _words(col) -> Column:
+    return F.split(col, " ")
+
+
+def md5_hash60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5 as a long."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5_hash60(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       LEN(string_split(text, ' ')) AS n_tokens,
+       LEN(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+         / LEN(string_split(text, ' ')) AS avg_token_len,
+       LEN(list_filter(string_split(text, ' '),
+                       t -> t IN (""" + _SQL_STOPLIST + """))) AS n_stopwords
+FROM documents
+""",
+    doc="Per-document token statistics — all codegen'd array exprs.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(w)
+        ).alias("avg_token_len"),
+        F.size(F.filter(w, lambda t: t.isin(*STOPWORDS))).alias("n_stopwords"),
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_bpe_tokens,
+       CAST(LENGTH(text) AS DOUBLE)
+         / LEN(regexp_extract_all(text, '{_TOKEN_RE}')) AS chars_per_token
+FROM documents
+""",
+    doc="BPE-ish token counting via a regex lexer (letters / digits / "
+    "other), the standard cheap token-budget estimator.",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(LEN(list_filter(string_split(text, ' '),
+                            t -> t IN (""" + _SQL_STOPLIST + """))) AS DOUBLE)
+         / LEN(string_split(text, ' ')) AS en_ratio,
+       CASE WHEN CAST(LEN(list_filter(string_split(text, ' '),
+                                      t -> t IN (""" + _SQL_STOPLIST + """))) AS DOUBLE)
+                 / LEN(string_split(text, ' ')) >= 0.05
+            THEN 'en' ELSE 'other' END AS predicted_lang
+FROM documents
+""",
+    doc="N-gram/stopword language-ID heuristic: English stopword density "
+    "as the discriminator (real pipelines: per-language stoplists).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    ratio = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS))).cast("double") / F.size(w)
+    return d.select(
+        "doc_id",
+        "lang",
+        ratio.alias("en_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         LEN(string_split(text, ' ')) AS n_tokens,
+         LEN(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, lang,
+       0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + 0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens) AS quality,
+       CASE WHEN 0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                 + 0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens) >= 0.5
+            THEN 'keep' ELSE 'drop' END AS verdict
+FROM t
+""",
+    doc="Composite quality score (length saturation + lexical "
+    "diversity) with a keep/drop verdict — the shape of C4/RefinedWeb-"
+    "style quality filters.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    n_tokens = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    quality = 0.5 * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) + 0.5 * (
+        n_distinct.cast("double") / n_tokens
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        quality.alias("quality"),
+        F.when(quality >= 0.5, "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN LEN(string_split(text, ' ')) >= 3
+              THEN list_distinct(list_transform(
+                     range(1, LEN(string_split(text, ' ')) - 1),
+                     i -> string_split(text, ' ')[i] || ' ' ||
+                          string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2]))
+              ELSE [text] END AS shingles
+  FROM documents
+)
+SELECT doc_id,
+       LEN(shingles) AS n_shingles,
+       list_min(list_transform(shingles, s -> {sql_md5_hash60('s')})) AS fingerprint
+FROM sh
+""",
+    doc="Document fingerprint: min of 60-bit hashes over word-3-gram "
+    "shingles (a 1-permutation MinHash / winnowing primitive). "
+    "Hash is md5-derived → bit-identical in the DuckDB oracle.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(shingles_col(F.col("text"))).alias("n_shingles"),
+        F.array_min(
+            F.transform(shingles_col(F.col("text")), lambda s: md5_hash60(s))
+        ).alias("fingerprint"),
+    )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (default 3), [text] when too short."""
+    w = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(w, i + k) for k in range(n)])
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(F.array(text))
+
+
+@register(
+    "text_lang_distribution",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by language."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+    )

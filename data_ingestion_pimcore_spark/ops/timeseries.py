@@ -1,1 +1,222 @@
-"""placeholder — filled in below."""
+"""Event-time operators over the ``events`` table: tumbling / sliding /
+session windows, as-of joins, and banded range joins.
+
+These are the batch-verifiable faces of the streaming surface (the
+same expressions run under ``readStream`` + watermark in
+streaming/ingest_stream.py); registering them as batch queries lets
+the DuckDB oracle check exact semantics.
+
+Scale notes:
+
+* Tumbling/sliding windows are pure projections (F.window) before a
+  hash agg — one shuffle on (window, keys).
+* session_window is Spark's native gaps-and-islands; the oracle
+  reimplements it with lag + cumulative sum.
+* The as-of join avoids the naive join-filter-rank quadratic blowup:
+  union both sides, one shuffle on user_id, one ordered window pass
+  with last_value(ignorenulls) carry-forward — the standard scalable
+  as-of pattern.
+* The banded range join turns |Δt| ≤ 10 s into an equi-join on
+  10-second epoch buckets (left side exploded to 3 adjacent buckets)
+  + residual filter — never a cross join. DuckDB verifies with its
+  native IEJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+from ._det import dsum, sql_dsum
+
+
+@register(
+    "ts_tumbling_window",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Tumbling 1-hour event-time window per event type.",
+)
+def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "ts_sliding_window",
+    oracle="""
+WITH starts AS (
+  SELECT event_id, value,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS window_start
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n_events
+FROM starts
+GROUP BY window_start
+""",
+    doc="Sliding window (1 h length, 30 min slide): each event lands in "
+    "2 overlapping windows — Spark expands via F.window, the oracle "
+    "via explicit bucket arithmetic.",
+)
+def ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "ts_session_window",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '5 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS session_no
+  FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_no
+""",
+    doc="Session windows (5-minute gap) per user — Spark's native "
+    "session_window vs the lag/cumsum gaps-and-islands oracle.",
+)
+def ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+    )
+
+
+@register(
+    "ts_asof_join",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS click_ts, c.click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    doc="As-of join: each purchase matched to the latest click at or "
+    "before it per user. Spark side = union + single ordered window "
+    "pass (last_value carry-forward), one shuffle total; oracle = "
+    "DuckDB's native ASOF JOIN.",
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp_ntz").alias("c_ts"),
+        F.lit(None).cast("double").alias("c_val"), F.lit(1).alias("is_left"),
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("c_val"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.col("ts").alias("c_ts"),
+            "c_val",
+            F.lit(0).alias("is_left"),
+        )
+    )
+    unioned = purchases.unionByName(clicks)
+    # Right rows sort before left rows at equal ts (is_left asc) so a
+    # click at the same instant is visible to the purchase (>= match).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_left",
+        F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"),
+        F.last("c_val", ignorenulls=True).over(w).alias("click_value"),
+    )
+    return carried.where(F.col("is_left") == 1).select(
+        "event_id", "user_id", "ts", "click_ts", "click_value"
+    )
+
+
+@register(
+    "ts_range_join_banded",
+    oracle="""
+SELECT a.event_id AS id_a, b.event_id AS id_b
+FROM events a JOIN events b
+  ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '3 seconds'
+ AND a.event_id < b.event_id
+""",
+    doc="Banded range join (all event pairs within 3 s, no equi key): "
+    "Spark side buckets ts into 3-second epochs and equi-joins each "
+    "left row to its 2 adjacent buckets + residual filter — shuffle "
+    "proportional to data, not to the n² pair space. Oracle: DuckDB "
+    "IEJoin.",
+)
+def ts_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    band_s = 3
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", F.floor(F.unix_timestamp("ts") / band_s).alias("bucket")
+    )
+    left = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("ts").alias("ts_a"),
+        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("bucket"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .where(
+            (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {band_s} SECONDS"))
+            & (F.col("id_a") < F.col("id_b"))
+        )
+        .select("id_a", "id_b")
+    )  # no dedup needed: each pair matches via exactly one bucket equality
