@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + end-to-end ingest throughput.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+* Each headline query is executed to completion (count/collect) and
+  timed wall-clock.
+* ``ingest_e2e`` additionally drives the full pipeline — chunker →
+  canonical checksum → ordered ACK-gated in-process sink — and the
+  companion key ``ingest_records_per_sec`` reports its throughput
+  (BASELINE.md "Ingest throughput" row).
+
+Set ``BENCH_ALL=1`` to time every registered query instead of the
+headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_ingestion_pimcore_spark import registry
+from data_ingestion_pimcore_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "join_shuffle_hash",
+    "join_broadcast_dim",
+    "window_topk_per_group",
+    "top10_orders",
+    "agg_rollup",
+    "ingest_chunk_manifest",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "sim_knn_bruteforce",
+    "sim_knn_blocked",
+    "text_stats",
+    "text_fingerprint",
+    "ts_session_window",
+    "ts_asof_join",
+    "ts_tumbling_window",
+]
+
+
+def bench_ingest_e2e(spark, sf_dir: str) -> tuple[float, float]:
+    """lineitem → canonicalize → chunk(4000) → checksum → ACK sink."""
+    import tempfile
+
+    from data_ingestion_pimcore_spark.config import IngestRequest
+    from data_ingestion_pimcore_spark.pipeline import ingest
+    from data_ingestion_pimcore_spark.sink import ChunkValidator
+    from data_ingestion_pimcore_spark.state import IngestionStateStore
+
+    li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    req = IngestRequest(
+        file_path=f"{sf_dir}/lineitem.parquet",
+        file_type="parquet",
+        chunk_size_by_records=4000,
+        re_ingestion=True,  # fresh ingestion_id per bench run
+        order_cols=("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+    )
+    state = IngestionStateStore(tempfile.mktemp(suffix=".parquet"))
+    validator = ChunkValidator()
+    t0 = time.time()
+    summary = ingest(spark, req, li, state, validator)
+    dt = time.time() - t0
+    assert summary.status == "COMPLETED", summary
+    return dt, summary.total_records / dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    all_q = registry.all_queries()
+    names = sorted(all_q) if os.environ.get("BENCH_ALL") else HEADLINE
+    timings: dict[str, float] = {}
+    for name in names:
+        q = all_q[name]
+        t0 = time.time()
+        df = q.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    ingest_sec, rps = bench_ingest_e2e(spark, sf_dir)
+    timings["ingest_e2e"] = round(ingest_sec, 3)
+    timings["ingest_records_per_sec"] = round(rps, 1)
+    print(f"# ingest_e2e: {ingest_sec:.2f}s ({rps:,.0f} rec/s)", file=sys.stderr)
+
+    total = round(sum(v for k, v in timings.items() if k != "ingest_records_per_sec"), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

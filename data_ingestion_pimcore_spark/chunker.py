@@ -130,33 +130,33 @@ def global_row_number(
     order_cols: list[str],
     col_name: str = _RN,
     num_partitions: int | None = None,
+    pid_cols: list[str] | None = None,
 ) -> DataFrame:
     """1-based global row number over a total order, without a global
-    sort: deterministic range ids → local sort + local enumerate →
-    per-range offsets."""
-    part, _ = _partitioned(df, order_cols, num_partitions)
-    counts = [(r[_PID], r["count"]) for r in part.groupBy(_PID).count().collect()]
+    sort: deterministic range ids → per-range JVM window row_number →
+    per-range offsets (broadcast join).
+
+    ``pid_cols`` optionally names a PREFIX of ``order_cols`` used for
+    range boundaries — rows tying on the prefix stay co-located, while
+    expensive tiebreaker columns (e.g. a canonical record string) are
+    excluded from boundary sampling and from the counts pass, which
+    column-pruning then reduces to a cheap scan.
+
+    Everything stays JVM-side (no Python round-trip): the window's
+    required hash-clustering on ``__pid`` is the only shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    pid_cols = pid_cols or order_cols
+    withpid, _ = _deterministic_pid(df, pid_cols, num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ))
+    counts = [(r[_PID], r["count"]) for r in withpid.groupBy(_PID).count().collect()]
     offsets = F.broadcast(_offsets_df(counts, df.sparkSession, "__offset"))
-
-    out_schema = StructType(part.schema.fields + [StructField(col_name, LongType())])
-
-    def enumerate_ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # partition holds one pid (repartition by _PID with n_ranges
-        # partitions may collide pids into one task; enumerate per pid)
-        local: dict[int, int] = {}
-        for pdf in batches:
-            pdf = pdf.copy()
-            out = []
-            for pid in pdf[_PID]:
-                nxt = local.get(pid, 0) + 1
-                local[pid] = nxt
-                out.append(nxt)
-            pdf[col_name] = out
-            yield pdf
-
-    enumerated = part.mapInPandas(enumerate_ranges, schema=out_schema)
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
     return (
-        enumerated.join(offsets, _PID)
+        withpid.withColumn(col_name, F.row_number().over(w).cast("long"))
+        .join(offsets, _PID)
         .withColumn(col_name, F.col(col_name) + F.col("__offset"))
         .drop(_PID, "__offset")
     )
@@ -167,10 +167,11 @@ def assign_chunks_by_count(
     order_cols: list[str],
     chunk_size: int,
     num_partitions: int | None = None,
+    pid_cols: list[str] | None = None,
 ) -> DataFrame:
     """chunk_number = floor((global_rn - 1) / chunk_size), 0-based chunks
     in total order (reference count-mode C1)."""
-    withrn = global_row_number(df, order_cols, _RN, num_partitions)
+    withrn = global_row_number(df, order_cols, _RN, num_partitions, pid_cols)
     return withrn.withColumn(
         CHUNK_COL, F.floor((F.col(_RN) - 1) / chunk_size).cast("long")
     ).drop(_RN)

@@ -44,6 +44,19 @@ def _canonical_default(obj: Any):
         return obj.isoformat()
     if isinstance(obj, bytes):
         return obj.hex()
+    try:  # numpy scalars appear when records come out of Arrow/pandas
+        import numpy as np
+
+        if isinstance(obj, np.integer):
+            return int(obj)
+        if isinstance(obj, np.floating):
+            return float(obj)
+        if isinstance(obj, np.bool_):
+            return bool(obj)
+        if isinstance(obj, np.ndarray):
+            return obj.tolist()
+    except ImportError:
+        pass
     raise TypeError(f"not canonically serializable: {type(obj)}")
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
-from .textops import md5_hash60, shingles_col, sql_md5_hash60
+from .textops import md5_hash60, sql_md5_hash60, with_shingles
 
 N_HASHES = 16
 N_BANDS = 4
@@ -91,8 +91,8 @@ WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.2
     "No cross join anywhere.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(shingles_col(F.col("text"))).alias("s"))
+    d = with_shingles(load(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -132,7 +132,7 @@ def _sql_sig(i: int) -> str:
 
 def minhash_signatures(d: DataFrame) -> DataFrame:
     """doc_id + N_HASHES minhash values + N_BANDS band hashes."""
-    sh = d.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+    sh = with_shingles(d).select("doc_id", "shingles")
     sigs = sh.select(
         "doc_id", *[_sig_expr(i).alias(f"sig_{i}") for i in range(N_HASHES)]
     )

@@ -69,7 +69,7 @@ def chunk_manifest(
     # repeats (orderkey, linenumber)); the canonical string is unique
     # because no full-row duplicates exist, and identical records would
     # be interchangeable anyway.
-    withrn = global_row_number(canon, [*order_cols, "__canon"], "rn")
+    withrn = global_row_number(canon, [*order_cols, "__canon"], "rn", pid_cols=order_cols)
     chunked = withrn.withColumn(
         "chunk_number", F.floor((F.col("rn") - 1) / chunk_size).cast("long")
     )

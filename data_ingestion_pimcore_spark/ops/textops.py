@@ -179,24 +179,53 @@ FROM sh
     "Hash is md5-derived → bit-identical in the DuckDB oracle.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = with_shingles(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
-        F.size(shingles_col(F.col("text"))).alias("n_shingles"),
+        F.size("shingles").alias("n_shingles"),
         F.array_min(
-            F.transform(shingles_col(F.col("text")), lambda s: md5_hash60(s))
+            F.transform("shingles", lambda s: md5_hash60(s))
         ).alias("fingerprint"),
     )
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (default 3), [text] when too short."""
+    """Distinct word n-gram shingles (default 3), [text] when too short.
+
+    NOTE: evaluates ``split`` per array access inside the (interpreted,
+    non-CSE'd) lambda — fine for one-off use; hot paths must use
+    ``with_shingles`` which binds the words array to an attribute first.
+    """
     w = F.split(text, " ")
     idx = F.sequence(F.lit(0), F.size(w) - n)
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.get(w, i + k) for k in range(n)])
     )
     return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(F.array(text))
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", out: str = "shingles", n: int = 3
+) -> DataFrame:
+    """Attach a distinct word-n-gram shingle column the FAST way.
+
+    Higher-order functions run interpreted (outside codegen), so common
+    subexpressions inside their lambdas are NOT eliminated — an inline
+    ``split(text)`` would re-tokenize the document for every element
+    access (O(len²) per doc). Materializing words as a column first
+    makes each lambda access an O(1) attribute read; CollapseProject
+    keeps the alias because it is non-cheap and multi-referenced.
+    """
+    w = F.col("__words")
+    staged = df.withColumn("__words", F.split(F.col(text_col), " "))
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(w, i + k) for k in range(n)])
+    )
+    sh = F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.col(text_col))
+    )
+    return staged.withColumn(out, sh).drop("__words")
 
 
 @register(

@@ -22,7 +22,11 @@ path's re-send bug (SURVEY §2.1 "Known reference bugs").
 
 from __future__ import annotations
 
+import hashlib
+import json
 from dataclasses import dataclass
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,13 +34,45 @@ from pyspark.sql import functions as F
 from .chunker import CHUNK_COL, assign_chunks_by_bytes, assign_chunks_by_count
 from .config import IngestRequest
 from .integrity import (
+    build_chunk_id,
     build_file_id,
     build_ingestion_id,
-    build_chunk_id,
-    compute_checksum,
+    canonical_dumps,
 )
 from .sink import Transport, send_chunk_with_retry
 from .state import IngestionStateStore, version_for
+
+
+def _chunk_payloads(
+    pending: DataFrame, record_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """(chunk_number, n_records, checksum, payload-JSON) per chunk.
+
+    ``applyInPandas`` hands each chunk to one executor task as a whole
+    Arrow group (bounded by the chunk size contract, ≤4000 records /
+    the byte budget), which serializes it canonically and hashes it —
+    the expensive Python work, parallel across chunks.
+    """
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        recs = pdf[record_cols].astype(object)
+        recs = recs.where(pd.notna(recs), None)
+        records = recs.to_dict("records")
+        blob = canonical_dumps(records)
+        return pd.DataFrame(
+            {
+                CHUNK_COL: [int(pdf[CHUNK_COL].iloc[0])],
+                "n_records": [len(records)],
+                "checksum": [hashlib.sha256(blob).hexdigest()],
+                "payload": [blob.decode("utf-8")],
+            }
+        )
+
+    return pending.groupBy(CHUNK_COL).applyInPandas(
+        build,
+        schema=f"{CHUNK_COL} long, n_records long, checksum string, payload string",
+    )
 
 
 @dataclass
@@ -82,43 +118,40 @@ def ingest(
     # K3: skip already-ACKed chunks — a pushed-down predicate, so re-runs
     # never recompute completed work.
     pending = chunked.where(F.col(CHUNK_COL) > last_chunk)
-    # Ordered delivery: co-locate each chunk, sort, stream to driver.
-    ordered = pending.repartitionByRange(
-        max(pending.sparkSession.sparkContext.defaultParallelism, 1),
-        F.col(CHUNK_COL),
-        *order_cols,
-    ).sortWithinPartitions(CHUNK_COL, *order_cols)
+    # Canonicalization + checksumming run IN EXECUTORS (one Arrow group
+    # per chunk), in parallel across all cores; the driver only streams
+    # the finished payloads in chunk order and performs the (contract-
+    # mandated sequential, CV2) network emit. Payload bytes are the
+    # canonical JSON the consumer re-hashes, so producer and consumer
+    # share one canonicalizer end to end.
+    payloads = _chunk_payloads(pending, record_cols, order_cols).orderBy(CHUNK_COL)
 
     chunks_sent = 0
-    cur_chunk: int | None = None
-    cur_records: list[dict] = []
 
-    def flush(chunk_number: int, records: list[dict], is_last: bool):
+    def flush(row, is_last: bool):
         nonlocal chunks_sent, total_records
+        records = json.loads(row["payload"])
         payload = {
             "ingestion_id": ingestion_id,
-            "chunk_number": chunk_number,
-            "chunk_id": build_chunk_id(ingestion_id, chunk_number),
-            "checksum": compute_checksum(records),
+            "chunk_number": row[CHUNK_COL],
+            "chunk_id": build_chunk_id(ingestion_id, row[CHUNK_COL]),
+            "checksum": row["checksum"],
             "records": records,
             "is_last": is_last,
         }
         send_chunk_with_retry(transport, payload)  # raises after 3 NACKs
-        total_records += len(records)
+        total_records += row["n_records"]
         # K2: ACK-gated offset commit — no false progress.
-        state.update_chunk(ingestion_id, chunk_number, total_records)
+        state.update_chunk(ingestion_id, row[CHUNK_COL], total_records)
         chunks_sent += 1
 
-    for row in ordered.toLocalIterator(prefetchPartitions=True):
-        n = row[CHUNK_COL]
-        if cur_chunk is not None and n != cur_chunk:
-            flush(cur_chunk, cur_records, is_last=False)
-            cur_records = []
-        cur_chunk = n
-        d = row.asDict(recursive=True)
-        cur_records.append({c: d[c] for c in record_cols})
-    if cur_chunk is not None:
-        flush(cur_chunk, cur_records, is_last=True)
+    prev = None
+    for row in payloads.toLocalIterator(prefetchPartitions=True):
+        if prev is not None:
+            flush(prev, is_last=False)
+        prev = row
+    if prev is not None:
+        flush(prev, is_last=True)
 
     # K4: completion handshake; mark COMPLETED only after consumer ACK.
     last = state.get_last_chunk(ingestion_id)
