@@ -75,6 +75,39 @@ def _chunk_payloads(
     )
 
 
+def load_source(spark: SparkSession, request: IngestRequest) -> DataFrame:
+    """O1 file-type dispatch (`ingestion_controllers.py:45-59`), minus
+    the HTTP shell: each validated file_type maps to a source connector.
+    Paths pass through to Spark unchanged, so ``s3a://``/``gs://``/
+    ``abfss://`` URIs resolve via Hadoop FS (the reference's fsspec
+    multi-cloud behavior, S3)."""
+    from .sources import read_excel, read_json_array
+
+    ft = request.file_type
+    if ft == "json":
+        return read_json_array(spark, request.file_path)
+    if ft == "excel":
+        return read_excel(spark, request.file_path)
+    if ft == "jsonl":
+        return spark.read.json(request.file_path)
+    if ft == "csv":
+        return spark.read.option("header", "true").csv(request.file_path)
+    return spark.read.parquet(request.file_path)
+
+
+def run_ingestion(
+    spark: SparkSession,
+    request: IngestRequest,
+    state: IngestionStateStore,
+    transport: Transport,
+) -> IngestSummary:
+    """Controller entry: load by file_type, then run the chunked,
+    ACK-gated delivery to completion. (The reference replies STARTED
+    and runs this in a background task — async dispatch is an HTTP-app
+    concern, orthogonal to the engine.)"""
+    return ingest(spark, request, load_source(spark, request), state, transport)
+
+
 @dataclass
 class IngestSummary:
     ingestion_id: str

@@ -1,0 +1,157 @@
+"""JSON-array source — reference S1/S2 re-expressed for Spark.
+
+The reference incrementally parses files whose top level is a JSON
+array, one element per record, never loading the file
+(``ijson.items(f, "item")`` — `/root/reference/app/services/json_reader.py:64-65`),
+and expands directories via recursive glob
+(`json_reader.py:55-60`).
+
+Two Spark paths, chosen by data shape:
+
+* ``read_json_array`` — the JVM reader: ``multiLine`` JSON explodes a
+  top-level array into rows natively (Catalyst schema inference,
+  predicate pushdown, column pruning all apply). One task per file;
+  each file is materialized per-task, so this is the right path when
+  individual files are modest (the common case — the reference's
+  inputs are per-batch exports like
+  ``PIM_PRODIDSKU_20251222183200000_001.json``).
+* ``JsonArrayDataSource`` (format ``json_array``) — a Python
+  DataSource that *streams* elements with an incremental stdlib
+  decoder (no ijson in this container): O(element) memory regardless
+  of file size, the literal analogue of the reference's scan, for the
+  single-giant-array-file case (SURVEY §4.2 row 1). Emits
+  ``value STRING`` (one canonical JSON object per row) — pair with
+  ``F.from_json(value, schema)`` to get typed columns; keeping the
+  parse declarative preserves schema-on-read exactly like the
+  reference, where every element passes through verbatim.
+
+JSONL needs nothing: ``spark.read.json`` is already splittable and
+streaming-capable (file-source ``readStream``).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_DECODER = json.JSONDecoder()
+_WS = " \t\n\r"
+_READ_SIZE = 1 << 20  # 1 MiB refill
+
+
+def iter_json_array(path: str, read_size: int = _READ_SIZE) -> Iterator[Any]:
+    """Incrementally yield elements of a top-level JSON array.
+
+    Stdlib equivalent of ``ijson.items(f, "item")``: maintain a sliding
+    text buffer, ``raw_decode`` one element at a time, refill on
+    underrun. Memory is O(largest element + read_size), independent of
+    file size.
+    """
+    with open(path, "r", encoding="utf-8") as f:
+        buf = ""
+        pos = 0
+
+        def refill() -> bool:
+            nonlocal buf, pos
+            chunk = f.read(read_size)
+            if not chunk:
+                return False
+            buf = buf[pos:] + chunk
+            pos = 0
+            return True
+
+        # consume leading whitespace + '['
+        while True:
+            while pos < len(buf) and buf[pos] in _WS:
+                pos += 1
+            if pos < len(buf):
+                break
+            if not refill():
+                return  # empty file → no records
+        if buf[pos] != "[":
+            raise ValueError(f"{path}: top level is not a JSON array")
+        pos += 1
+
+        while True:
+            # skip whitespace and separators; detect end of array
+            while True:
+                while pos < len(buf) and buf[pos] in _WS + ",":
+                    pos += 1
+                if pos < len(buf):
+                    break
+                if not refill():
+                    raise ValueError(f"{path}: truncated JSON array")
+            if buf[pos] == "]":
+                return
+            while True:
+                try:
+                    obj, end = _DECODER.raw_decode(buf, pos)
+                    pos = end
+                    yield obj
+                    break
+                except ValueError:
+                    # element spans the buffer boundary → read more
+                    if not refill():
+                        raise ValueError(f"{path}: truncated JSON element")
+
+
+def json_paths(path: str) -> list[str]:
+    """S2: directory → recursive ``**/*.json`` glob (sorted, the
+    glob-order contract of `json_reader.py:55-60`); file → itself."""
+    if os.path.isdir(path):
+        return sorted(_glob.glob(os.path.join(path, "**", "*.json"), recursive=True))
+    return [path]
+
+
+def read_json_array(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JVM path: one row per top-level array element across all files."""
+    reader = spark.read.option("multiLine", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(json_paths(path))
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _JsonArrayReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("json_array source requires a path")
+
+    def partitions(self):
+        return [_FilePartition(p) for p in json_paths(self.path)]
+
+    def read(self, partition: _FilePartition):
+        for obj in iter_json_array(partition.path):
+            # canonical separators → compact stable strings
+            yield (json.dumps(obj, separators=(",", ":"), sort_keys=False),)
+
+
+class JsonArrayDataSource(DataSource):
+    """``spark.read.format("json_array").load(path)`` → ``value STRING``
+    rows, one per array element, streamed with bounded memory."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "json_array"
+
+    def schema(self) -> str:
+        return "value string"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _JsonArrayReader(self.options)
+
+
+def read_json_array_streaming(spark: SparkSession, path: str) -> DataFrame:
+    """Bounded-memory scan of giant array files via the Python source."""
+    spark.dataSource.register(JsonArrayDataSource)
+    return spark.read.format("json_array").load(path)

@@ -1,0 +1,203 @@
+"""Source connectors: Excel (S4/P1/P2/F1) and JSON array (S1/S2).
+
+Excel fixtures are authored with the stdlib writer in
+``tests/xlsx_writer.py`` (this container has no openpyxl); the JSON
+fixtures replicate the reference's input shape — a single top-level
+array with nested objects and decimal fractions (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_ingestion_pimcore_spark.sources.excel_source import (
+    EmptyHeaderError,
+    excel_paths,
+    iter_excel_records,
+    read_excel,
+)
+from data_ingestion_pimcore_spark.sources.json_source import (
+    iter_json_array,
+    json_paths,
+    read_json_array,
+    read_json_array_streaming,
+)
+from tests.xlsx_writer import DateCell, write_xlsx
+
+
+@pytest.fixture()
+def workbook(tmp_path):
+    rows = [
+        ["id", "name", " padded ", None, "qty"],  # header: None → column_3
+        [1, "alpha", "x", True, 10],
+        [None, None, None, None, None],  # empty row → dropped (F1)
+        [2, "beta"],  # short row → null-padded (P2)
+        [3, "gamma", "y", False, 2.5, "extra-ignored"],
+        [0, "", None, None, None],  # falsy-but-present row: any() false → dropped
+        [4, "delta", DateCell(45292), True, 7],  # 2024-01-01
+    ]
+    return write_xlsx(str(tmp_path / "book.xlsx"), rows)
+
+
+def test_excel_iter_records(workbook):
+    recs = list(iter_excel_records(workbook))
+    assert [r["id"] for r in recs] == [1, 2, 3, 4]
+    # P1: header stringify+strip, None → positional name
+    assert list(recs[0]) == ["id", "name", "padded", "column_3", "qty"]
+    # P2: short row null-padded
+    assert recs[1] == {"id": 2, "name": "beta", "padded": None, "column_3": None, "qty": None}
+    # types: bool, int, float survive; extra trailing cell ignored
+    assert recs[0]["column_3"] is True and recs[2]["qty"] == 2.5
+    # date-styled serial → ISO string
+    assert recs[3]["padded"] == "2024-01-01" and recs[3]["column_3"] is True
+
+
+def test_excel_date_cell(tmp_path):
+    p = write_xlsx(
+        str(tmp_path / "d.xlsx"),
+        [["when"], [DateCell(45292)], [DateCell(45292.5)]],
+    )
+    recs = list(iter_excel_records(p))
+    assert recs[0]["when"] == "2024-01-01"
+    assert recs[1]["when"].startswith("2024-01-01T12:00")
+
+
+def test_excel_empty_header(tmp_path):
+    p = write_xlsx(str(tmp_path / "e.xlsx"), [])
+    with pytest.raises(EmptyHeaderError):
+        list(iter_excel_records(p))
+
+
+def test_excel_spark_datasource(spark, tmp_path, workbook):
+    df = read_excel(spark, workbook)
+    assert df.columns == ["id", "name", "padded", "column_3", "qty"]
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == ["1", "2", "3", "4"]
+    assert rows[0]["column_3"] == "true"  # canonical bool rendering
+    assert rows[1]["qty"] is None  # padded null survives to Spark
+
+
+def test_excel_dir_glob(spark, tmp_path):
+    os.makedirs(tmp_path / "sub")
+    write_xlsx(str(tmp_path / "a.xlsx"), [["k"], [1]])
+    write_xlsx(str(tmp_path / "sub" / "b.xlsx"), [["k"], [2]])
+    assert len(excel_paths(str(tmp_path))) == 2
+    df = read_excel(spark, str(tmp_path))
+    assert sorted(r["k"] for r in df.collect()) == ["1", "2"]
+
+
+@pytest.fixture()
+def json_array_file(tmp_path):
+    records = [
+        {
+            "product_id": i,
+            "sku": f"SKU-{i:08d}",
+            "price": i + 0.25,
+            "attributes": {"b": "2", "a": "1"},
+            "categories": ["x", "y"],
+            "description": None if i % 5 == 0 else f"desc {i}",
+        }
+        for i in range(1, 26)
+    ]
+    p = tmp_path / "products.json"
+    p.write_text(json.dumps(records, indent=2))
+    return str(p), records
+
+
+def test_iter_json_array_streaming_parse(json_array_file):
+    path, records = json_array_file
+    # tiny read_size forces many buffer refills mid-element
+    got = list(iter_json_array(path, read_size=7))
+    assert got == records
+
+
+def test_iter_json_array_edge_cases(tmp_path):
+    p = tmp_path / "x.json"
+    p.write_text("  [ ]  ")
+    assert list(iter_json_array(str(p))) == []
+    p.write_text('[1, "two", {"three": [3]}, null, true]')
+    assert list(iter_json_array(str(p), read_size=3)) == [
+        1, "two", {"three": [3]}, None, True,
+    ]
+    p.write_text('{"not": "array"}')
+    with pytest.raises(ValueError, match="not a JSON array"):
+        list(iter_json_array(str(p)))
+    p.write_text('[{"a": 1}, {"b": 2}')
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_json_array(str(p)))
+
+
+def test_read_json_array_jvm(spark, json_array_file):
+    path, records = json_array_file
+    df = read_json_array(spark, path)
+    assert df.count() == 25
+    assert set(df.columns) >= {"product_id", "sku", "price", "attributes"}
+    first = df.orderBy("product_id").first()
+    assert first["product_id"] == 1 and first["sku"] == "SKU-00000001"
+
+
+def test_json_array_python_datasource(spark, json_array_file):
+    path, records = json_array_file
+    df = read_json_array_streaming(spark, path)
+    vals = [json.loads(r["value"]) for r in df.collect()]
+    assert sorted(v["product_id"] for v in vals) == list(range(1, 26))
+    # nested structures pass through verbatim (schema-on-read)
+    assert vals[0]["attributes"] == {"b": "2", "a": "1"}
+
+
+def test_run_ingestion_json_end_to_end(spark, tmp_path, json_array_file):
+    """File-type dispatch → JSON array source → chunker → ACK sink."""
+    from data_ingestion_pimcore_spark.config import IngestRequest
+    from data_ingestion_pimcore_spark.pipeline import run_ingestion
+    from data_ingestion_pimcore_spark.sink import ChunkValidator
+    from data_ingestion_pimcore_spark.state import IngestionStateStore
+
+    path, records = json_array_file
+    req = IngestRequest(
+        file_path=path,
+        file_type="json",
+        chunk_size_by_records=10,
+        order_cols=("product_id",),
+    )
+    v = ChunkValidator()
+    s = run_ingestion(spark, req, IngestionStateStore(str(tmp_path / "st.pq")), v)
+    assert s.status == "COMPLETED" and s.total_records == 25
+    assert v.received_chunks == [0, 1, 2]
+    assert [r["product_id"] for r in v.received_records[0]] == list(range(1, 11))
+    # nested map/array columns survive the wire (schema-on-read parity)
+    assert v.received_records[0][0]["attributes"] == {"a": "1", "b": "2"}
+
+
+def test_run_ingestion_excel_end_to_end(spark, tmp_path):
+    from data_ingestion_pimcore_spark.config import IngestRequest
+    from data_ingestion_pimcore_spark.pipeline import run_ingestion
+    from data_ingestion_pimcore_spark.sink import ChunkValidator
+    from data_ingestion_pimcore_spark.state import IngestionStateStore
+
+    rows = [["sku", "qty"]] + [[f"SKU-{i:04d}", i] for i in range(1, 26)]
+    path = write_xlsx(str(tmp_path / "book.xlsx"), rows)
+    req = IngestRequest(
+        file_path=path,
+        file_type="excel",
+        chunk_size_by_records=10,
+        order_cols=("sku",),
+    )
+    v = ChunkValidator()
+    s = run_ingestion(spark, req, IngestionStateStore(str(tmp_path / "st.pq")), v)
+    assert s.status == "COMPLETED" and s.total_records == 25
+    assert v.received_chunks == [0, 1, 2]
+    assert v.received_records[0][0] == {"sku": "SKU-0001", "qty": "1"}
+
+
+def test_json_dir_glob(spark, tmp_path):
+    os.makedirs(tmp_path / "nested")
+    (tmp_path / "a.json").write_text('[{"v": 1}]')
+    (tmp_path / "nested" / "b.json").write_text('[{"v": 2}, {"v": 3}]')
+    assert len(json_paths(str(tmp_path))) == 2
+    df = read_json_array(spark, str(tmp_path))
+    assert sorted(r["v"] for r in df.collect()) == [1, 2, 3]
+    sdf = read_json_array_streaming(spark, str(tmp_path))
+    assert sdf.count() == 3
