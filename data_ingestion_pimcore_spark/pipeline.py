@@ -108,6 +108,50 @@ def run_ingestion(
     return ingest(spark, request, load_source(spark, request), state, transport)
 
 
+def deliver_payloads(
+    payloads: DataFrame,
+    ingestion_id: str,
+    state: IngestionStateStore,
+    transport: Transport,
+    total_records: int,
+    mark_last: bool,
+) -> tuple[int, int]:
+    """Ordered, ACK-gated emit of prepared chunk payloads (K1–K3).
+
+    Sequential per contract (CV2); the expensive work already happened
+    in executors. ``mark_last`` sets ``is_last=True`` on the final
+    chunk (batch mode knows the end; streaming batches pass False and
+    rely on the completion event). Returns (chunks_sent, total_records).
+    """
+    chunks_sent = 0
+
+    def flush(row, is_last: bool):
+        nonlocal chunks_sent, total_records
+        records = json.loads(row["payload"])
+        payload = {
+            "ingestion_id": ingestion_id,
+            "chunk_number": row[CHUNK_COL],
+            "chunk_id": build_chunk_id(ingestion_id, row[CHUNK_COL]),
+            "checksum": row["checksum"],
+            "records": records,
+            "is_last": is_last,
+        }
+        send_chunk_with_retry(transport, payload)  # raises after 3 NACKs
+        total_records += row["n_records"]
+        # K2: ACK-gated offset commit — no false progress.
+        state.update_chunk(ingestion_id, row[CHUNK_COL], total_records)
+        chunks_sent += 1
+
+    prev = None
+    for row in payloads.toLocalIterator(prefetchPartitions=True):
+        if prev is not None:
+            flush(prev, is_last=False)
+        prev = row
+    if prev is not None:
+        flush(prev, is_last=mark_last)
+    return chunks_sent, total_records
+
+
 @dataclass
 class IngestSummary:
     ingestion_id: str
@@ -158,33 +202,9 @@ def ingest(
     # canonical JSON the consumer re-hashes, so producer and consumer
     # share one canonicalizer end to end.
     payloads = _chunk_payloads(pending, record_cols, order_cols).orderBy(CHUNK_COL)
-
-    chunks_sent = 0
-
-    def flush(row, is_last: bool):
-        nonlocal chunks_sent, total_records
-        records = json.loads(row["payload"])
-        payload = {
-            "ingestion_id": ingestion_id,
-            "chunk_number": row[CHUNK_COL],
-            "chunk_id": build_chunk_id(ingestion_id, row[CHUNK_COL]),
-            "checksum": row["checksum"],
-            "records": records,
-            "is_last": is_last,
-        }
-        send_chunk_with_retry(transport, payload)  # raises after 3 NACKs
-        total_records += row["n_records"]
-        # K2: ACK-gated offset commit — no false progress.
-        state.update_chunk(ingestion_id, row[CHUNK_COL], total_records)
-        chunks_sent += 1
-
-    prev = None
-    for row in payloads.toLocalIterator(prefetchPartitions=True):
-        if prev is not None:
-            flush(prev, is_last=False)
-        prev = row
-    if prev is not None:
-        flush(prev, is_last=True)
+    chunks_sent, total_records = deliver_payloads(
+        payloads, ingestion_id, state, transport, total_records, mark_last=True
+    )
 
     # K4: completion handshake; mark COMPLETED only after consumer ACK.
     last = state.get_last_chunk(ingestion_id)
