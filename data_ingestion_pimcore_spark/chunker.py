@@ -69,18 +69,23 @@ def _deterministic_pid(
     df: DataFrame, order_cols: list[str], num_ranges: int
 ) -> tuple[DataFrame, int]:
     """Attach ``__pid``: the row's range index under boundaries sampled
-    once on the driver. Pure function of the key → stable across jobs."""
+    once on the driver. Pure function of the key → stable across jobs.
+
+    Sampling is ONE pruned job: the K rows with the smallest
+    ``xxhash64(key)`` are a uniform random sample, and ``ORDER BY hash
+    LIMIT K`` compiles to TakeOrderedAndProject (per-partition top-K +
+    driver merge — no global sort, no separate count() pass, driver
+    memory O(K) at any data size). Key columns break hash ties so the
+    cut is deterministic.
+    """
     if num_ranges <= 1:
         return df.withColumn(_PID, F.lit(0).cast("long")), 1
-    n = df.count()
-    if n == 0:
-        return df.withColumn(_PID, F.lit(0).cast("long")), 1
-    frac = min(1.0, (_SAMPLE_PER_RANGE * num_ranges) / n)
-    sample = [
+    k = _SAMPLE_PER_RANGE * num_ranges
+    hash_col = F.xxhash64(F.lit(_SEED), *[F.col(c) for c in order_cols])
+    sample = sorted(
         tuple(r)
-        for r in df.select(*order_cols).sample(fraction=frac, seed=_SEED).collect()
-    ]
-    sample.sort()
+        for r in df.select(*order_cols).orderBy(hash_col, *order_cols).limit(k).collect()
+    )
     if not sample:
         return df.withColumn(_PID, F.lit(0).cast("long")), 1
     step = max(1, len(sample) // num_ranges)
@@ -91,10 +96,17 @@ def _deterministic_pid(
         if not uniq or b != uniq[-1]:
             uniq.append(b)
     key = _key_struct(df, order_cols)
-    pid: Column = F.lit(0).cast("long")
-    for b in uniq:
-        pid = pid + (key > _boundary_lit(df, order_cols, b)).cast("long")
-    return df.withColumn(_PID, pid), len(uniq) + 1
+
+    # Binary-search WHEN tree: log2(#ranges) struct comparisons per row
+    # instead of a linear comparison chain.
+    def rec(lo: int, hi: int) -> Column:
+        if lo >= hi:
+            return F.lit(lo).cast("long")
+        mid = (lo + hi) // 2
+        b = _boundary_lit(df, order_cols, uniq[mid])
+        return F.when(key > b, rec(mid + 1, hi)).otherwise(rec(lo, mid))
+
+    return df.withColumn(_PID, rec(0, len(uniq))), len(uniq) + 1
 
 
 def _partitioned(

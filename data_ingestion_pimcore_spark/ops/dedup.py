@@ -71,45 +71,68 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH sh AS (
-  SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+  SELECT doc_id,
+         LEN({_SQL_SHINGLES}) AS n,
+         unnest(list_transform({_SQL_SHINGLES},
+                               s -> {sql_md5_hash60('s')})) AS s
+  FROM documents
 ), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb, COUNT(*) AS inter
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
-       CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
 FROM pairs
-JOIN sizes na ON na.doc_id = doc_a
-JOIN sizes nb ON nb.doc_id = doc_b
-WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.2
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
 """,
-    doc="N-gram Jaccard near-dup: inverted shingle index self-join "
-    "(posting lists), intersection counts per pair, |A∩B|/|A∪B| ≥ τ. "
-    "No cross join anywhere.",
+    doc="N-gram Jaccard near-dup via a single-pass inverted shingle "
+    "index: shingles (md5-hashed to 60-bit longs — 8-byte shuffle keys "
+    "instead of strings) group into posting lists, pairs are generated "
+    "inside each list, intersections counted per pair, |A∩B|/|A∪B| ≥ τ. "
+    "Shingling runs ONCE (the naive self-join recomputes it for both "
+    "sides plus the size aggregate); no cross join anywhere. Skew note "
+    "for 100 TB: a stop-shingle with document frequency L contributes "
+    "L² pairs under ANY exact algorithm — production corpora drop "
+    "shingles above a df cap before this step.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_shingles(load(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # sizes come from the array BEFORE exploding — no per-doc aggregate.
+    sh = d.select(
+        F.col("doc_id"),
+        F.size("shingles").alias("n"),
+        F.explode(F.transform("shingles", lambda s: md5_hash60(s))).alias("s"),
+    )
+    # Posting list per shingle, sorted so generated pairs satisfy
+    # doc_a < doc_b by construction; lists of 1 produce no pairs.
+    lists = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n"].alias("na"),
+                    y["n"].alias("nb"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        lists.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        pairs.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .where(jac >= 0.2)
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-    )
+    return pairs.where(jac >= 0.2).select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
 def _sig_expr(i: int):
