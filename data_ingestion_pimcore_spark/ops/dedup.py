@@ -252,6 +252,46 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+), pairs AS (
+  SELECT a.vec_id AS keep_cand, b.vec_id AS dup_vec_id,
+         ROUND(list_cosine_similarity(a.v, b.v), 9) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 9) >= 0.35
+)
+SELECT dup_vec_id, MIN(keep_cand) AS keep_vec_id, COUNT(*) AS n_near_dups,
+       MAX(cosine) AS max_cosine
+FROM pairs GROUP BY dup_vec_id
+""",
+    doc="Embedding-cosine near-dup dedup: a vector is a duplicate when a "
+    "lower-id vector lies within the cosine threshold; keep the minimum "
+    "such id (the seniority rule exact dedup uses). Bounded subset keeps "
+    "the O(n²) oracle honest; the scale path replaces the pair join with "
+    "sim_knn_ivf cell-pruned candidate generation.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import cosine_col
+
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("keep_cand"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("dup_vec_id"), F.col("embedding").alias("vb"))
+    cos = F.round(cosine_col(F.col("va"), F.col("vb")), 9)
+    pairs = (
+        a.join(F.broadcast(b), F.col("keep_cand") < F.col("dup_vec_id"))
+        .select("keep_cand", "dup_vec_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.35)
+    )
+    return pairs.groupBy("dup_vec_id").agg(
+        F.min("keep_cand").alias("keep_vec_id"),
+        F.count(F.lit(1)).alias("n_near_dups"),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=f"""
 WITH tok AS (

@@ -186,3 +186,128 @@ def sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+N_CELLS = 16
+N_PROBE = 4
+_IVF_SEED = 7
+
+
+def _ivf_centroids(e: DataFrame, n_cells: int, iters: int = 2) -> np.ndarray:
+    """Deterministic k-means centroids: seed with the ``n_cells``
+    hash-smallest vectors (one TakeOrdered job, same sampler as the
+    chunker), then ``iters`` Lloyd rounds where assignment is a single
+    broadcast matmul per Arrow batch and the update is one groupBy —
+    every round is one pass, no iterative driver collect of data rows."""
+    seed_rows = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.lit(_IVF_SEED), F.col("vec_id")), F.col("vec_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    sc = e.sparkSession.sparkContext
+    for _ in range(iters):
+        bc = sc.broadcast(cents)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cmat = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+                cell = np.argmax(mat @ cmat.T, axis=1)
+                out = pd.DataFrame(
+                    {
+                        "cell": cell.astype("int64"),
+                        "embedding": pdf["embedding"],
+                    }
+                )
+                yield out
+
+        assigned = e.select("embedding").mapInPandas(
+            assign, schema="cell long, embedding array<float>"
+        )
+        agg = (
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("dim", "val")
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", (F.col("s") / F.col("n")).alias("m")))
+                ).alias("dims")
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in agg:
+            new[r["cell"]] = [d["m"] for d in r["dims"]]
+        cents = new / np.linalg.norm(new, axis=1, keepdims=True)
+    return cents
+
+
+@register(
+    "sim_knn_ivf",
+    oracle=None,  # approximate; recall vs sim_knn_bruteforce asserted in pytest
+    doc=f"IVF ANN: {N_CELLS} deterministic k-means cells partition the "
+    f"corpus; each query probes its {N_PROBE} nearest cells only, so the "
+    "scan touches nprobe/ncells of the data. Cell assignment and scoring "
+    "are one broadcast matmul per Arrow batch; the cell filter is a "
+    "pushable equi-predicate, so at 100 TB cells map to partition pruning "
+    "on a cell-partitioned layout.",
+)
+def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(e, N_CELLS)
+    qrows = e.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in qrows])
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    # Per-query probe set: its N_PROBE nearest centroids.
+    probe = np.argsort(-(qnorm @ cents.T), axis=1)[:, :N_PROBE]
+    sc = spark.sparkContext
+    b = sc.broadcast((qids, qnorm, cents, probe))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qn, cmat, pr = b.value
+        probe_sets = [set(p) for p in pr]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cand_ids = pdf["vec_id"].to_numpy()
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            cells = np.argmax(mat @ cmat.T, axis=1)
+            sims = qn @ mat.T
+            for qi, qid in enumerate(ids):
+                in_probe = np.fromiter(
+                    (c in probe_sets[qi] for c in cells), bool, len(cells)
+                )
+                mask = in_probe & (cand_ids != qid)
+                if not mask.any():
+                    continue
+                row = sims[qi][mask]
+                cids = cand_ids[mask]
+                top = np.argsort(-row)[:K]
+                yield pd.DataFrame(
+                    {
+                        "query_id": int(qid),
+                        "neighbor_id": cids[top],
+                        "cosine": np.round(row[top], 9),
+                    }
+                )
+
+    local = e.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

@@ -246,3 +246,56 @@ def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars"
         ),
     )
+
+
+# ------------------------------------------------------- UDTF surface
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 25
+
+
+def _chunk_doc_udtf():
+    """Python UDTF (Spark 4 user-extension surface): split a document
+    into fixed-size token windows with stride — the context-window
+    chunking step of an LLM training pipeline. One doc → many chunk
+    rows via LATERAL correlation; Arrow-batched like any Python UDTF."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_start bigint, n_tokens int, chunk_text string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            words = (text or "").split(" ")
+            for s in range(0, len(words), CHUNK_STRIDE):
+                c = words[s : s + CHUNK_TOKENS]
+                yield s, len(c), " ".join(c)
+
+    return ChunkDoc
+
+
+@register(
+    "text_chunk_udtf",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       unnest(range(0, LEN(w), {CHUNK_STRIDE})) AS chunk_start,
+       unnest(list_transform(range(0, LEN(w), {CHUNK_STRIDE}),
+              s -> LEN(list_slice(w, s + 1, s + {CHUNK_TOKENS})))) AS n_tokens,
+       unnest(list_transform(range(0, LEN(w), {CHUNK_STRIDE}),
+              s -> array_to_string(list_slice(w, s + 1, s + {CHUNK_TOKENS}), ' ')))
+         AS chunk_text
+FROM t
+""",
+    doc=f"Document → training chunks: {CHUNK_TOKENS}-token windows at "
+    f"stride {CHUNK_STRIDE} via a Python UDTF in a LATERAL join "
+    "(UDTF/UDTF-surface demo; the window math itself could be pure "
+    "array exprs, the UDTF is the extension-point exercise).",
+)
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("chunk_doc", _chunk_doc_udtf())
+    load(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_start, c.n_tokens, c.chunk_text
+        FROM __docs_udtf d, LATERAL chunk_doc(d.text) c
+        """
+    )

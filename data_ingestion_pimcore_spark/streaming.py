@@ -189,3 +189,65 @@ def streaming_tumbling_counts(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_stateful_running_counts(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint: str,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-key running total that survives across micro-batches (and,
+    via the checkpoint's state store, across restarts) — the streaming
+    generalization of the reference's resumable ``total_records``
+    accumulator (A1, `app/services/json_reader.py:52,94`; store
+    `app/services/ingestion_state_store.py:44-50`), keyed by
+    ``event_type`` instead of ingestion_id.
+
+    Each micro-batch emits ``(event_type, batch_rows, n_events_total)``
+    in update mode; state is one long per key, so state-store size is
+    O(distinct keys) regardless of stream length.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).json(events_dir)
+
+    def update(key, pdfs, state: GroupState):
+        rows = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+        total = (state.get[0] if state.exists else 0) + rows
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "batch_rows": [rows],
+                "n_events_total": [total],
+            }
+        )
+
+    out: list = []
+    q = (
+        stream.groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType="event_type string, batch_rows long, n_events_total long",
+            stateStructType="total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        # foreachBatch (not the memory sink) so the query can RECOVER
+        # from its checkpoint — restart continues from persisted state.
+        .writeStream.foreachBatch(lambda bdf, _id: out.extend(bdf.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        out, "event_type string, batch_rows long, n_events_total long"
+    )

@@ -147,3 +147,22 @@ def test_jaccard_pairs_are_symmetric_free(spark):
     for r in pairs:
         assert r["doc_a"] < r["doc_b"]
         assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_sim_knn_ivf_recall_vs_bruteforce(spark):
+    """IVF probes 4/16 cells; on isotropic synthetic vectors recall@5
+    must still clear a usefulness floor, and every returned cosine must
+    be the TRUE cosine (IVF never fabricates scores, it only prunes)."""
+    from data_ingestion_pimcore_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.all_queries()
+    bf = qs["sim_knn_bruteforce"].fn(spark, sf).toPandas()
+    ivf = qs["sim_knn_ivf"].fn(spark, sf).toPandas()
+    truth = {(r.query_id, r.neighbor_id): r.cosine for r in bf.itertuples()}
+    got = {(r.query_id, r.neighbor_id): r.cosine for r in ivf.itertuples()}
+    assert len(got) > 0
+    hits = set(got) & set(truth)
+    assert len(hits) / len(truth) >= 0.3
+    for k in hits:
+        assert abs(got[k] - truth[k]) < 1e-9

@@ -143,3 +143,39 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path):
     key = lambda r: (str(r["window_start"]), r["event_type"])
     assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
     assert got.count() == 8  # 4 hours × 2 types
+
+
+def test_streaming_stateful_running_counts(spark, tmp_path):
+    """applyInPandasWithState keeps per-key totals across micro-batches
+    AND across query restarts (state store in the checkpoint)."""
+    from data_ingestion_pimcore_spark.streaming import (
+        streaming_stateful_running_counts,
+    )
+
+    landing = tmp_path / "events"
+    landing.mkdir()
+    schema = "event_time timestamp, event_type string"
+
+    def write(name, rows):
+        (landing / name).write_text(
+            "\n".join(
+                json.dumps({"event_time": f"2026-01-01T00:{m:02d}:00", "event_type": t})
+                for m, t in rows
+            )
+        )
+
+    write("e1.jsonl", [(1, "click"), (2, "click"), (3, "view")])
+    got1 = streaming_stateful_running_counts(
+        spark, str(landing), schema, str(tmp_path / "ck")
+    ).collect()
+    t1 = {r["event_type"]: r["n_events_total"] for r in got1}
+    assert t1 == {"click": 2, "view": 1}
+
+    # restart with the same checkpoint after more data lands: totals
+    # continue from persisted state, only the new rows are processed
+    write("e2.jsonl", [(4, "click"), (5, "scroll")])
+    got2 = streaming_stateful_running_counts(
+        spark, str(landing), schema, str(tmp_path / "ck")
+    ).collect()
+    t2 = {r["event_type"]: (r["batch_rows"], r["n_events_total"]) for r in got2}
+    assert t2 == {"click": (1, 3), "scroll": (1, 1)}
