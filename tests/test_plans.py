@@ -1,0 +1,125 @@
+"""Physical-plan regression tests: the scale properties the engine
+depends on (pushdown, pruning, broadcast, partial aggregation, top-k
+short-circuit) must be visible in the optimized plan, not assumed.
+These are the properties that decide whether a query survives a 100×
+scale-up, so a plan regression is a test failure, not a perf nit.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from data_ingestion_pimcore_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+_Q = registry.all_queries()
+
+
+def _explain(spark, name: str, mode: str) -> str:
+    df = _Q[name].fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def plan_of(spark, name: str) -> str:
+    return _explain(spark, name, "formatted")
+
+
+def tree_of(spark, name: str) -> str:
+    """Just the operator tree (formatted mode repeats every operator in
+    the details section, which would double all counts)."""
+    return plan_of(spark, name).split("\n\n(1)")[0]
+
+
+def test_q3_broadcasts_dims_and_pushes_filters(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    tree = tree_of(spark, "q3_shipping_priority")
+    # both dimension joins broadcast — no shuffle join on the fact table
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # date/segment predicates reach the parquet scans
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    # sort+limit collapses to TakeOrderedAndProject (no global sort)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_prunes_columns_and_pushes_date_filter(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m, plan
+    read_cols = m.group(1)
+    # 7 needed columns, not the 16-column table
+    assert read_cols.count(":") <= 7
+    assert "l_comment" not in read_cols and "l_orderkey" not in read_cols
+    # map-side partial aggregation before the exchange
+    tree = tree_of(spark, "q1_pricing_summary")
+    assert tree.count("HashAggregate") == 2
+
+
+def test_top10_orders_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "top10_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and m.group(1).count(":") == 3  # only the 3 projected columns
+
+
+def test_dedup_exact_is_one_partial_final_aggregate(spark):
+    tree = tree_of(spark, "dedup_exact")
+    assert tree.count("HashAggregate") == 2  # partial + final
+    assert tree.count("Exchange") == 1  # exactly one shuffle, on the hash key
+
+
+def test_q5_all_dimension_joins_broadcast(spark):
+    tree = tree_of(spark, "q5_regional_revenue")
+    assert "CartesianProduct" not in tree
+    # every dim (region/nation/supplier/customer) joins without
+    # shuffling the lineitem side
+    assert tree.count("BroadcastHashJoin") >= 3
+
+
+def test_broadcast_join_hint_respected(spark):
+    plan = plan_of(spark, "join_broadcast_dim")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    plan = plan_of(spark, "window_topk_per_group")
+    # Spark's rank-based top-k pushdown prunes rows before the full sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_semi_and_anti_joins_stay_semi(spark):
+    for name, kind in [("join_semi", "LeftSemi"), ("join_anti", "LeftAnti")]:
+        plan = plan_of(spark, name)
+        assert kind in plan, f"{name} lost its {kind} join shape"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "dedup_exact",
+        "text_stats",
+    ],
+)
+def test_hot_paths_are_whole_stage_codegen(spark, name):
+    # AQE finalizes codegen only at execution: run the query, then read
+    # the final plan — codegen'd operators are starred "*(1) ..."
+    df = _Q[name].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # shuffle-free queries have no AdaptiveSparkPlan node at all
+    assert "isFinalPlan=false" not in plan
+    assert re.search(r"\*\(\d+\)", plan), plan
