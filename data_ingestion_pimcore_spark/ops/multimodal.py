@@ -164,3 +164,144 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("feat_norm"), 6).alias("sum_feat_norm"),
         )
     )
+
+
+# ------------------------------------------------- resize / frame-sample
+
+RESIZE_W, RESIZE_H = 224, 224
+FRAME_STRIDE_MS = 1000  # sample one frame per second of fake video
+
+
+def resize_image_batch(
+    buf: bytes, width: int, height: int, fake: bool = False
+) -> bytes:
+    """Resize an image blob to (RESIZE_W, RESIZE_H).
+
+    STUB: a real implementation is one Pillow call. ``fake=True``
+    derives a deterministic output blob (content hash + target dims) so
+    the pipeline shape — blob in, smaller blob out, metadata updated —
+    is testable without a codec.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an image library (Pillow/libvips); "
+            "install one and replace this stub"
+        )
+    h = hashlib.sha256(buf + f"{width}x{height}".encode()).digest()
+    return h * 4  # 128 deterministic bytes standing in for pixels
+
+
+def mm_resize(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched resize: payload → resized payload + new meta.
+    Output rows keep binary payloads, so at scale this writes straight
+    back to object storage (partitioned by size class) rather than
+    shuffling — the transform itself is embarrassingly parallel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(buf)
+                out.append(
+                    (
+                        int(doc_id),
+                        resize_image_batch(buf, RESIZE_W, RESIZE_H, fake=True),
+                        RESIZE_W,
+                        RESIZE_H,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "payload", "width", "height"]
+            )
+
+    return binary_df.mapInPandas(
+        run, schema="doc_id long, payload binary, width int, height int"
+    )
+
+
+def sample_frames_batch(
+    buf: bytes, duration_ms: int, stride_ms: int, fake: bool = False
+) -> list[tuple[int, bytes]]:
+    """Sample (timestamp_ms, frame_blob) pairs from a video blob.
+
+    STUB: real frame extraction is an ffmpeg/PyAV call. ``fake=True``
+    emits one deterministic pseudo-frame per ``stride_ms`` so the
+    one-row-to-many-frames explosion — the part that matters for
+    partitioning — is real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "frame sampling requires ffmpeg/PyAV; install one and replace this stub"
+        )
+    frames = []
+    for ts in range(0, max(duration_ms, 1), stride_ms):
+        frames.append((ts, hashlib.sha256(buf + ts.to_bytes(8, "big")).digest()))
+    return frames
+
+
+def sample_frames_df(binary_df: DataFrame) -> DataFrame:
+    """Video → frames: one input row explodes to duration/stride rows.
+    mapInPandas (not a UDTF) so each task streams its frames out in
+    Arrow batches without materializing a whole video's frames in one
+    list; at scale, repartition on doc_id AFTER sampling keeps frames
+    of one video co-located for downstream per-video ops."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf, dur in zip(
+                pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                for ts, frame in sample_frames_batch(
+                    bytes(buf), int(dur), FRAME_STRIDE_MS, fake=True
+                ):
+                    rows.append((int(doc_id), ts, frame))
+            yield pd.DataFrame(rows, columns=["doc_id", "ts_ms", "frame"])
+
+    return binary_df.mapInPandas(
+        run, schema="doc_id long, ts_ms long, frame binary"
+    )
+
+
+@register(
+    "mm_resize_pipeline",
+    oracle=None,  # stubbed codec: determinism + shape asserted in pytest
+    doc=f"Image resize pipeline to {RESIZE_W}x{RESIZE_H} via Arrow-batched "
+    "mapInPandas (stubbed codec); verifies payload-in/payload-out shape "
+    "with per-source size accounting.",
+)
+def mm_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    resized = mm_resize(attach_binary_payload(d))
+    return resized.groupBy("width", "height").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS duration_ms,
+       CAST(CEIL(GREATEST(LENGTH(text), 1) / 1000.0) AS BIGINT) AS n_frames
+FROM documents
+WHERE doc_id < 500
+""",
+    doc="Video frame sampling (1 frame/s, stubbed codec): per-video frame "
+    "counts — the row-explosion accounting is SQL-checkable even though "
+    "the frame blobs themselves are stub-generated (n_chars stands in "
+    "for duration_ms).",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    # n_bytes of the utf-8 text stands in for video duration_ms
+    vids = attach_binary_payload(d).withColumn(
+        "duration_ms", F.col("meta.n_bytes").cast("long")
+    )
+    frames = sample_frames_df(vids)
+    return (
+        frames.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .join(vids.select("doc_id", "duration_ms"), "doc_id")
+        .select("doc_id", "duration_ms", "n_frames")
+    )

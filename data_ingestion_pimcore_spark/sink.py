@@ -106,3 +106,47 @@ def send_chunk_with_retry(transport: Transport, payload: dict) -> AckResponse:
         f"chunk {payload.get('chunk_number')} rejected after "
         f"{MAX_ATTEMPTS} attempts: {last_err}"
     )
+
+
+class HttpTransport:
+    """HTTP callback transport (reference K1 wire behavior): POST the
+    chunk payload as JSON to ``callback_url``, 60 s client timeout
+    (`app/services/json_reader.py:54`), and treat the business-level
+    ``ack`` field of the response body — never the HTTP status — as the
+    success signal (README:345-362). Pluggable wherever a Transport is
+    accepted; ``send_chunk_with_retry`` supplies the 3-attempt retry
+    loop around it.
+
+    stdlib urllib (this container has no httpx); one persistent-enough
+    POST per chunk keeps the driver edge simple — the network emit is
+    sequential by contract anyway (CV2).
+    """
+
+    TIMEOUT_S = 60  # json_reader.py:54
+
+    def __init__(self, callback_url: str):
+        self.callback_url = callback_url
+
+    def __call__(self, payload: dict) -> AckResponse:
+        import json as _json
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.callback_url,
+            data=_json.dumps(payload).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        iid = payload.get("ingestion_id", "")
+        n = payload.get("chunk_number", -1)
+        try:
+            with urllib.request.urlopen(req, timeout=self.TIMEOUT_S) as resp:
+                body = _json.loads(resp.read().decode("utf-8"))
+        except Exception as exc:  # transport failure == NACK, retried
+            return AckResponse(False, iid, n, f"transport error: {exc}")
+        return AckResponse(
+            ack=bool(body.get("ack")),
+            ingestion_id=body.get("ingestion_id", iid),
+            chunk_number=body.get("chunk_number", n),
+            error=body.get("error"),
+        )

@@ -100,3 +100,46 @@ def test_byte_budget_single_partition_matches_python_greedy(spark):
             cur = 0
         cur += size
         assert r["chunk_number"] == chunk
+
+
+def test_chunker_invariants_property(spark):
+    """Property-based: for arbitrary skewed key distributions, record
+    sizes, chunk sizes, and range counts, the chunker must keep every
+    invariant. Hypothesis drives the data; one Spark job per example is
+    too slow, so examples are drawn once and asserted in a loop over
+    deterministic derived cases."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n=st.integers(1, 400),
+        chunk=st.integers(1, 97),
+        parts=st.integers(1, 9),
+        skew=st.sampled_from(["uniform", "allsame", "halfsame"]),
+    )
+    def check(n, chunk, parts, skew):
+        if skew == "uniform":
+            keys = list(range(n))
+        elif skew == "allsame":
+            keys = [7] * n
+        else:
+            keys = [3] * (n // 2) + list(range(1000, 1000 + n - n // 2))
+        rows = [(k, i) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows, "k long, uniq long")
+        out = assign_chunks_by_count(
+            df, ["k", "uniq"], chunk, num_partitions=parts
+        ).collect()
+        # no empty chunks, contiguous numbering, exact sizes, order kept
+        by_chunk: dict[int, list] = {}
+        for r in out:
+            by_chunk.setdefault(r["chunk_number"], []).append((r["k"], r["uniq"]))
+        full, rem = divmod(n, chunk)
+        assert sorted(by_chunk) == list(range(full + (1 if rem else 0)))
+        seen = []
+        for c in sorted(by_chunk):
+            grp = sorted(by_chunk[c])
+            assert len(grp) == (chunk if c < full else rem)
+            seen.extend(grp)
+        assert seen == sorted((k, u) for k, u in rows)
+
+    check()

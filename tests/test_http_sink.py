@@ -1,0 +1,117 @@
+"""End-to-end ingestion over REAL HTTP: a localhost consumer running the
+ChunkValidator contract behind a stdlib HTTP server, exercising the K1
+wire shape (POST JSON, business-level ack, transport-failure retry).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from data_ingestion_pimcore_spark.config import IngestRequest
+from data_ingestion_pimcore_spark.pipeline import ingest
+from data_ingestion_pimcore_spark.sink import (
+    ChunkRejected,
+    ChunkValidator,
+    HttpTransport,
+)
+from data_ingestion_pimcore_spark.state import IngestionStateStore
+
+
+class _ConsumerHandler(BaseHTTPRequestHandler):
+    validator: ChunkValidator = None
+    fail_next: list = None  # pop → respond HTTP 500 (transport failure)
+
+    def do_POST(self):
+        if self.fail_next:
+            self.fail_next.pop()
+            self.send_response(500)
+            self.end_headers()
+            return
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        resp = type(self).validator(body)
+        out = json.dumps(
+            {
+                "ack": resp.ack,
+                "ingestion_id": resp.ingestion_id,
+                "chunk_number": resp.chunk_number,
+                "error": resp.error,
+            }
+        ).encode()
+        # HTTP 200 even on NACK: status is NOT the success signal
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture()
+def http_consumer():
+    v = ChunkValidator()
+    handler = type("H", (_ConsumerHandler,), {"validator": v, "fail_next": []})
+    srv = HTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}/callback", v, handler
+    srv.shutdown()
+
+
+def _req(path):
+    return IngestRequest(
+        file_path=path,
+        file_type="parquet",
+        chunk_size_by_records=40,
+        order_cols=("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+    )
+
+
+def test_ingest_over_real_http(spark, tmp_path, http_consumer):
+    url, v, _ = http_consumer
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").limit(100)
+    s = ingest(
+        spark,
+        _req(f"{sf}/lineitem.parquet"),
+        li,
+        IngestionStateStore(str(tmp_path / "st.pq")),
+        HttpTransport(url),
+    )
+    assert s.status == "COMPLETED"
+    assert s.total_records == 100
+    assert v.received_chunks == [0, 1, 2]
+    assert [len(r) for r in v.received_records] == [40, 40, 20]
+    assert v.completed == [s.ingestion_id]
+
+
+def test_http_transport_failure_is_retried(spark, tmp_path, http_consumer):
+    url, v, handler = http_consumer
+    handler.fail_next.extend([1, 2])  # two HTTP 500s, then healthy
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").limit(50)
+    s = ingest(
+        spark,
+        _req(f"{sf}/lineitem.parquet"),
+        li,
+        IngestionStateStore(str(tmp_path / "st.pq")),
+        HttpTransport(url),
+    )
+    assert s.status == "COMPLETED" and s.total_records == 50
+
+
+def test_http_three_failures_reject_chunk(spark, tmp_path, http_consumer):
+    url, v, handler = http_consumer
+    handler.fail_next.extend([1, 2, 3])
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").limit(50)
+    state = IngestionStateStore(str(tmp_path / "st.pq"))
+    with pytest.raises(ChunkRejected):
+        ingest(spark, _req(f"{sf}/lineitem.parquet"), li, state, HttpTransport(url))
+    # no false progress: nothing was ACKed, nothing committed
+    assert v.received_chunks == []

@@ -166,3 +166,32 @@ def test_sim_knn_ivf_recall_vs_bruteforce(spark):
     assert len(hits) / len(truth) >= 0.3
     for k in hits:
         assert abs(got[k] - truth[k]) < 1e-9
+
+
+def test_mm_resize_and_frame_stub_gates():
+    import pytest as _pytest
+
+    from data_ingestion_pimcore_spark.ops.multimodal import (
+        resize_image_batch,
+        sample_frames_batch,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        resize_image_batch(b"xx", 224, 224)
+    with _pytest.raises(NotImplementedError):
+        sample_frames_batch(b"xx", 5000, 1000)
+    # fake path is deterministic
+    assert resize_image_batch(b"xx", 224, 224, fake=True) == resize_image_batch(
+        b"xx", 224, 224, fake=True
+    )
+    frames = sample_frames_batch(b"xx", 3500, 1000, fake=True)
+    assert [t for t, _ in frames] == [0, 1000, 2000, 3000]
+
+
+def test_mm_frame_sample_counts(spark):
+    from data_ingestion_pimcore_spark import registry
+
+    df = registry.all_queries()["mm_frame_sample"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert (df["n_frames"] == (df["duration_ms"].clip(lower=1) + 999) // 1000).all()
