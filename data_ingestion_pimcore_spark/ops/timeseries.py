@@ -220,3 +220,68 @@ def ts_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
     )  # no dedup needed: each pair matches via exactly one bucket equality
+
+
+_STREAM_SEQ = iter(range(10**9))
+
+_EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@register(
+    "ts_stream_tumbling",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+""",
+    doc="GENUINE Structured Streaming query, oracle-checked: readStream "
+    "over the events parquet (AvailableNow), 2h watermark, tumbling 1h "
+    "event-time windows — drained to completion it must equal the batch "
+    "ts_tumbling_window / DuckDB result exactly. The watermark bounds "
+    "state at scale; AvailableNow is swapped for a continuous trigger in "
+    "production with identical semantics.",
+)
+def ts_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    # TIMESTAMP(NANOS) parquet reads as long under the session's legacy
+    # conf; rebuild the µs timestamp exactly like tables.load does.
+    # Watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC,
+    # so casting the window start back to NTZ at the end is lossless
+    # and matches the batch twin's output type.
+    # File stream sources take a directory; glob-filter to the events
+    # table inside the sf dir.
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"ts_stream_tumbling_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_tumbling_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
