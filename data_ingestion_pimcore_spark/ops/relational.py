@@ -894,3 +894,67 @@ def q22_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_custs"),
         F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("total_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale techniques with verified semantics
+# ---------------------------------------------------------------------------
+
+_N_SALTS = 8
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderstatus
+""",
+    doc=f"Salted skew join, oracle-verified identical to the plain join: "
+    f"the probe side gets a random-free deterministic salt "
+    f"(orderkey % {_N_SALTS}), the build side explodes {_N_SALTS}× so "
+    "every (key, salt) bucket exists — a hot key's rows spread over "
+    f"{_N_SALTS} reducers instead of one. This is the manual fallback "
+    "when AQE skew-join splitting can't apply (e.g. aggregation keyed "
+    "on the skewed column).",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "__salt", (F.col("l_orderkey") % _N_SALTS).cast("int")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(_N_SALTS)])))
+    )
+    joined = li.join(
+        o,
+        (li["l_orderkey"] == o["o_orderkey"]) & (li["__salt"] == o["__salt"]),
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("o_orderstatus").agg(
+        F.sum(rev.cast("decimal(18,6)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "agg_approx",
+    oracle=None,  # approximate by design; tolerance asserted in pytest
+    doc="Sketch aggregations for 100-TB cardinality/quantile work: "
+    "approx_count_distinct (HyperLogLog++) and approx_percentile "
+    "(KLL-ish) — fixed-size sketches merge map-side, so the shuffle "
+    "carries O(sketch) bytes per group no matter the cardinality.",
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

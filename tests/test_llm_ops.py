@@ -195,3 +195,33 @@ def test_mm_frame_sample_counts(spark):
         spark, "/root/testdata/sf0.001"
     ).toPandas()
     assert (df["n_frames"] == (df["duration_ms"].clip(lower=1) + 999) // 1000).all()
+
+
+def test_agg_approx_within_tolerance(spark):
+    """Sketch results must track exact answers: HLL++ within 5%,
+    percentile_approx within the value neighborhood of the exact
+    quantile."""
+    from data_ingestion_pimcore_spark import registry
+    from pyspark.sql import functions as F
+    from data_ingestion_pimcore_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["l_returnflag"]: r
+        for r in registry.all_queries()["agg_approx"].fn(spark, sf).collect()
+    }
+    li = load(spark, sf, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("qs"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_orders"] - e["orders"]) / e["orders"] < 0.05
+        for qa, qe in zip(a["price_quantiles"], e["qs"]):
+            assert abs(qa - qe) / qe < 0.05
