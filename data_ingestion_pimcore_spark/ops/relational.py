@@ -958,3 +958,75 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+       STRFTIME(LAG(o_orderdate) OVER w, '%Y-%m-%d') AS prev_orderdate,
+       STRFTIME(LEAD(o_orderdate) OVER w, '%Y-%m-%d') AS next_orderdate,
+       CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice, o_orderkey) AS INT)
+         AS price_quartile
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="Offset window functions (lag/lead) + ntile bucketing over one "
+    "hash-partitioned shuffle per window spec; per-customer order "
+    "timelines are the canonical sessionization precursor.",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        fmt("o_orderdate").alias("orderdate"),
+        fmt(F.lag("o_orderdate").over(w)).alias("prev_orderdate"),
+        fmt(F.lead("o_orderdate").over(w)).alias("next_orderdate"),
+        F.ntile(4).over(wp).alias("price_quartile"),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+WITH g AS (
+  SELECT l_orderkey, LIST(l_quantity ORDER BY l_linenumber, l_quantity) AS qs
+  FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(LEN(qs) AS INT) AS n_lines,
+       list_sort(qs) AS sorted_qs,
+       CAST(qs[1] AS DOUBLE) AS first_qty,
+       list_contains(qs, 1.0) AS has_unit_qty,
+       CAST(list_sum(list_transform(qs, q -> q * 2)) AS DOUBLE) AS double_total
+FROM g
+""",
+    doc="Array scalar functions over grouped data: collect in declared "
+    "order, sort, index, membership, transform+aggregate — all JVM "
+    "higher-order functions, no UDFs.",
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    g = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("pairs")
+    )
+    qs = F.transform(F.col("pairs"), lambda p: p["l_quantity"])
+    return g.select(
+        "l_orderkey",
+        F.size(qs).alias("n_lines"),
+        F.array_sort(qs).alias("sorted_qs"),
+        F.get(qs, 0).alias("first_qty"),
+        F.array_contains(qs, 1.0).alias("has_unit_qty"),
+        F.aggregate(
+            F.transform(qs, lambda q: q * 2), F.lit(0.0), lambda a, v: a + v
+        ).alias("double_total"),
+    )
