@@ -233,3 +233,35 @@ def test_byte_budget_ingest(spark, tmp_path, products):
     for recs in validator.received_records:
         assert recs  # CV4 never triggered
     # budget invariant asserted on engine-side sizes in test_chunker.py
+
+
+def test_canonical_dumps_golden_bytes():
+    """Pin the canonical byte format (sorted keys, compact separators,
+    shortest-repr floats, raw unicode, Decimal→float, ISO dates) to
+    golden strings. stdlib json with these options emits the same bytes
+    orjson(OPT_SORT_KEYS) does for JSON-native types, so this is also
+    the reference-parity contract (data_integrity_manager.py:25-36)."""
+    import datetime
+    from decimal import Decimal
+
+    from data_ingestion_pimcore_spark.integrity import canonical_dumps
+
+    assert canonical_dumps({"b": 1, "a": 2}) == b'{"a":2,"b":1}'
+    # nested maps sort at every level
+    assert (
+        canonical_dumps({"z": {"y": 1, "x": [2, {"n": 3, "m": 4}]}})
+        == b'{"z":{"x":[2,{"m":4,"n":3}],"y":1}}'
+    )
+    # shortest-repr floats (same as orjson / Python repr)
+    assert canonical_dumps([0.1, 1e-07, 2.5]) == b"[0.1,1e-07,2.5]"
+    # Decimal downcasts to float (json_decimal_encoder.py:6-8 semantics)
+    assert canonical_dumps({"p": Decimal("19.99")}) == b'{"p":19.99}'
+    # unicode is NOT ascii-escaped
+    assert canonical_dumps({"s": "café"}) == '{"s":"café"}'.encode("utf-8")
+    # datetimes → ISO-8601 strings
+    assert (
+        canonical_dumps({"t": datetime.datetime(2026, 1, 2, 3, 4, 5)})
+        == b'{"t":"2026-01-02T03:04:05"}'
+    )
+    # null / bool spelling
+    assert canonical_dumps({"x": None, "y": True}) == b'{"x":null,"y":true}'

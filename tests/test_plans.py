@@ -11,6 +11,8 @@ import re
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from data_ingestion_pimcore_spark import registry
 
 SF = "/root/testdata/sf0.001"
@@ -123,3 +125,45 @@ def test_hot_paths_are_whole_stage_codegen(spark, name):
     # shuffle-free queries have no AdaptiveSparkPlan node at all
     assert "isFinalPlan=false" not in plan
     assert re.search(r"\*\(\d+\)", plan), plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed co-located join: writing both sides bucketed+sorted on
+    the join key lets SortMergeJoin run with NO Exchange on either side
+    — the pre-shuffle technique for repeatedly-joined 100-TB tables."""
+    import re as _re
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    for name, df, key in [("b_orders", o, "o_orderkey"), ("b_lineitem", li, "l_orderkey")]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(4, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    # merge hint: at sf0.001 the dim auto-broadcasts, hiding the point;
+    # at real scale both sides are too big to broadcast and SMJ is what
+    # the planner picks on its own.
+    joined = (
+        spark.table("b_lineitem")
+        .hint("merge")
+        .join(
+            spark.table("b_orders").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+    )
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = plan.split("\n\n(1)")[0]
+    assert "SortMergeJoin" in tree
+    assert "Exchange" not in tree, tree  # co-located: zero shuffles
+    n = joined.count()
+    assert n == spark.read.parquet(f"{sf}/lineitem.parquet").count()
+    for name in ["b_orders", "b_lineitem"]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
