@@ -179,3 +179,67 @@ def test_streaming_stateful_running_counts(spark, tmp_path):
     ).collect()
     t2 = {r["event_type"]: (r["batch_rows"], r["n_events_total"]) for r in got2}
     assert t2 == {"click": (1, 3), "scroll": (1, 1)}
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode watermark contract (the hard guarantees): every
+    window is emitted EXACTLY ONCE, only after the watermark passes its
+    end; a late row arriving after its window was finalized+evicted is
+    dropped (it can never duplicate or resurrect the emission); windows
+    the watermark never passes are never emitted."""
+    import os
+    import time as _time
+
+    landing = tmp_path / "events"
+    landing.mkdir()
+    schema = "event_time timestamp, event_type string"
+
+    def write(name, times, age):
+        p = landing / name
+        p.write_text(
+            "\n".join(
+                json.dumps({"event_time": f"2026-01-01T{t}:00", "event_type": "e"})
+                for t in times
+            )
+        )
+        now = _time.time()
+        os.utime(p, (now - age, now - age))  # file order == batch order
+
+    # b0: watermark -> 11:00 after processing
+    write("f1.jsonl", ["10:00", "10:20", "10:40", "11:00", "11:20", "12:00"], 30)
+    # b1: 12:30 advances watermark to 11:30; 09/10 windows finalize here
+    write("f2.jsonl", ["09:00", "12:30"], 20)
+    # b2: 09:30 is late AND its window is already final -> dropped;
+    #     13:30 advances the watermark to 12:30
+    write("f3.jsonl", ["09:30", "13:30"], 10)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    agg = (
+        stream.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    emitted: list = []
+    q = (
+        agg.writeStream.foreachBatch(lambda bdf, _id: emitted.extend(bdf.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    hours = [str(r["ws"])[11:13] for r in emitted]
+    # exactly-once: no window appears twice even though 09:30 arrived
+    # after the 09 window was finalized
+    assert len(hours) == len(set(hours))
+    final = {str(r["ws"])[11:13]: r["n"] for r in emitted}
+    # 09 emitted once with only the pre-finalization row; the post-
+    # finalization 09:30 row is gone; the 12 and 13 windows end past
+    # the final watermark (12:30) so they are never emitted
+    assert final == {"09": 1, "10": 3, "11": 2}
