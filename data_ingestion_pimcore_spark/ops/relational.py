@@ -178,8 +178,11 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
-    doc="TPC-H Q3 shape: filtered dim → broadcast to orders, shuffle join "
-    "to lineitem on the join key both sides already need for the agg. "
+    doc="TPC-H Q3 shape: filtered customer dim broadcast into orders; the "
+    "orders⋈lineitem fact-fact join is left UNHINTED — at bench SF the "
+    "planner broadcasts it (under the threshold), at 100 TB AQE picks a "
+    "shuffle join from runtime stats. Hard-broadcasting a fact side "
+    "would OOM at scale, so only the true dim carries a hint. "
     "Final top-10 is TakeOrderedAndProject (no global sort).",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,7 +195,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -216,9 +219,11 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """,
     doc="TPC-H Q5 shape (minus supplier co-location, absent from the "
-    "synthetic schema): a 5-way star join. region/nation broadcast; "
-    "customer folds into orders broadcast-side; lineitem never shuffles "
-    "until the final 25-row agg.",
+    "synthetic schema): a 5-way star join. Only the TRUE dims "
+    "(region, nation — broadcastable at any SF) carry hints; the "
+    "customer→orders→lineitem fact chain is unhinted so the planner "
+    "broadcasts at bench SF and AQE shuffle-joins at 100 TB, where "
+    "hard-broadcasting a fact side would OOM.",
 )
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
@@ -231,11 +236,11 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "n_name")
     )
-    ord_dim = orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey).select(
+    ord_dim = orders.join(dim, orders.o_custkey == dim.c_custkey).select(
         "o_orderkey", "n_name"
     )
     return (
-        li.join(F.broadcast(ord_dim), li.l_orderkey == ord_dim.o_orderkey)
+        li.join(ord_dim, li.l_orderkey == ord_dim.o_orderkey)
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -293,13 +298,16 @@ WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 """,
     doc="Left-semi join (EXISTS): emits each customer at most once; "
-    "Spark builds only the distinct key set on the build side.",
+    "Spark builds only the distinct key set on the build side. Unhinted "
+    "— the selective filter makes the build side broadcastable at bench "
+    "SF (planner picks BHJ), while at 100 TB AQE decides from runtime "
+    "stats.",
 )
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     big = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return cust.join(
-        F.broadcast(big), cust.c_custkey == big.o_custkey, "left_semi"
+        big, cust.c_custkey == big.o_custkey, "left_semi"
     ).select("c_custkey", "c_name")
 
 
@@ -310,13 +318,15 @@ SELECT c_custkey, c_mktsegment
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """,
-    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+    doc="Left-anti join (NOT EXISTS): customers with no orders. Unhinted "
+    "— broadcasting every orders key would OOM at scale; the planner "
+    "broadcasts at bench SF, AQE shuffle-joins at 100 TB.",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders").select("o_custkey")
     return cust.join(
-        F.broadcast(orders), cust.c_custkey == orders.o_custkey, "left_anti"
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_mktsegment")
 
 
