@@ -48,6 +48,13 @@ HEADLINE = [
     "ts_session_window",
     "ts_asof_join",
     "ts_tumbling_window",
+    "ts_stream_tumbling",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "join_salted_skew",
+    "sim_knn_ivf",
+    "text_chunk_udtf",
+    "dedup_embedding_cosine",
 ]
 
 
