@@ -143,6 +143,7 @@ def global_row_number(
     col_name: str = _RN,
     num_partitions: int | None = None,
     pid_cols: list[str] | None = None,
+    late_project: "callable | None" = None,
 ) -> DataFrame:
     """1-based global row number over a total order, without a global
     sort: deterministic range ids → per-range JVM window row_number →
@@ -154,20 +155,34 @@ def global_row_number(
     excluded from boundary sampling and from the counts pass, which
     column-pruning then reduces to a cheap scan.
 
-    Everything stays JVM-side (no Python round-trip): the window's
-    required hash-clustering on ``__pid`` is the only shuffle.
+    ``late_project`` (DataFrame → DataFrame) is applied AFTER the
+    explicit hash-exchange on ``__pid`` and may add columns referenced
+    by ``order_cols``. Expensive per-row derivations (e.g. the
+    canonical record string) belong here: placed before the exchange
+    they execute in the scan stage, whose task count is the file-split
+    count — one task for a small single-row-group file, idling every
+    other core; placed after, they run at the exchange's parallelism
+    regardless of the input layout.
+
+    Everything stays JVM-side (no Python round-trip): the hash-exchange
+    on ``__pid`` (which the window requires anyway) is the only shuffle.
     """
     from pyspark.sql.window import Window
 
     pid_cols = pid_cols or order_cols
-    withpid, _ = _deterministic_pid(df, pid_cols, num_partitions or int(
+    withpid, n_ranges = _deterministic_pid(df, pid_cols, num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ))
     counts = [(r[_PID], r["count"]) for r in withpid.groupBy(_PID).count().collect()]
     offsets = F.broadcast(_offsets_df(counts, df.sparkSession, "__offset"))
+    # Explicit exchange: HashPartitioning(__pid) satisfies the window's
+    # clustering requirement, so no second shuffle is added.
+    clustered = withpid.repartition(n_ranges, F.col(_PID))
+    if late_project is not None:
+        clustered = late_project(clustered)
     w = Window.partitionBy(_PID).orderBy(*order_cols)
     return (
-        withpid.withColumn(col_name, F.row_number().over(w).cast("long"))
+        clustered.withColumn(col_name, F.row_number().over(w).cast("long"))
         .join(offsets, _PID)
         .withColumn(col_name, F.col(col_name) + F.col("__offset"))
         .drop(_PID, "__offset")
@@ -205,10 +220,13 @@ def assign_chunks_by_bytes(
     """
     from .integrity import record_bytes_col
 
-    if size_col is None:
-        df = df.withColumn("record_bytes", record_bytes_col(df))
-        size_col = "record_bytes"
     part, _ = _partitioned(df, order_cols, num_partitions)
+    if size_col is None:
+        # Post-exchange (see global_row_number.late_project): the
+        # serialization-size projection runs at shuffle parallelism,
+        # not at the scan's (possibly 1-task) split count.
+        part = part.withColumn("record_bytes", record_bytes_col(df))
+        size_col = "record_bytes"
 
     out_schema = StructType(part.schema.fields + [StructField(_LOCAL_CHUNK, LongType())])
     budget = int(byte_budget)

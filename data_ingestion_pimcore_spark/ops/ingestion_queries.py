@@ -64,12 +64,20 @@ def chunk_manifest(
     by chunk so each chunk's hash is one shuffle group. No Python in
     the loop; scales with the number of chunks, not rows on the driver.
     """
-    canon = df.withColumn("__canon", canonical_string_col(df))
     # Totalize the order: order_cols may have ties (synthetic lineitem
     # repeats (orderkey, linenumber)); the canonical string is unique
     # because no full-row duplicates exist, and identical records would
-    # be interchangeable anyway.
-    withrn = global_row_number(canon, [*order_cols, "__canon"], "rn", pid_cols=order_cols)
+    # be interchangeable anyway. It is derived AFTER the pid-exchange
+    # (late_project) so the per-row formatting work runs at shuffle
+    # parallelism even when the scan is a single small file.
+    canon_col = canonical_string_col(df)
+    withrn = global_row_number(
+        df,
+        [*order_cols, "__canon"],
+        "rn",
+        pid_cols=order_cols,
+        late_project=lambda d: d.withColumn("__canon", canon_col),
+    )
     chunked = withrn.withColumn(
         "chunk_number", F.floor((F.col("rn") - 1) / chunk_size).cast("long")
     )
@@ -231,10 +239,9 @@ def ingest_record_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ingest_chunk_by_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    sized = li.withColumn("record_bytes", F.octet_length(canonical_string_col(li)))
-    chunked = assign_chunks_by_bytes(
-        sized, _LI_ORDER, byte_budget=64 * 1024, size_col="record_bytes"
-    )
+    # size_col=None → assign_chunks_by_bytes derives record_bytes
+    # post-exchange, at shuffle parallelism (see chunker docstring).
+    chunked = assign_chunks_by_bytes(li, _LI_ORDER, byte_budget=64 * 1024)
     return (
         chunked.groupBy("chunk_number")
         .agg(
