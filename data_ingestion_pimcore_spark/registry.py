@@ -80,6 +80,7 @@ def _load_ops() -> None:
         similarity,
         textops,
         timeseries,
+        tpch_extra,
     )
 
     _LOADED = True
