@@ -55,6 +55,8 @@ HEADLINE = [
     "sim_knn_ivf",
     "text_chunk_udtf",
     "dedup_embedding_cosine",
+    "q7_nation_volume",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -273,12 +273,24 @@ FROM pairs GROUP BY dup_vec_id
     "sim_knn_ivf cell-pruned candidate generation.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import cosine_col
+    from .similarity import cosine_col, nsq_col
 
-    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    a = e.select(F.col("vec_id").alias("keep_cand"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("dup_vec_id"), F.col("embedding").alias("vb"))
-    cos = F.round(cosine_col(F.col("va"), F.col("vb")), 9)
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200).withColumn(
+        "__nsq", nsq_col(F.col("embedding"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("keep_cand"),
+        F.col("embedding").alias("va"),
+        F.col("__nsq").alias("__nsq_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dup_vec_id"),
+        F.col("embedding").alias("vb"),
+        F.col("__nsq").alias("__nsq_b"),
+    )
+    cos = F.round(
+        cosine_col(F.col("va"), F.col("vb"), F.col("__nsq_a"), F.col("__nsq_b")), 9
+    )
     pairs = (
         a.join(F.broadcast(b), F.col("keep_cand") < F.col("dup_vec_id"))
         .select("keep_cand", "dup_vec_id", cos.alias("cosine"))

@@ -1,0 +1,142 @@
+"""User-extension (UDAF) and file-sink surfaces.
+
+The reference has no user-extension surface (hard-coded pipeline,
+SURVEY.md §2.2 "UDF/UDAF/UDTF: No") and exactly one sink — the ordered
+HTTP callback (`app/services/json_reader.py:138-196`). This module
+rounds out both categories:
+
+* a grouped-aggregate **Pandas UDAF** (`pandas_udf` with a Series →
+  scalar function): the Arrow-batched slow-path escape hatch for
+  aggregation logic the built-in functions can't express. One Arrow
+  transfer per (group × column), not per row.
+* **file sinks**: partitioned parquet and JSONL round-trips. Writes go
+  through the normal DataFrameWriter so at 100 TB each executor writes
+  its own partition files in parallel; the queries read their own
+  output back and aggregate it, proving the round-trip preserves the
+  data (count + exact sums), with the read benefiting from partition
+  pruning on the partition column.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from ._det import dsum, sql_dsum
+
+
+@register(
+    "udaf_median_quantity",
+    oracle="""
+SELECT l_returnflag,
+       MEDIAN(l_quantity) AS median_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Grouped-aggregate Pandas UDAF: per-group median, a holistic "
+    "aggregate Spark has no exact built-in for (percentile_approx is "
+    "approximate). The pandas_udf receives each group's column as one "
+    "Arrow batch — vectorized, no per-row Python. Median is order-"
+    "insensitive, so the result is engine-deterministic with no decimal "
+    "trick needed. At 100 TB a single group's values must fit one "
+    "executor (holistic aggregates always do); low-cardinality group "
+    "keys like returnflag keep that bounded only via two-level "
+    "pre-aggregation — documented tradeoff of exact medians anywhere.",
+)
+def udaf_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    @F.pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        # Spark disallows mixing grouped-agg pandas UDFs with JVM
+        # aggregates in one agg(); the count rides along as a UDAF.
+        return len(v)
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            median_udaf("l_quantity").alias("median_qty"),
+            count_udaf("l_quantity").alias("n"),
+        )
+    )
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle=f"""
+SELECT l_returnflag, COUNT(*) AS n, {sql_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Partitioned-parquet sink round-trip: write lineitem partitioned "
+    "by l_returnflag (each executor writes its partitions directly — no "
+    "driver funnel, layout = one directory per key), read it back, and "
+    "aggregate. Matching the oracle computed on the ORIGINAL table "
+    "proves the sink is lossless. The read-back groupBy on the "
+    "partition column needs no shuffle of file contents beyond the agg "
+    "itself, and a filter on l_returnflag would prune whole directories "
+    "(partition pruning).",
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_pq_"), "lineitem")
+    try:
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag")
+            .parquet(out)
+        )
+        return (
+            spark.read.parquet(out)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("l_extendedprice", "sum_price"),
+            )
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "sink_jsonl_roundtrip",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+    doc="JSONL (newline-delimited JSON) sink round-trip over the "
+    "documents table: the interchange format of LLM data pipelines. "
+    "Write splits across executors (one .json part-file per task), "
+    "read back with schema inference, aggregate per language. Counts "
+    "and exact integer sums matching the original table prove the "
+    "text round-trip is lossless for the full unicode document corpus.",
+)
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_jsonl_"), "documents")
+    try:
+        load(spark, sf_dir, "documents").write.mode("overwrite").json(out)
+        return (
+            spark.read.json(out)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)

@@ -44,23 +44,38 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 PAIR_THRESHOLD = 0.35
 
 
-def cosine_col(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float arrays, accumulated in double."""
+def nsq_col(v: Column) -> Column:
+    """Squared L2 norm of a float array, accumulated in double.
+
+    Per-VECTOR quantity: compute it once in a projection before any
+    pair join (O(n·d)), never inside the pair expression (O(n²·d)) —
+    at corpus scale the norms pass is negligible while per-pair norm
+    recomputation triples the dominant cost.
+    """
+    return F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+
+
+def cosine_col(
+    a: Column, b: Column, nsq_a: Column | None = None, nsq_b: Column | None = None
+) -> Column:
+    """Cosine similarity of two float arrays, accumulated in double.
+
+    Pass precomputed ``nsq_col`` columns for the pair path; the final
+    ``dot / sqrt(na*nb)`` arithmetic is identical either way (and
+    bit-identical to DuckDB's list_cosine_similarity), so precomputing
+    cannot change results.
+    """
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    nb = F.aggregate(
-        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    na = nsq_a if nsq_a is not None else nsq_col(a)
+    nb = nsq_b if nsq_b is not None else nsq_col(b)
     return dot / F.sqrt(na * nb)
 
 
@@ -88,16 +103,28 @@ SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {K}
     "window-group-limit.",
 )
 def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "__nsq", nsq_col(F.col("embedding"))
+    )
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("__nsq").alias("__qnsq"),
     )
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_col(F.col("qv"), F.col("embedding")), 9).alias("cosine"),
+            F.round(
+                cosine_col(
+                    F.col("qv"),
+                    F.col("embedding"),
+                    F.col("__qnsq"),
+                    F.col("__nsq"),
+                ),
+                9,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -124,10 +151,22 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 9) >= {PAIR_THRESHOLD}
     "LSH bucketing).",
 )
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    cos = F.round(cosine_col(F.col("va"), F.col("vb")), 9)
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200).withColumn(
+        "__nsq", nsq_col(F.col("embedding"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("__nsq").alias("__nsq_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("__nsq").alias("__nsq_b"),
+    )
+    cos = F.round(
+        cosine_col(F.col("va"), F.col("vb"), F.col("__nsq_a"), F.col("__nsq_b")), 9
+    )
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))

@@ -74,6 +74,7 @@ def _load_ops() -> None:
         return
     from .ops import (  # noqa: F401
         dedup,
+        extensibility,
         ingestion_queries,
         multimodal,
         relational,
