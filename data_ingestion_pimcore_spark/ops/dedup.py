@@ -340,3 +340,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ones * 2 >= F.size(F.col("hs")), 1).otherwise(0).alias(f"bit_{bit}")
         )
     return hashes.select("doc_id", *cols)
+
+
+_SQL_JACCARD_EDGES = f"""
+sh AS (
+  SELECT doc_id,
+         LEN({_SQL_SHINGLES}) AS n,
+         unnest(list_transform({_SQL_SHINGLES},
+                               s -> {sql_md5_hash60('s')})) AS s
+  FROM documents
+), jpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), jedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
+  UNION ALL
+  SELECT doc_b, doc_a FROM jpairs
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
+)"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE {_SQL_JACCARD_EDGES},
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN jedges e ON e.src = r.node
+)
+SELECT src AS doc_id, MIN(node) AS component_id FROM reach GROUP BY src
+""",
+    doc="Connected components over the n-gram-Jaccard near-dup graph: "
+    "the step that turns pairwise near-dups into dedup groups (keep "
+    "component_id == doc_id, drop the rest). Iterative min-label "
+    "propagation: each round every vertex takes the min of its own and "
+    "its neighbors' labels — pure DataFrame joins/aggs, converging in "
+    "diameter rounds (near-dup components are chains of a few docs, so "
+    "2-3 rounds in practice; a 100 TB corpus with adversarial chain "
+    "length would swap in alternating large-star/small-star for "
+    "O(log n) rounds, same join primitives). Edges are localCheckpointed "
+    "once and reused every round; labels are checkpointed per round so "
+    "the plan does not grow with iterations. Oracle = DuckDB recursive "
+    "CTE computing min reachable id, which equals the component min.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    rev = pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    edges = pairs.unionByName(rev).localCheckpoint()
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        merged = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            merged.alias("m")
+            .join(labels.alias("l"), "doc_id")
+            .where(F.col("m.component_id") != F.col("l.component_id"))
+            .count()
+        )
+        labels = merged
+        if changed == 0:
+            return labels
+    raise RuntimeError("connected components did not converge in 20 rounds")
