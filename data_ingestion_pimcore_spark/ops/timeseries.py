@@ -285,3 +285,79 @@ def ts_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "ts_stream_stream_join",
+    oracle="""
+SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+""",
+    doc="GENUINE stream-stream inner join, oracle-checked: two readStream "
+    "sources over the events parquet, each watermarked, joined on "
+    "user_id plus an event-time range (purchase within 2h after click). "
+    "The range condition is what lets Spark bound join state: each "
+    "side's buffered rows are dropped once the other side's watermark "
+    "passes the range bound, so state is O(watermark window), not "
+    "O(stream length) — the scale-critical property. Drained with "
+    "AvailableNow the result equals the batch join exactly (inner join "
+    "emits on match; nothing is watermark-dropped when the data fits "
+    "the trigger).",
+)
+def ts_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    clicks = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    buys = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    name = f"ts_stream_stream_join_{next(_STREAM_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_join_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
