@@ -78,6 +78,7 @@ def _load_ops() -> None:
         ingestion_queries,
         multimodal,
         relational,
+        reshape,
         similarity,
         textops,
         timeseries,
