@@ -23,7 +23,6 @@ path's re-send bug (SURVEY §2.1 "Known reference bugs").
 from __future__ import annotations
 
 import hashlib
-import json
 from dataclasses import dataclass
 
 import pandas as pd
@@ -127,13 +126,16 @@ def deliver_payloads(
 
     def flush(row, is_last: bool):
         nonlocal chunks_sent, total_records
-        records = json.loads(row["payload"])
+        # The executor-serialized canonical blob passes through as-is;
+        # parsing it is consumer-side work (an HTTP consumer parses the
+        # POST body), so the sequential driver edge stays O(bytes-copy)
+        # per chunk instead of O(parse + re-serialize).
         payload = {
             "ingestion_id": ingestion_id,
             "chunk_number": row[CHUNK_COL],
             "chunk_id": build_chunk_id(ingestion_id, row[CHUNK_COL]),
             "checksum": row["checksum"],
-            "records": records,
+            "records_json": row["payload"],
             "is_last": is_last,
         }
         send_chunk_with_retry(transport, payload)  # raises after 3 NACKs

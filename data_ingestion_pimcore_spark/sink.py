@@ -74,19 +74,27 @@ class ChunkValidator:
         if n in self.reject_once:
             self.reject_once.discard(n)
             return AckResponse(False, iid, n, "SIMULATED_FAILURE")
-        if not payload.get("records"):
+        # The wire carries the records as serialized JSON (records_json);
+        # parsing is CONSUMER work, exactly as an HTTP consumer parses
+        # the POST body. Dict payloads (tests) pass records directly.
+        records = payload.get("records")
+        if records is None and payload.get("records_json") is not None:
+            import json as _json
+
+            records = _json.loads(payload["records_json"])
+        if not records:
             return AckResponse(False, iid, n, ERR_EMPTY)  # CV4
         if payload["chunk_id"] in self.processed_chunks:
             return AckResponse(True, iid, n)  # CV1 idempotent replay
         if n != self.last_chunk.get(iid, -1) + 1:
             return AckResponse(False, iid, n, ERR_OUT_OF_ORDER)  # CV2
-        if compute_checksum(payload["records"]) != payload["checksum"]:
+        if compute_checksum(records) != payload["checksum"]:
             return AckResponse(False, iid, n, ERR_CHECKSUM)  # CV3
         self.processed_chunks.add(payload["chunk_id"])
         self.last_chunk[iid] = n
         self.received_chunks.append(n)
-        self.received_records.append(payload["records"])
-        self.total_records[iid] = self.total_records.get(iid, 0) + len(payload["records"])
+        self.received_records.append(records)
+        self.total_records[iid] = self.total_records.get(iid, 0) + len(records)
         return AckResponse(True, iid, n)
 
 
@@ -131,9 +139,24 @@ class HttpTransport:
         import json as _json
         import urllib.request
 
+        if payload.get("records_json") is not None:
+            # Records were already serialized in the executors; splice
+            # the blob into the body instead of parse→re-serialize on
+            # the sequential driver edge.
+            head = {
+                k: v
+                for k, v in payload.items()
+                if k not in ("records", "records_json")
+            }
+            head_json = _json.dumps(head)
+            body = (
+                head_json[:-1] + ',"records":' + payload["records_json"] + "}"
+            ).encode("utf-8")
+        else:
+            body = _json.dumps(payload).encode("utf-8")
         req = urllib.request.Request(
             self.callback_url,
-            data=_json.dumps(payload).encode("utf-8"),
+            data=body,
             headers={"Content-Type": "application/json"},
             method="POST",
         )

@@ -78,7 +78,7 @@ def test_ingest_failure_reported_not_raised(spark, tmp_path):
     calls = {"n": 0}
 
     def always_reject_chunk1(payload):
-        if payload.get("chunk_number") == 1 and "records" in payload:
+        if payload.get("chunk_number") == 1 and payload.get("status") != "COMPLETED":
             from data_ingestion_pimcore_spark.sink import AckResponse
 
             return AckResponse(False, payload["ingestion_id"], 1, "boom")

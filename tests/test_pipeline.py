@@ -121,7 +121,8 @@ def test_permanent_nack_no_false_progress(spark, tmp_path, products):
 
     class AlwaysReject(ChunkValidator):
         def __call__(self, payload):
-            if payload.get("chunk_number") == 5 and "records" in payload:
+            is_chunk = payload.get("status") != "COMPLETED"
+            if payload.get("chunk_number") == 5 and is_chunk:
                 from data_ingestion_pimcore_spark.sink import AckResponse
 
                 return AckResponse(False, payload["ingestion_id"], 5, "boom")
