@@ -239,9 +239,8 @@ def test_byte_budget_ingest(spark, tmp_path, products):
 def test_canonical_dumps_golden_bytes():
     """Pin the canonical byte format (sorted keys, compact separators,
     shortest-repr floats, raw unicode, Decimal→float, ISO dates) to
-    golden strings. stdlib json with these options emits the same bytes
-    orjson(OPT_SORT_KEYS) does for JSON-native types, so this is also
-    the reference-parity contract (data_integrity_manager.py:25-36)."""
+    golden strings — the reference-parity contract
+    (data_integrity_manager.py:25-36, orjson OPT_SORT_KEYS format)."""
     import datetime
     from decimal import Decimal
 
@@ -253,8 +252,10 @@ def test_canonical_dumps_golden_bytes():
         canonical_dumps({"z": {"y": 1, "x": [2, {"n": 3, "m": 4}]}})
         == b'{"z":{"x":[2,{"m":4,"n":3}],"y":1}}'
     )
-    # shortest-repr floats (same as orjson / Python repr)
-    assert canonical_dumps([0.1, 1e-07, 2.5]) == b"[0.1,1e-07,2.5]"
+    # shortest-repr floats in orjson's exponent spelling (1e-7, not
+    # stdlib's zero-padded 1e-07) — the reference's wire format, since
+    # data_integrity_manager.py serializes with orjson
+    assert canonical_dumps([0.1, 1e-07, 2.5]) == b"[0.1,1e-7,2.5]"
     # Decimal downcasts to float (json_decimal_encoder.py:6-8 semantics)
     assert canonical_dumps({"p": Decimal("19.99")}) == b'{"p":19.99}'
     # unicode is NOT ascii-escaped
