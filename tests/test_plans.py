@@ -167,3 +167,47 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert n == spark.read.parquet(f"{sf}/lineitem.parquet").count()
     for name in ["b_orders", "b_lineitem"]:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_q19_or_predicates_push_to_both_scans(spark):
+    """The OR-of-ANDs predicate spans lineitem and part; Catalyst must
+    extract each side's disjunction and push it into BOTH scans."""
+    plan = plan_of(spark, "q19_discounted_revenue")
+    assert re.search(r"PushedFilters:.*Or\(.*l_quantity|PushedFilters:.*Or\(.*GreaterThanOrEqual\(l_quantity", plan), plan
+    assert "Or(Or(And(EqualTo(p_brand" in plan, plan
+    # column pruning: the 11-column lineitem scan reads only 4
+    m = re.search(r"ReadSchema: struct<(l_partkey[^>]*)>", plan)
+    assert m and m.group(1).count(",") == 3, plan
+
+
+def test_q21_exists_compile_to_semi_and_anti(spark):
+    plan = tree_of(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10, no global sort
+
+
+def test_reshape_pivot_is_single_aggregate_no_distinct_prepass(spark):
+    """pivot with an explicit value list must not run a distinct job
+    over the pivot column (omitting the list forces a separate collect
+    of distinct values before planning). Spark plans the pivot itself
+    as a two-level aggregate — pre-aggregate by (group, pivot) then
+    pivot by group — which is the scale-correct shape: the first level
+    collapses the fact table before the pivot shuffle."""
+    tree = tree_of(spark, "reshape_pivot")
+    assert "CollectLimit" not in tree  # distinct pre-pass collects values
+    # pivot side: 2 partial+final pairs; counts side: 1 pair
+    assert tree.count("HashAggregate") == 6, tree
+
+
+def test_reshape_unpivot_is_shuffle_free(spark):
+    tree = tree_of(spark, "reshape_unpivot")
+    assert "Exchange" not in tree, tree
+    assert "Expand" in tree, tree
+
+
+def test_sample_stratified_pushes_nothing_but_stays_map_side(spark):
+    """The md5 gate is not pushable (expression over two columns), but
+    the filter must sit directly on the scan with no shuffle before the
+    final aggregate's exchange."""
+    tree = tree_of(spark, "reshape_sample_stratified")
+    assert tree.count("Exchange") == 1, tree
