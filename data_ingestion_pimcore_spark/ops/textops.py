@@ -299,3 +299,38 @@ def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_udtf d, LATERAL chunk_doc(d.text) c
         """
     )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+         trim(regexp_replace(lower(text), '[[:space:]]+', ' ', 'g')),
+         '[^a-z0-9 ]', '', 'g') AS norm_text,
+       LEN(regexp_replace(
+         trim(regexp_replace(lower(text), '[[:space:]]+', ' ', 'g')),
+         '[^a-z0-9 ]', '', 'g')) AS n_norm_chars
+FROM documents
+WHERE doc_id < 200
+""",
+    doc="Text normalization for dedup/fingerprint pre-processing: "
+    "lowercase → collapse whitespace runs → strip non-alphanumerics. "
+    "Pure JVM expression chain (lower/regexp_replace/trim), whole-stage "
+    "codegen, zero shuffle — the canonical normalize-before-hash step "
+    "every dedup pipeline runs over the full corpus, so it must stay "
+    "map-side. Bounded to doc_id < 200 only to keep the oracle diff "
+    "readable; the expression itself is unbounded.",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+        "[^a-z0-9 ]",
+        "",
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_norm_chars"),
+    )
