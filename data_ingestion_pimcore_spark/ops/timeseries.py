@@ -361,3 +361,109 @@ def ts_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "ts_stream_dedup",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_first_events
+FROM events
+GROUP BY event_type
+""",
+    doc="Streaming deduplication: dropDuplicates on (user_id, "
+    "event_type) over a readStream source keeps the first event per "
+    "pair — the exactly-once-per-key gate for at-least-once event "
+    "feeds. State is one entry per distinct key; in production a "
+    "watermark (dropDuplicatesWithinWatermark) bounds it to the late-"
+    "data horizon instead of stream history. Drained with AvailableNow, "
+    "per-type counts of the deduped stream equal the batch "
+    "COUNT(DISTINCT user_id).",
+)
+def ts_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    name = f"ts_stream_dedup_{next(_STREAM_SEQ)}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_dedup_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_first_events"))
+    )
+
+
+@register(
+    "ts_stream_stateful_counts",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events_total
+FROM events
+GROUP BY event_type
+""",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-key running totals that survive across micro-batches and, via "
+    "the checkpoint state store, restarts — the streaming "
+    "generalization of the reference's resumable total_records "
+    "accumulator (A1, json_reader.py:52,94). State is one long per "
+    "key, O(distinct keys) regardless of stream length. The final "
+    "total per key equals the batch COUNT(*), which the oracle checks.",
+)
+def ts_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+
+    def update(key, pdfs, state: GroupState):
+        rows = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+        total = (state.get[0] if state.exists else 0) + rows
+        state.update((total,))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events_total": [total]}
+        )
+
+    counts = stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n_events_total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"ts_stream_stateful_{next(_STREAM_SEQ)}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_state_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Multiple micro-batches each emit an updated total; the final
+    # total per key is the max (totals are monotone).
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.max("n_events_total").alias("n_events_total"))
+    )
