@@ -1040,3 +1040,36 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(qs, lambda q: q * 2), F.lit(0.0), lambda a, v: a + v
         ).alias("double_total"),
     )
+
+
+@register(
+    "scalar_variant_funcs",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    doc="Semi-structured VARIANT path (Spark 4): parse_json ingests the "
+    "props JSON string into the binary VARIANT encoding once, then "
+    "try_variant_get extracts typed fields without re-parsing — the "
+    "scale-correct pattern for schema-flexible columns (parse once per "
+    "row at scan, navigate cheaply thereafter), vs get_json_object "
+    "which re-parses the string per extraction.",
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
