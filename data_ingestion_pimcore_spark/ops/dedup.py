@@ -205,12 +205,44 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(load(spark, sf_dir, "documents"))
 
 
+_SQL_SIG_LIST = ", ".join(f"sig_{i}" for i in range(N_HASHES))
+_SQL_N_EQUAL = " + ".join(
+    f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+)
+_SQL_BAND_UNION = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_idx, band_{b} AS band_hash, {_SQL_SIG_LIST} "
+    "FROM banded"
+    for b in range(N_BANDS)
+)
+
+
 @register(
     "dedup_minhash_pairs",
-    oracle=None,  # pair semantics tested against jaccard ground truth in pytest
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+), sigs AS (
+  SELECT doc_id,
+       {_SQL_SIG_SELECT}
+  FROM sh
+), banded AS (
+  SELECT doc_id, {_SQL_SIG_LIST},
+       {_SQL_BANDS}
+  FROM sigs
+), bands AS (
+{_SQL_BAND_UNION}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({_SQL_N_EQUAL} AS DOUBLE) / {N_HASHES} AS est_jaccard
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+""",
     doc="MinHash-LSH candidate pairs: equi-join on (band_idx, band_hash) "
     "buckets, then estimated similarity = fraction of equal signature "
-    "components. Sub-quadratic: only bucket collisions are compared.",
+    "components. Sub-quadratic: only bucket collisions are compared. "
+    "Signatures are md5-derived, so the whole pipeline — bands, bucket "
+    "join, estimate — is deterministic and oracle-checked end-to-end "
+    "(pair quality vs true jaccard is separately asserted in pytest).",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(load(spark, sf_dir, "documents"))
