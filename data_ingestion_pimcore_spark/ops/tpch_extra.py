@@ -541,3 +541,235 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the driver schema has no partsupp table, so Q2/Q11/
+# Q20 run against a deterministic derivation — the distinct (partkey,
+# suppkey) pairs observed in lineitem, with supply cost and available
+# quantity derived from a portable 60-bit md5 hash of the pair key.
+# Both engines compute identical values, so the oracle stays exact.
+# ---------------------------------------------------------------------------
+
+_SQL_PARTSUPP = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(CAST('0x' || substr(md5('c:' || CAST(l_partkey AS VARCHAR) || ':'
+              || CAST(l_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % 100000
+              AS DOUBLE) / 100.0 AS ps_supplycost,
+         CAST(CAST('0x' || substr(md5('q:' || CAST(l_partkey AS VARCHAR) || ':'
+              || CAST(l_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % 9999 + 1
+              AS BIGINT) AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) t
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.textops import md5_hash60
+
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    pk = F.col("ps_partkey").cast("string")
+    sk = F.col("ps_suppkey").cast("string")
+    cost_key = F.concat_ws(":", F.lit("c"), pk, sk)
+    qty_key = F.concat_ws(":", F.lit("q"), pk, sk)
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((md5_hash60(cost_key) % 100000).cast("double") / 100.0).alias(
+            "ps_supplycost"
+        ),
+        (md5_hash60(qty_key) % 9999 + 1).cast("long").alias("ps_availqty"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+WITH partsupp AS ({_SQL_PARTSUPP})
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+FROM part, supplier, partsupp, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size = 15 AND p_type = 'STANDARD'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps_supplycost)
+    FROM partsupp ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    doc="TPC-H Q2 (minimum-cost supplier), adapted: partsupp is the "
+    "deterministic derived relation; the mfgr filter becomes p_type = "
+    "'STANDARD'. The correlated scalar MIN subquery is decorrelated "
+    "into a per-part min over the region-filtered partsupp and joined "
+    "back on (part, cost) — one aggregate + one equi-join instead of a "
+    "per-row subquery execution; region/nation broadcast.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_nations = F.broadcast(
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp_eu = (
+        load(spark, sf_dir, "supplier")
+        .join(eu_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = ps.join(
+        supp_eu, F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    min_cost = ps_eu.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    return (
+        ps_eu.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+WITH partsupp AS ({_SQL_PARTSUPP}),
+scoped AS (
+  SELECT ps_partkey,
+         CAST(ps_supplycost * ps_availqty AS DECIMAL(18,6)) AS v
+  FROM partsupp, supplier, nation
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_7'
+)
+SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS stock_value
+FROM scoped
+GROUP BY ps_partkey
+HAVING SUM(v) > (SELECT SUM(v) * 0.01 FROM scoped)
+""",
+    doc="TPC-H Q11 (important stock): per-part inventory value for one "
+    "nation's suppliers, kept when above a fraction of the nation "
+    "total. The global-total scalar subquery is one extra 1-row "
+    "aggregate broadcast into the HAVING filter — the scoped relation "
+    "is computed once and reused for both aggregates (exact decimal "
+    "sums keep the threshold comparison engine-deterministic).",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    nat = F.broadcast(
+        load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    dec = "decimal(18,6)"
+    scoped = (
+        ps.join(supp, F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).cast(dec).alias("v"),
+        )
+    )
+    per_part = scoped.groupBy("ps_partkey").agg(F.sum("v").alias("v_sum"))
+    total = scoped.agg((F.sum("v") * F.lit(0.01)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total), F.col("v_sum") > F.col("threshold"))
+        .select(
+            "ps_partkey", F.col("v_sum").cast("double").alias("stock_value")
+        )
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    oracle=f"""
+WITH partsupp AS ({_SQL_PARTSUPP}),
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+         {sql_dsum('l_quantity', 'qty')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_5', 'NATION_6')
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND ps_availqty > (
+        SELECT 0.5 * COALESCE(SUM(CAST(qty AS DECIMAL(18,6))), 0)
+        FROM shipped
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey))
+ORDER BY s_name
+""",
+    doc="TPC-H Q20 (potential part promotion), adapted to the derived "
+    "partsupp: suppliers in two nations whose available quantity of "
+    "'small%' parts exceeds half of what they shipped in 1996. The "
+    "nested IN subqueries decorrelate into semi joins; the correlated "
+    "half-of-shipped threshold becomes a pre-aggregated (part, supp) "
+    "relation left-joined to partsupp — every correlation is one "
+    "equi-join on already-partitioned keys, no per-row subqueries.",
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    small_parts = load(spark, sf_dir, "part").where(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    shipped = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity", "qty"))
+    )
+    qualifying = (
+        ps.join(small_parts, F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+            "left_outer",
+        )
+        .where(
+            F.col("ps_availqty")
+            > 0.5 * F.coalesce(F.col("qty").cast("decimal(18,6)"), F.lit(0).cast("decimal(18,6)"))
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nat = F.broadcast(
+        load(spark, sf_dir, "nation").where(
+            F.col("n_name").isin("NATION_5", "NATION_6")
+        )
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
