@@ -663,10 +663,10 @@ scoped AS (
 SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS stock_value
 FROM scoped
 GROUP BY ps_partkey
-HAVING SUM(v) > (SELECT SUM(v) * 0.01 FROM scoped)
+HAVING SUM(v) > (SELECT SUM(v) * 0.002 FROM scoped)
 """,
     doc="TPC-H Q11 (important stock): per-part inventory value for one "
-    "nation's suppliers, kept when above a fraction of the nation "
+    "nation's suppliers, kept when above 0.2% of the nation "
     "total. The global-total scalar subquery is one extra 1-row "
     "aggregate broadcast into the HAVING filter — the scoped relation "
     "is computed once and reused for both aggregates (exact decimal "
@@ -691,7 +691,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_part = scoped.groupBy("ps_partkey").agg(F.sum("v").alias("v_sum"))
-    total = scoped.agg((F.sum("v") * F.lit(0.01)).alias("threshold"))
+    total = scoped.agg((F.sum("v") * F.lit(0.002)).alias("threshold"))
     return (
         per_part.join(F.broadcast(total), F.col("v_sum") > F.col("threshold"))
         .select(
