@@ -305,3 +305,70 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vids.select("doc_id", "duration_ms"), "doc_id")
         .select("doc_id", "duration_ms", "n_frames")
     )
+
+
+def decode_audio_batch(
+    buf: bytes, fake: bool = False, sr: int = 16_000
+) -> tuple[int, np.ndarray]:
+    """Decode an audio blob → (sample_rate, mono float32 PCM).
+
+    STUB: real decoding needs an audio library (soundfile/librosa/
+    ffmpeg) not present in this container. ``fake=True`` synthesizes a
+    deterministic PCM buffer from the content hash — length and values
+    derived from the bytes — so the distributed plumbing (Arrow batch
+    shape, resample math, schema) is testable end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires an audio library (soundfile/ffmpeg); "
+            "install one and replace this stub"
+        )
+    h = hashlib.sha256(buf).digest()
+    n = 1600 + int.from_bytes(h[:2], "big") % 14_400  # 0.1-1.0 s at 16 kHz
+    rng = np.frombuffer(
+        hashlib.sha256(buf + b"pcm").digest() * (n * 4 // 32 + 1), dtype=np.uint8
+    )[: n]
+    pcm = (rng.astype(np.float32) - 127.5) / 127.5
+    return sr, pcm
+
+
+@register(
+    "mm_audio_resample",
+    oracle=None,  # stubbed codec; plumbing equality-tested in pytest
+    doc="Audio resample pipeline over binary payloads: decode (stubbed "
+    "deterministic PCM) → decimate 16 kHz → 8 kHz → per-clip stats. "
+    "mapInPandas processes whole Arrow batches; only (doc_id, counts, "
+    "rms) leave the executor — the blobs and PCM never shuffle, the "
+    "invariant that makes audio feature extraction viable at 100 TB.",
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target_sr = 8_000
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                sr, pcm = decode_audio_batch(bytes(buf), fake=True)
+                step = sr // target_sr
+                res = pcm[::step]
+                out.append(
+                    (
+                        int(doc_id),
+                        len(pcm),
+                        len(res),
+                        float(np.sqrt(np.mean(res * res))),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_samples_in", "n_samples_out", "rms"]
+            )
+
+    binary_df = attach_binary_payload(
+        load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    )
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        resample,
+        schema="doc_id long, n_samples_in long, n_samples_out long, rms double",
+    )

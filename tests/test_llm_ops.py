@@ -225,3 +225,19 @@ def test_agg_approx_within_tolerance(spark):
         assert abs(a["approx_orders"] - e["orders"]) / e["orders"] < 0.05
         for qa, qe in zip(a["price_quantiles"], e["qs"]):
             assert abs(qa - qe) / qe < 0.05
+
+
+def test_mm_audio_resample_plumbing(spark):
+    """Stubbed audio path: one output row per clip, decimation halves
+    the sample count (16 kHz → 8 kHz, step 2), deterministic re-run."""
+    from data_ingestion_pimcore_spark.registry import all_queries
+
+    q = all_queries()["mm_audio_resample"]
+    rows = {r["doc_id"]: r for r in q.fn(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == min(docs, 500)
+    for r in rows.values():
+        assert r["n_samples_out"] == (r["n_samples_in"] + 1) // 2
+        assert 0.0 < r["rms"] <= 1.0
+    rows2 = {r["doc_id"]: r for r in q.fn(spark, SF).collect()}
+    assert rows == rows2
