@@ -455,3 +455,95 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             return labels
     raise RuntimeError("connected components did not converge in 20 rounds")
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+), sigs AS (
+  SELECT doc_id,
+       {_SQL_SIG_SELECT}
+  FROM sh
+), banded AS (
+  SELECT doc_id, {_SQL_SIG_LIST},
+       {_SQL_BANDS}
+  FROM sigs
+), bands AS (
+{_SQL_BAND_UNION}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       levenshtein(da.text, db.text) AS edit_dist,
+       CAST(levenshtein(da.text, db.text) AS DOUBLE)
+         / greatest(da.n_chars, db.n_chars) AS edit_ratio
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+WHERE levenshtein(da.text, db.text)
+      <= 0.3 * greatest(da.n_chars, db.n_chars)
+""",
+    doc="Edit-distance near-dup, the production two-stage shape: cheap "
+    "sub-quadratic candidates (MinHash-LSH band buckets — never a "
+    "cross join), then the expensive exact verify (O(len^2) "
+    "levenshtein) ONLY on candidates. Both joins back to documents "
+    "broadcast the (small, distinct) candidate list; at 100 TB the "
+    "candidate side stays tiny relative to the corpus, so the verify "
+    "stage is an embarrassingly parallel map over bucket collisions.",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band_{b}").alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("n_chars").alias("chars_a"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("n_chars").alias("chars_b"),
+    )
+    ed = F.levenshtein("text_a", "text_b")
+    mx = F.greatest("chars_a", "chars_b")
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .where(ed <= 0.3 * mx)
+        .select(
+            "doc_a",
+            "doc_b",
+            ed.alias("edit_dist"),
+            (ed.cast("double") / mx).alias("edit_ratio"),
+        )
+    )

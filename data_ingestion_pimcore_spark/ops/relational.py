@@ -1073,3 +1073,78 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Exact continuous percentiles per group (complements the sketch "
+    "path in agg_approx): Spark's percentile is a full-sort exact "
+    "aggregate — the right tool when groups are few and bounded; at "
+    "100 TB with high-cardinality groups, switch to percentile_approx "
+    "(t-digest sketch, mergeable map-side). l_quantity is integer-"
+    "valued, so the linear interpolation is exact in binary and "
+    "bit-matches DuckDB's quantile_cont.",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day,
+         o_totalprice
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY o_custkey ORDER BY day
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS spend_30d
+FROM base
+""",
+    doc="RANGE-framed window (vs the ROWS frames elsewhere): rolling "
+    "30-day spend per customer, frame bounds by ORDER-BY *value* so "
+    "same-day peers always aggregate together. One hash-exchange on "
+    "the partition key + one sort — same shuffle shape as any window; "
+    "the decimal-sum trick keeps the rolling total order-insensitive.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        ).cast("bigint").alias("day"),
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )

@@ -334,3 +334,62 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.length(norm).alias("n_norm_chars"),
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (((SELECT n_docs FROM n) + 1.0) / (df.df + 1.0)) AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+""",
+    doc="TF-IDF top-3 terms per document: one explode, two hash "
+    "aggregates (term frequency per doc, document frequency per term), "
+    "a broadcast-sized term-df join, and a per-doc top-k window (Spark "
+    "plants WindowGroupLimit, so no full per-doc sort materializes). "
+    "IDF uses the smoothed RATIO (N+1)/(df+1) without the usual log — "
+    "monotone in df, so rankings are identical, and the arithmetic is "
+    "one correctly-rounded double division in any engine (log parity "
+    "across libms is not guaranteed bit-for-bit).",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf") * (F.lit(float(n_docs) + 1.0) / (F.col("df") + F.lit(1.0)))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
