@@ -211,3 +211,41 @@ def test_sample_stratified_pushes_nothing_but_stays_map_side(spark):
     final aggregate's exchange."""
     tree = tree_of(spark, "reshape_sample_stratified")
     assert tree.count("Exchange") == 1, tree
+
+
+def test_percentile_is_partial_final_aggregate(spark):
+    tree = tree_of(spark, "agg_percentile_exact")
+    # exact percentile still does map-side partial + final around ONE
+    # exchange (ObjectHashAggregate), like any mergeable aggregate
+    assert tree.count("ObjectHashAggregate") == 2
+    assert tree.count("Exchange") == 1
+
+
+def test_window_range_frame_single_exchange(spark):
+    tree = tree_of(spark, "window_range_frame")
+    # one hash-exchange on the partition key, one sort, one Window —
+    # the value-based frame adds no extra shuffle over a ROWS frame
+    assert tree.count("Exchange") == 1
+    assert tree.count("Sort") == 1
+    assert tree.count("Window") == 1
+
+
+def test_edit_distance_broadcasts_candidates_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_edit_distance")
+    tree = tree_of(spark, "dedup_edit_distance")
+    # LSH band candidates + two joins back to documents: every join is
+    # broadcast (candidate list and band side are small by construction)
+    # and nothing degenerates to a cross join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert tree.count("BroadcastHashJoin") == 3
+
+
+def test_tfidf_topk_plants_window_group_limit(spark):
+    tree = tree_of(spark, "text_tfidf_top_terms")
+    # rnk <= 3 compiles to WindowGroupLimit BELOW the exchange too
+    # (partial top-k per map task), so no full per-doc sort ships
+    assert tree.count("WindowGroupLimit") == 2
+    # df-per-term side is broadcast into the tf join
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
