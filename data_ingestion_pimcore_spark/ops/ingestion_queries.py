@@ -251,3 +251,67 @@ def ingest_chunk_by_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_number")
     )
+
+
+@register(
+    "ingest_upsert_snapshot",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey,
+         o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 42.0
+  FROM orders WHERE o_orderkey % 1000 = 0
+)
+SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+       COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+       COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+       CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+            WHEN u.o_orderkey IS NULL THEN 'base'
+            ELSE 'updated' END AS src
+FROM orders b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+""",
+    doc="MERGE INTO / SCD-1 upsert semantics as a pure-DataFrame "
+    "composition (no table format required): base FULL OUTER JOIN "
+    "updates on the key, COALESCE update-over-base per column, row "
+    "provenance tagged base/updated/inserted. One shuffle on the merge "
+    "key (sort-merge at fact scale, broadcast when the delta is small); "
+    "at 100 TB the same plan is the compaction step of any "
+    "copy-on-write snapshot, and key-bucketed storage makes it "
+    "shuffle-free. The update/insert delta here is derived "
+    "deterministically from orders itself so both engines see an "
+    "identical delta without extra fixtures.",
+)
+def ingest_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    updates = (
+        base.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        )
+        .unionByName(
+            base.where(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+                "o_custkey",
+                F.lit(42.0).alias("o_totalprice"),
+            )
+        )
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    merged = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u.o_custkey"), F.col("b.o_custkey")).alias("o_custkey"),
+        F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.when(F.col("b.o_orderkey").isNull(), F.lit("inserted"))
+        .when(F.col("u.o_orderkey").isNull(), F.lit("base"))
+        .otherwise(F.lit("updated"))
+        .alias("src"),
+    )

@@ -467,3 +467,69 @@ def ts_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("n_events_total").alias("n_events_total"))
     )
+
+
+@register(
+    "ts_stream_session",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '5 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS session_no
+  FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_no
+""",
+    doc="GENUINE streaming session windows, oracle-checked: readStream "
+    "over events, 2h watermark, native session_window with a 5-minute "
+    "gap — drained to completion it must equal the batch "
+    "ts_session_window / gaps-and-islands oracle exactly. Session state "
+    "merges adjacent windows per key as events arrive; the watermark is "
+    "what lets Spark finalize (and evict) sessions older than the "
+    "horizon, bounding state at 100 TB/day event volumes.",
+)
+def ts_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start_tz"),
+            F.max("ts").alias("session_last_tz"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("session_start_tz").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_last_tz").cast("timestamp_ntz").alias("session_last"),
+            "n_events",
+        )
+    )
+    name = f"ts_stream_session_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_session_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
