@@ -1148,3 +1148,30 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("spend_30d"),
     )
+
+
+# One SQL text, two engines: executed verbatim by spark.sql() AND used
+# verbatim as the DuckDB oracle — zero translation.
+_PORTABLE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_quantity < 25
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_api_passthrough",
+    oracle=_PORTABLE_SQL,
+    doc="The engine's SQL entry path: tables registered as temp views, "
+    "the query text submitted through spark.sql() — and the SAME text "
+    "is the DuckDB oracle, proving the surface is ANSI-portable, not a "
+    "DataFrame-only dialect. Catalyst compiles it to the identical "
+    "pruned-scan partial+final aggregate plan the DataFrame twin gets.",
+)
+def sql_api_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PORTABLE_SQL)

@@ -533,3 +533,57 @@ def ts_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "ts_rollup_multires",
+    oracle=f"""
+WITH q AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_15m,
+         event_type,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sum_dec
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT strftime(time_bucket(INTERVAL '1 hour', bucket_15m),
+                '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+       event_type,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
+FROM q
+GROUP BY 1, 2
+""",
+    doc="Hypertable-style multi-resolution rollup: events aggregate to "
+    "15-minute buckets ONCE, and the hourly resolution re-aggregates "
+    "the (tiny) 15-minute layer instead of rescanning raw events — the "
+    "continuous-aggregate pattern (TimescaleDB rollups, Druid "
+    "compaction). At 100 TB/day the fine layer is ~4 orders of "
+    "magnitude smaller than raw, so every coarser resolution is nearly "
+    "free; sums stay exact under re-aggregation because the partial is "
+    "kept as DECIMAL until the final cast.",
+)
+def ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    fine = (
+        ev.groupBy(
+            F.window("ts", "15 minutes").getField("start").alias("bucket_15m"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        )
+    )
+    return (
+        fine.groupBy(
+            F.date_format(
+                F.window("bucket_15m", "1 hour").getField("start"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("bucket_hour"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
