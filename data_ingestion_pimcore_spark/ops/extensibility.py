@@ -189,3 +189,58 @@ def udf_scalar_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         band("l_discount").alias("discount_band"),
         net_price("l_extendedprice", "l_discount").alias("net_price"),
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'sum_price')}
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+""",
+    doc="Bucketed co-located join: both sides are written with "
+    "bucketBy(8, custkey) via the catalog writer, then joined on the "
+    "bucket key. Because the two scans report identical hash "
+    "partitioning, the sort-merge join needs NO Exchange on either "
+    "side (asserted by tests/test_plans.py) — the shuffle was paid "
+    "once at write time. This is THE pattern for a 100 TB fact table "
+    "repeatedly joined on the same key: bucket at ingest, and every "
+    "subsequent join/agg on that key is shuffle-free. Oracle computes "
+    "the same join from the raw tables, proving the bucketed layout "
+    "is lossless.",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ot, ct = "bjc_orders", "bjc_customer"
+    try:
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable(ot)
+        )
+        (
+            load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .write.mode("overwrite")
+            .bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .saveAsTable(ct)
+        )
+        orders = spark.table(ot)
+        cust = spark.table(ct).where(F.col("c_mktsegment") == "BUILDING")
+        return (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice", "sum_price"),
+            )
+            .localCheckpoint()  # materialize before the tables are dropped
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
+        spark.sql(f"DROP TABLE IF EXISTS {ct}")

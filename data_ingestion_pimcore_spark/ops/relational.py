@@ -1175,3 +1175,163 @@ GROUP BY l_returnflag, l_linestatus
 def sql_api_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_PORTABLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Join/window/generator/subquery surface extensions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_theta_nl",
+    oracle="""
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       a.n_regionkey AS region_a, b.n_regionkey AS region_b
+FROM nation a JOIN nation b ON a.n_name < b.n_name
+""",
+    doc="Pure theta (inequality-only) self-join over nation: no equi "
+    "component exists, so Catalyst plans BroadcastNestedLoopJoin — the "
+    "correct physical choice because one side is tiny and broadcast. "
+    "NLJ is the last-resort join the reference never needed (no joins "
+    "at all, SURVEY §2.2); here it demonstrates the engine degrades "
+    "gracefully for non-equi predicates instead of failing. At 100 TB "
+    "a theta join is only sane when one side broadcasts; this plan "
+    "shows exactly that shape (25-row build side).",
+)
+def join_theta_nl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    a = n.select(
+        F.col("n_name").alias("name_a"), F.col("n_regionkey").alias("region_a")
+    )
+    b = n.select(
+        F.col("n_name").alias("name_b"), F.col("n_regionkey").alias("region_b")
+    )
+    return a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+
+
+@register(
+    "window_ntile_dist",
+    oracle="""
+SELECT c_custkey, n_name,
+       NTILE(4) OVER w AS balance_quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+""",
+    doc="Distribution window functions (ntile / percent_rank / "
+    "cume_dist) per nation, completing the window surface next to "
+    "rank/dense_rank, lag/lead, running frames and range frames. The "
+    "ORDER BY is made total with a c_custkey tie-break so ntile bucket "
+    "boundaries are engine-deterministic. percent_rank and cume_dist "
+    "divide integer rank/count pairs in double — bitwise reproducible. "
+    "One hash shuffle on the partition key; per-partition sort only.",
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.join(
+            F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+        )
+        .select(
+            "c_custkey",
+            "n_name",
+            F.ntile(4).over(w).alias("balance_quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )
+
+
+_CORRELATED_SQL = """
+SELECT c.c_custkey, c.c_acctbal
+FROM customer c
+WHERE CAST(c.c_acctbal AS DECIMAL(18,6))
+      * (SELECT COUNT(*) FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,6))) FROM customer c3
+         WHERE c3.c_nationkey = c.c_nationkey)
+"""
+
+
+@register(
+    "subquery_correlated",
+    oracle=_CORRELATED_SQL,
+    doc="Correlated scalar subqueries (customers above their nation's "
+    "average balance), submitted as SQL text so Catalyst's subquery "
+    "decorrelation rewrites both correlated aggregates into one "
+    "grouped aggregate + join — the textbook optimizer transform, no "
+    "per-row re-execution. The avg comparison is expressed as "
+    "balance*count > sum in exact DECIMAL so the threshold has no "
+    "float-division rounding and both engines agree on boundary rows. "
+    "The identical SQL text runs verbatim on DuckDB as the oracle.",
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_CORRELATED_SQL)
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+WITH c AS (
+  SELECT p_type, p_brand, COUNT(*) AS cnt FROM part GROUP BY p_type, p_brand
+)
+SELECT p_type,
+       CAST(COUNT(*) OVER (PARTITION BY p_type) AS INT) AS n_brands,
+       p_brand, cnt
+FROM c
+""",
+    doc="MapType surface: per-type brand counts are folded into a "
+    "map<string,bigint> with map_from_entries over a sorted entry "
+    "array, inspected with size(), then exploded back to rows. The "
+    "oracle reproduces the observable rows relationally — what is "
+    "checked is that Spark's map construction/explosion is lossless. "
+    "Map columns are the natural shape for sparse per-record metadata "
+    "(e.g. multimodal props) at 100 TB: one column, no schema "
+    "explosion, still prunable by key expression.",
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnts = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_type", "p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mapped = cnts.groupBy("p_type").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("p_brand", "cnt")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "p_type",
+        F.size("m").alias("n_brands"),
+        F.explode("m").alias("p_brand", "cnt"),
+    )
+
+
+@register(
+    "explode_words",
+    oracle="""
+SELECT doc_id,
+       CAST(unnest(range(0, len(string_split(text, ' ')))) AS BIGINT) AS pos,
+       unnest(string_split(text, ' ')) AS word
+FROM documents
+WHERE doc_id % 25 = 0
+""",
+    doc="Generator (posexplode) surface: one row per word with its "
+    "0-based position, the built-in row-generator the UDTF covers in "
+    "Python. Generators run inside whole-stage codegen — no shuffle, "
+    "no Python — so tokenize-to-rows at 100 TB is a pure map stage "
+    "whose output feeds dedup shingling and token stats. Oracle zips "
+    "two parallel UNNESTs (DuckDB aligns equal-length lists).",
+)
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    ).withColumn("pos", F.col("pos").cast("bigint"))

@@ -249,3 +249,37 @@ def test_tfidf_topk_plants_window_group_limit(spark):
     # df-per-term side is broadcast into the tf join
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_theta_join_is_broadcast_nl_not_cartesian(spark):
+    """Inequality-only join: with a broadcast hint on the tiny side the
+    planner must pick BroadcastNestedLoopJoin, never CartesianProduct
+    (which would shuffle-materialize both sides)."""
+    tree = tree_of(spark, "join_theta_nl")
+    assert "BroadcastNestedLoopJoin" in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_explode_words_is_shuffle_free_generate(spark):
+    """posexplode compiles to a Generate inside the scan's map stage —
+    tokenize-to-rows at 100 TB must not shuffle."""
+    tree = tree_of(spark, "explode_words")
+    assert "Generate" in tree
+    assert "Exchange" not in tree
+
+
+def test_window_ntile_single_exchange(spark):
+    """All three distribution functions share one window spec → one
+    hash Exchange on the partition key, one sort, one Window node."""
+    tree = tree_of(spark, "window_ntile_dist")
+    assert tree.count("Window") == 1
+    assert tree.count("Exchange") <= 2  # partition shuffle + broadcast dim
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    """Catalyst must rewrite both correlated scalar subqueries into
+    grouped aggregates + joins — no per-outer-row re-execution (no
+    scalar-subquery nodes survive in the physical tree)."""
+    tree = tree_of(spark, "subquery_correlated")
+    assert "Subquery" not in tree
+    assert "HashAggregate" in tree
