@@ -244,3 +244,41 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
         spark.sql(f"DROP TABLE IF EXISTS {ct}")
+
+
+@register(
+    "sink_csv_roundtrip",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'sum_total')}
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="CSV sink round-trip over orders: header-on write split across "
+    "executors, read back with an explicit schema (never inference in "
+    "production — one pass saved, types locked), aggregate per "
+    "priority. Exact counts and decimal-summed totals matching the "
+    "original parquet prove the text round-trip is lossless including "
+    "float formatting. CSV is the lowest-common-denominator interchange "
+    "format the reference's Excel surface implies (SURVEY §2.2 scans).",
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_csv_"), "orders")
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    try:
+        src.write.mode("overwrite").option("header", "true").csv(out)
+        return (
+            spark.read.schema(src.schema)
+            .option("header", "true")
+            .csv(out)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice", "sum_total"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from ._det import davg, dsum, sql_davg, sql_dsum
+from ._det import DEC, davg, dsum, sql_davg, sql_dsum
 
 # ---------------------------------------------------------------------------
 # Aggregations
@@ -1335,3 +1335,74 @@ def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "word"),
     ).withColumn("pos", F.col("pos").cast("bigint"))
+
+
+@register(
+    "scalar_struct_funcs",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority AS pri,
+       CAST(CAST(o_totalprice AS DECIMAL(18,6)) + 1.5 AS DOUBLE)
+         AS bumped,
+       CONCAT(o_orderstatus, ':', o_orderpriority) AS tag
+FROM orders
+WHERE o_orderkey % 40 = 0
+""",
+    doc="StructType surface: pack columns with F.struct, navigate with "
+    "dot-paths, re-expand with struct.* — the nested-record shape every "
+    "semi-structured 100 TB corpus carries. Struct create/access is a "
+    "zero-cost projection in Tungsten (no serialization); the oracle "
+    "sees only the flattened observable columns.",
+)
+def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 40 == 0)
+    packed = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("rec"),
+    )
+    return packed.select(
+        "o_orderkey",
+        F.col("rec.priority").alias("pri"),
+        (F.col("rec.price").cast(DEC) + F.lit(1.5))
+        .cast("double")
+        .alias("bumped"),
+        F.concat_ws(":", "rec.status", "rec.priority").alias("tag"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WHERE o_custkey % 20 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="Navigation window functions first_value / last_value / "
+    "nth_value per customer order history. last_value uses an explicit "
+    "UNBOUNDED FOLLOWING frame (the default frame stops at CURRENT ROW "
+    "— the classic silent-wrong-answer both engines agree on only when "
+    "spelled out). Total order via (o_orderdate, o_orderkey) tie-break. "
+    "One hash Exchange + per-partition sort, same as every window op.",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 20 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
