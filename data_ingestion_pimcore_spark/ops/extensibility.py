@@ -212,12 +212,20 @@ GROUP BY o_orderpriority
     "is lossless.",
 )
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # External tables at a fresh temp location: a managed table would
+    # collide with a stale spark-warehouse/ directory left by a killed
+    # session (LOCATION_ALREADY_EXISTS), since the new session's
+    # catalog no longer knows the table but the files persist.
     ot, ct = "bjc_orders", "bjc_customer"
+    base = tempfile.mkdtemp(prefix="bjc_")
+    for t in (ot, ct):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     try:
         (
             load(spark, sf_dir, "orders")
             .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
             .write.mode("overwrite")
+            .option("path", f"{base}/{ot}")
             .bucketBy(8, "o_custkey")
             .sortBy("o_custkey")
             .saveAsTable(ot)
@@ -226,6 +234,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             load(spark, sf_dir, "customer")
             .select("c_custkey", "c_mktsegment")
             .write.mode("overwrite")
+            .option("path", f"{base}/{ct}")
             .bucketBy(8, "c_custkey")
             .sortBy("c_custkey")
             .saveAsTable(ct)
@@ -244,6 +253,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
         spark.sql(f"DROP TABLE IF EXISTS {ct}")
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register(

@@ -315,3 +315,113 @@ def ingest_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("updated"))
         .alias("src"),
     )
+
+
+@register(
+    "source_excel_roundtrip",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+    doc="The reference's Excel scan (S4/P1/P2, excel_reader.py:38-72) "
+    "as a driver-checked query: customer is written to a real .xlsx "
+    "(stdlib writer — header row, typed number cells), read back "
+    "through the engine's Python DataSource (header→schema projection, "
+    "null padding, empty-row filter — schema-on-read strings, exactly "
+    "like the reference's row dicts), cast, and aggregated. Matching "
+    "the oracle on the ORIGINAL parquet proves the whole Excel path is "
+    "lossless including float repr round-trip. One workbook is one "
+    "DataSource partition — at scale parallelism comes from many "
+    "files, the same unit the reference uses (one task per workbook).",
+)
+def source_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.excel_source import read_excel
+    from ..sources.xlsx_writer import write_xlsx
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    rows = [["c_custkey", "c_mktsegment", "c_acctbal"]] + [
+        [r["c_custkey"], r["c_mktsegment"], r["c_acctbal"]]
+        for r in cust.collect()
+    ]
+    d = tempfile.mkdtemp(prefix="src_xlsx_")
+    try:
+        path = write_xlsx(f"{d}/customer.xlsx", rows)
+        return (
+            read_excel(spark, path)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_bal"),
+            )
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "source_json_array",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="The reference's flagship source — one huge top-level JSON "
+    "array (S1, json_reader.py:64-65) — as a driver-checked query: "
+    "orders is serialized to a single .json array file, read back "
+    "through the engine's streaming array parser (incremental, "
+    "O(record) memory, no whole-file load — the ijson contract), and "
+    "aggregated. Matching the oracle on the ORIGINAL parquet proves "
+    "the parse is lossless. A single array file is unsplittable by "
+    "construction (like one workbook); at 100 TB parallelism comes "
+    "from many files — the DataSource maps one file to one partition, "
+    "and the glob/dir path (S2) fans out.",
+)
+def source_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..integrity import canonical_dumps
+    from ..sources.json_source import read_json_array
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    recs = [
+        {"o_orderkey": r["o_orderkey"], "o_orderstatus": r["o_orderstatus"],
+         "o_totalprice": r["o_totalprice"]}
+        for r in o.collect()
+    ]
+    d = tempfile.mkdtemp(prefix="src_json_")
+    try:
+        path = f"{d}/orders.json"
+        with open(path, "wb") as f:
+            f.write(b"[")
+            for i, rec in enumerate(recs):
+                if i:
+                    f.write(b",")
+                f.write(canonical_dumps(rec))
+            f.write(b"]")
+        df = read_json_array(spark, path)
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_total"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1406,3 +1406,32 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w_full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@register(
+    "agg_max_by",
+    oracle="""
+SELECT o_orderpriority,
+       arg_max(o_totalprice, o_orderkey) AS latest_price,
+       arg_min(o_totalprice, o_orderkey) AS first_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Selector aggregates max_by/min_by (DuckDB arg_max/arg_min): "
+    "carry a payload column to the row holding the group's extreme "
+    "key — the one-pass replacement for the join-back-to-self pattern. "
+    "Keyed on the unique o_orderkey so the selection is total-order "
+    "deterministic in both engines. Partial+final aggregation works "
+    "because (value, key) pairs merge associatively; one tiny shuffle.",
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_totalprice", "o_orderkey").alias("latest_price"),
+            F.min_by("o_totalprice", "o_orderkey").alias("first_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -587,3 +587,121 @@ def ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_dec").cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "ts_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS lo,
+         time_bucket(INTERVAL '1 hour', MAX(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket_hour
+  FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), actual AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_hour, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT s.bucket_hour, t.event_type,
+       COALESCE(a.n_events, 0) AS n_events
+FROM spine s CROSS JOIN types t
+LEFT JOIN actual a
+  ON a.bucket_hour = s.bucket_hour AND a.event_type = t.event_type
+""",
+    doc="Gap filling (hypertable/timescale staple): a dense hourly "
+    "spine from observed min..max is generated with F.sequence + "
+    "explode (pure plan arithmetic from a 1-row aggregate — no driver "
+    "loop, no data-size dependence), cross-joined with the distinct "
+    "type dimension, then left-joined against actual hourly counts "
+    "with COALESCE(0) for silent hours. The spine side is O(hours × "
+    "types) regardless of event volume, so at 100 TB the heavy side "
+    "contributes one hash agg and one (broadcastable-spine) join.",
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_hour")
+    )
+    types = ev.select("event_type").distinct()
+    actual = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        spine.crossJoin(types)
+        .join(actual, ["bucket_hour", "event_type"], "left")
+        .select(
+            "bucket_hour",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "window_session_gap",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM marked
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+FROM numbered
+GROUP BY user_id, session_no
+""",
+    doc="Manual gaps-and-islands sessionization: lag to mark gap>30min "
+    "boundaries, running sum to number sessions, then a per-session "
+    "rollup — the fallback pattern when session semantics need custom "
+    "predicates native session_window can't express (cross-field gap "
+    "rules, value-dependent timeouts). Same single hash-exchange on "
+    "user_id for both window passes AND the final groupBy (Catalyst "
+    "reuses the clustering), so it costs one shuffle like the native "
+    "version. Oracle mirrors it verbatim.",
+)
+def window_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = marked.withColumn("session_no", F.sum("is_new").over(wrun))
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("session_value"),
+    )

@@ -1,7 +1,7 @@
 """Source connectors: Excel (S4/P1/P2/F1) and JSON array (S1/S2).
 
 Excel fixtures are authored with the stdlib writer in
-``tests/xlsx_writer.py`` (this container has no openpyxl); the JSON
+``data_ingestion_pimcore_spark/sources/xlsx_writer.py`` (no openpyxl here); the JSON
 fixtures replicate the reference's input shape — a single top-level
 array with nested objects and decimal fractions (FIXTURES.md §1).
 """
@@ -25,7 +25,7 @@ from data_ingestion_pimcore_spark.sources.json_source import (
     read_json_array,
     read_json_array_streaming,
 )
-from tests.xlsx_writer import DateCell, write_xlsx
+from data_ingestion_pimcore_spark.sources.xlsx_writer import DateCell, write_xlsx
 
 
 @pytest.fixture()
