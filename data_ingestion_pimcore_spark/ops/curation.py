@@ -1,0 +1,189 @@
+"""Training-data curation operators: decontamination, repetition-based
+quality filtering, and PII scrubbing — the corpus-hygiene passes every
+LLM data pipeline runs between raw ingestion and training, alongside
+dedup (ops/dedup.py) and quality scoring (ops/textops.py).
+
+Scale notes (100 TB design intent):
+
+* Decontamination is a semi-join through an inverted shingle index:
+  the eval side collapses to DISTINCT shingle hashes (tiny — benchmark
+  suites are MBs, corpora are TBs), so the join broadcasts and the
+  corpus-side cost is one shingle pass + one map-side join. Never a
+  cross join, never a per-pair comparison.
+* The repetition filter is explode → two-level aggregate, all map-side
+  partial aggregation; output is O(docs), intermediate is O(bigrams) —
+  the same shape as the token-count pass it would share a scan with.
+* PII scrubbing is a pure per-row projection (regexp_replace inside
+  whole-stage codegen) — zero shuffle, scales embarrassingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from .dedup import _SQL_SHINGLES
+from .textops import md5_hash60, sql_md5_hash60, with_shingles
+
+# ~1% of docs play the held-out benchmark set in the demo split.
+_EVAL_MOD = 97
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform({_SQL_SHINGLES},
+                               s -> {sql_md5_hash60('s')})) AS s
+  FROM documents
+), eval_sh AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+), train_sh AS (
+  SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % {_EVAL_MOD} != 0
+)
+SELECT t.doc_id, COUNT(*) AS n_shared_shingles
+FROM train_sh t JOIN eval_sh e ON t.s = e.s
+GROUP BY t.doc_id
+""",
+    doc="Benchmark decontamination: training documents sharing any "
+    "word-3-gram with the held-out eval split (doc_id % 97 == 0 here; "
+    "a real benchmark table in production) are flagged with their "
+    "overlap count — the standard n-gram-overlap test-set-leakage "
+    "check. The eval side reduces to DISTINCT shingle hashes before "
+    "the join, so at 100 TB it broadcasts and the corpus side never "
+    "shuffles for the probe; contaminated ids then drive an anti-join "
+    "to emit the clean corpus. Shares the one-pass shingle machinery "
+    "with dedup_ngram_jaccard (ops/textops.py::with_shingles).",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_shingles(load(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id",
+        F.explode(F.transform("shingles", lambda s: md5_hash60(s))).alias("s"),
+    )
+    eval_sh = (
+        sh.where(F.col("doc_id") % _EVAL_MOD == 0).select("s").distinct()
+    )
+    train_sh = (
+        sh.where(F.col("doc_id") % _EVAL_MOD != 0)
+        .select("doc_id", "s")
+        .distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE doc_id % 10 = 0
+), bigrams AS (
+  SELECT doc_id, LEN(w) - 1 AS n_bigrams,
+         unnest(list_transform(range(1, LEN(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM words WHERE LEN(w) >= 2
+), freq AS (
+  SELECT doc_id, ANY_VALUE(n_bigrams) AS n_bigrams, bg,
+         COUNT(*) AS cnt
+  FROM bigrams GROUP BY doc_id, bg
+)
+SELECT doc_id, n_bigrams,
+       MAX(cnt) AS top_bigram_count,
+       CAST(MAX(cnt) AS DOUBLE) / n_bigrams AS top_bigram_ratio
+FROM freq
+GROUP BY doc_id, n_bigrams
+""",
+    doc="Gopher-style repetition quality signal: the fraction of a "
+    "document's word-bigrams occupied by its single most frequent "
+    "bigram (high ratio = boilerplate/spam; training pipelines drop "
+    "above a threshold). Explode → (doc, bigram) count → per-doc max: "
+    "both aggregates do map-side partial combine, intermediate volume "
+    "is O(bigrams) within the scan stage's partitions, output is "
+    "O(docs). The ratio divides two exact integers in double — engine-"
+    "deterministic with no decimal trick.",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 2)
+    )
+    w = F.col("w")
+    bigrams = d.select(
+        "doc_id",
+        (F.size("w") - 1).alias("n_bigrams"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
+            )
+        ).alias("bg"),
+    )
+    freq = bigrams.groupBy("doc_id", "n_bigrams", "bg").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return freq.groupBy("doc_id", "n_bigrams").agg(
+        F.max("cnt").alias("top_bigram_count"),
+        (F.max("cnt").cast("double") / F.col("n_bigrams")).alias(
+            "top_bigram_ratio"
+        ),
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         string_split(text, ' ')[1] || ' contact user' || doc_id ||
+         '@example.com or call ' || (doc_id * 1234567 + 1000000) AS raw
+  FROM documents WHERE doc_id % 25 = 0
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+         '[0-9]{7,}', '<NUM>', 'g') AS scrubbed,
+       CAST(LEN(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+'))
+         AS INT) AS n_emails,
+       CAST(LEN(regexp_extract_all(
+         regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+         '[0-9]{7,}')) AS INT) AS n_longnums
+FROM seeded
+""",
+    doc="PII scrubbing: email addresses and long digit runs replaced "
+    "with typed placeholders, plus per-doc redaction counts for audit. "
+    "PII is seeded deterministically into the corpus (the driver "
+    "tables contain none) so the scrub provably fires; patterns stay "
+    "in the RE2∩Java-regex common subset so Spark and DuckDB agree. "
+    "Pure regexp_replace projection inside whole-stage codegen — zero "
+    "shuffle at any scale; a production pass adds more patterns, not "
+    "a different plan shape.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    raw = F.concat(
+        F.get(F.split("text", " "), 0),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call "),
+        (F.col("doc_id") * 1234567 + 1000000).cast("string"),
+    )
+    seeded = d.select("doc_id", raw.alias("raw"))
+    email = r"[a-z0-9.]+@[a-z0-9.]+"
+    num = r"[0-9]{7,}"
+    no_email = F.regexp_replace("raw", email, "<EMAIL>")
+    return seeded.select(
+        "doc_id",
+        F.regexp_replace(no_email, num, "<NUM>").alias("scrubbed"),
+        F.regexp_count("raw", F.lit(email)).alias("n_emails"),
+        F.regexp_count(no_email, F.lit(num)).alias("n_longnums"),
+    )

@@ -73,6 +73,7 @@ def _load_ops() -> None:
     if _LOADED:
         return
     from .ops import (  # noqa: F401
+        curation,
         dedup,
         extensibility,
         ingestion_queries,
