@@ -283,3 +283,21 @@ def test_correlated_subquery_is_decorrelated(spark):
     tree = tree_of(spark, "subquery_correlated")
     assert "Subquery" not in tree
     assert "HashAggregate" in tree
+
+
+def test_decontaminate_broadcasts_eval_probe(spark):
+    """The eval side must collapse to a distinct-shingle broadcast
+    probe; the corpus side must never shuffle for the join itself."""
+    tree = tree_of(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree and "CartesianProduct" not in tree
+
+
+def test_pii_scrub_is_pure_codegen_projection(spark):
+    """Redaction is a per-row projection: no shuffle, no Python, fused
+    into whole-stage codegen with the scan."""
+    plan = plan_of(spark, "text_pii_scrub")
+    tree = tree_of(spark, "text_pii_scrub")
+    assert "Exchange" not in tree
+    assert "[codegen id :" in plan  # every operator codegen-fused
+    assert "Python" not in tree  # built-in regexp fns, not UDFs
