@@ -1435,3 +1435,100 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "set_union_by_name",
+    oracle="""
+SELECT part_key, source, size_val FROM (
+  SELECT p_partkey AS part_key, 'catalog' AS source, p_size AS size_val
+  FROM part WHERE p_size >= 48
+  UNION ALL
+  SELECT l_partkey AS part_key, 'observed' AS source, NULL AS size_val
+  FROM lineitem WHERE l_orderkey % 500 = 0
+) u
+""",
+    doc="Schema-aligning union (unionByName with allowMissingColumns): "
+    "the branches declare columns in different orders and one side "
+    "lacks size_val entirely — name-based alignment null-fills the "
+    "gap, where positional UNION would silently mis-bind columns. The "
+    "everyday shape for unioning heterogeneous corpus shards at 100 TB "
+    "(schema drift across vintages); a pure narrow op, zero shuffle.",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_size") >= 48)
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            F.lit("catalog").alias("source"),
+            F.col("p_size").alias("size_val"),
+        )
+    )
+    # Different column order AND missing size_val: name alignment only.
+    obs = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 500 == 0)
+        .select(
+            F.lit("observed").alias("source"),
+            F.col("l_partkey").alias("part_key"),
+        )
+    )
+    return cat.unionByName(obs, allowMissingColumns=True)
+
+
+@register(
+    "agg_bool",
+    oracle="""
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+         AS n_open
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Boolean aggregates (every/bool_and, any/bool_or) plus a "
+    "FILTER-clause conditional count — the predicate-summary trio for "
+    "data-quality assertions over a corpus ('all rows in range', 'any "
+    "failure present', 'how many matched'). All three fold "
+    "associatively → full map-side partial aggregation; the shuffle "
+    "carries one boolean/long triple per (group × partition).",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+    )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS key_xor,
+       l_orderkey & 255 AS low_byte,
+       l_orderkey >> 8 AS high_bits,
+       ((l_orderkey << 3) | l_linenumber) & 1023 AS packed
+FROM lineitem
+WHERE l_orderkey % 250 = 0
+""",
+    doc="Bitwise scalar surface (xor/and/or/shifts): the building "
+    "blocks of engine-side fingerprinting — simhash band packing, "
+    "bloom probes, bucket ids all reduce to these. Pure codegen "
+    "projections; the oracle reproduces each expression literally.",
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 250 == 0)
+    key = F.col("l_orderkey")
+    ln = F.col("l_linenumber").cast("bigint")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        key.bitwiseXOR(ln).alias("key_xor"),
+        key.bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.shiftright(key, 8).alias("high_bits"),
+        F.shiftleft(key, 3).bitwiseOR(ln).bitwiseAND(F.lit(1023)).alias("packed"),
+    )
