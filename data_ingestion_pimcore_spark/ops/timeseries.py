@@ -224,10 +224,36 @@ def ts_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_SEQ = iter(range(10**9))
 
-_EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events table with ts normalized to TIMESTAMP.
+
+    The dataset generator has emitted ts as either TIMESTAMP(NANOS) — which
+    this session reads as an epoch-nanos long — or as a native timestamp[us]
+    column. File-stream sources need an explicit reader schema, so probe the
+    parquet footer once (driver-side, metadata only) and build the matching
+    schema + conversion. Session tz is pinned UTC, so the TIMESTAMP /
+    TIMESTAMP_NTZ distinction is value-preserving either way.
+    """
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    ts_type = (
+        pq.read_schema(f"{sf_dir.rstrip('/')}/events.parquet").field("ts").type
+    )
+    cols = "event_id long, {ts}, user_id long, event_type string, value double, props string"
+    if pat.is_timestamp(ts_type):
+        schema, conv = cols.format(ts="ts timestamp"), F.col("ts")
+    else:
+        schema, conv = (
+            cols.format(ts="ts long"),
+            F.timestamp_micros(F.expr("ts div 1000")),
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", conv)
+    )
 
 
 @register(
@@ -257,12 +283,7 @@ def ts_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and matches the batch twin's output type.
     # File stream sources take a directory; glob-filter to the events
     # table inside the sf dir.
-    stream = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -312,12 +333,7 @@ def ts_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     def src() -> DataFrame:
-        return (
-            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir.rstrip("/"))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return _events_stream(spark, sf_dir)
 
     clicks = (
         src()
@@ -382,13 +398,9 @@ GROUP BY event_type
 def ts_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    stream = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-        .select("user_id", "event_type")
-        .dropDuplicates(["user_id", "event_type"])
-    )
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "event_type"
+    ).dropDuplicates(["user_id", "event_type"])
     name = f"ts_stream_dedup_{next(_STREAM_SEQ)}"
     q = (
         stream.writeStream.format("memory")
@@ -427,11 +439,7 @@ def ts_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    stream = _events_stream(spark, sf_dir)
 
     def update(key, pdfs, state: GroupState):
         rows = 0
@@ -501,12 +509,7 @@ GROUP BY user_id, session_no
 def ts_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    stream = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")

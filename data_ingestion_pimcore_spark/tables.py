@@ -31,14 +31,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet → read as epoch-nanos long
-        # (spark.sql.legacy.parquet.nanosAsLong) and rebuild a
-        # microsecond-precision TIMESTAMP_NTZ (source data is µs-grained,
-        # so the ns→µs truncation is lossless).
+        # Depending on how the dataset was generated, ts arrives either as
+        # TIMESTAMP(NANOS) read as epoch-nanos long (via
+        # spark.sql.legacy.parquet.nanosAsLong) or directly as a native
+        # timestamp type. Normalize both to microsecond TIMESTAMP_NTZ.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
