@@ -228,26 +228,29 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the events table with ts normalized to TIMESTAMP.
 
     The dataset generator has emitted ts as either TIMESTAMP(NANOS) — which
-    this session reads as an epoch-nanos long — or as a native timestamp[us]
-    column. File-stream sources need an explicit reader schema, so probe the
-    parquet footer once (driver-side, metadata only) and build the matching
-    schema + conversion. Session tz is pinned UTC, so the TIMESTAMP /
-    TIMESTAMP_NTZ distinction is value-preserving either way.
+    this session reads as an epoch-nanos long (spark.sql.legacy.parquet.
+    nanosAsLong) — or as a native timestamp[us] column. File-stream sources
+    need an explicit reader schema, so probe via Spark's own batch reader
+    (driver-side, footer metadata only): unlike a pyarrow probe, this always
+    agrees with the session's parquet configs, so a nanos file that Spark
+    reads as LongType gets a 'ts long' reader schema, never a mismatched
+    'ts timestamp'. It also works for any path scheme Spark can read
+    (s3a://, hdfs://, partitioned directories). Session tz is pinned UTC,
+    so the TIMESTAMP / TIMESTAMP_NTZ distinction is value-preserving.
     """
-    import pyarrow.parquet as pq
-    import pyarrow.types as pat
+    from pyspark.sql.types import LongType
 
-    ts_type = (
-        pq.read_schema(f"{sf_dir.rstrip('/')}/events.parquet").field("ts").type
-    )
+    batch_schema = spark.read.parquet(
+        f"{sf_dir.rstrip('/')}/events.parquet"
+    ).schema
     cols = "event_id long, {ts}, user_id long, event_type string, value double, props string"
-    if pat.is_timestamp(ts_type):
-        schema, conv = cols.format(ts="ts timestamp"), F.col("ts")
-    else:
+    if isinstance(batch_schema["ts"].dataType, LongType):
         schema, conv = (
             cols.format(ts="ts long"),
             F.timestamp_micros(F.expr("ts div 1000")),
         )
+    else:
+        schema, conv = cols.format(ts="ts timestamp"), F.col("ts")
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")

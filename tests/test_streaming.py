@@ -243,3 +243,53 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # finalization 09:30 row is gone; the 12 and 13 windows end past
     # the final watermark (12:30) so they are never emitted
     assert final == {"09": 1, "10": 3, "11": 2}
+
+
+def _write_events_parquet(path, unit):
+    """Write a tiny events table whose ts column uses the given parquet
+    timestamp unit — 'ns' reproduces the TIMESTAMP(NANOS) generation that
+    the session reads as epoch-nanos long (nanosAsLong), 'us' the native
+    timestamp generation."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    ts = [base + dt.timedelta(minutes=20 * i) for i in range(9)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(9), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp(unit)),
+            "user_id": pa.array([i % 3 for i in range(9)], pa.int64()),
+            "event_type": pa.array(["click", "view", "buy"] * 3),
+            "value": pa.array([float(i) for i in range(9)]),
+            "props": pa.array(["{}"] * 9),
+        }
+    )
+    pq.write_table(tbl, str(path), store_schema=False)
+
+
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_events_stream_both_ts_generations(spark, tmp_path, unit):
+    """ADVICE r01 regression: _events_stream must branch on how *Spark*
+    reads ts (nanosAsLong => long), not on the pyarrow logical type — a
+    nanos file previously produced a 'ts timestamp' reader schema and
+    every ts_stream_* query failed with PARQUET_COLUMN_DATA_TYPE_MISMATCH.
+    Drains the streaming tumbling agg on each generation and checks it
+    against the batch twin."""
+    from data_ingestion_pimcore_spark.ops.timeseries import (
+        ts_stream_tumbling,
+        ts_tumbling_window,
+    )
+
+    sf = tmp_path / unit
+    sf.mkdir()
+    _write_events_parquet(sf / "events.parquet", unit)
+
+    got = ts_stream_tumbling(spark, str(sf)).collect()
+    want = ts_tumbling_window(spark, str(sf)).collect()
+    key = lambda r: (str(r["window_start"]), r["event_type"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == 9  # 3 hours x 3 event types, one event per cell
+    assert {r["n_events"] for r in got} == {1}
