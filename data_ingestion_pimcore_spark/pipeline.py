@@ -62,18 +62,21 @@ def _chunk_payloads(
         columns = [recs[c].tolist() for c in record_cols]
         records = [dict(zip(record_cols, row)) for row in zip(*columns)]
         blob = canonical_dumps(records)
+        # Payload stays BYTES end-to-end (Arrow binary → driver → wire):
+        # a string column would pay a UTF-8 validate/decode on the
+        # sequential driver edge for every chunk.
         return pd.DataFrame(
             {
                 CHUNK_COL: [int(pdf[CHUNK_COL].iloc[0])],
                 "n_records": [len(records)],
                 "checksum": [hashlib.sha256(blob).hexdigest()],
-                "payload": [blob.decode("utf-8")],
+                "payload": [blob],
             }
         )
 
     return pending.groupBy(CHUNK_COL).applyInPandas(
         build,
-        schema=f"{CHUNK_COL} long, n_records long, checksum string, payload string",
+        schema=f"{CHUNK_COL} long, n_records long, checksum string, payload binary",
     )
 
 

@@ -148,16 +148,20 @@ class HttpTransport:
         if payload.get("records_json") is not None:
             # Records were already serialized in the executors; splice
             # the blob into the body instead of parse→re-serialize on
-            # the sequential driver edge.
+            # the sequential driver edge. The blob may be str or bytes
+            # (the pipeline ships it as Arrow binary).
             head = {
                 k: v
                 for k, v in payload.items()
                 if k not in ("records", "records_json")
             }
+            blob = payload["records_json"]
+            if isinstance(blob, str):
+                blob = blob.encode("utf-8")
             head_json = _json.dumps(head)
             body = (
-                head_json[:-1] + ',"records":' + payload["records_json"] + "}"
-            ).encode("utf-8")
+                head_json[:-1].encode("utf-8") + b',"records":' + bytes(blob) + b"}"
+            )
         else:
             body = _json.dumps(payload).encode("utf-8")
         req = urllib.request.Request(

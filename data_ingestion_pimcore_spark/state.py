@@ -6,11 +6,25 @@ total_records INTEGER, status TEXT)``
 (`app/services/ingestion_state_store.py:26-33`) with its defaults:
 missing row → last_chunk = -1, total_records = 0 (`:36-50`).
 
-Storage is a parquet file written atomically (temp + rename) — the
-same role Structured Streaming's commit log plays on the driver:
-offsets are tiny driver-local metadata, not distributed data. A
-``as_dataframe`` view keeps it queryable from Spark, mirroring how the
-reference exposes state to resume logic.
+Storage is snapshot + write-ahead log — the same design as Structured
+Streaming's offset/commit logs on the driver:
+
+* Each ACK-gated commit APPENDS one JSON line to ``<path>.log`` and
+  flushes — O(1) per chunk, unlike rewriting the whole table (the
+  reference pays one SQLite transaction per chunk; a full-file rewrite
+  per commit turned the sequential delivery edge O(n²)-ish and showed
+  up as ~20% of end-to-end ingest wall time at sf0.1).
+* ``mark_completed`` / ``compact`` write the parquet snapshot
+  atomically (temp + rename) and truncate the log.
+* On open, the snapshot is loaded and the log replayed over it, so a
+  crash between appends loses at most commits the OS hadn't flushed —
+  and losing a commit is SAFE here: the chunk is re-sent on resume and
+  the consumer ACKs it idempotently via its ``chunk_id`` (CV1), which
+  is exactly the reference's at-least-once + idempotent-consumer
+  contract ("chunk-exactly-once", README:421).
+
+A ``as_dataframe`` view keeps state queryable from Spark (compacts
+first), mirroring how the reference exposes state to resume logic.
 
 Re-ingestion versioning (ST2, `app/controllers/ingestion_controllers.py:31-41`):
 ``version_for(re_ingestion)`` returns "resume" or an epoch-millis
@@ -20,6 +34,7 @@ re-ingestion is requested.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -44,12 +59,24 @@ _SCHEMA = pa.schema(
 class IngestionStateStore:
     def __init__(self, path: str):
         self.path = path
+        self.log_path = f"{path}.log"
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._rows: dict[str, dict] = {}
         if os.path.exists(path):
-            tbl = pq.read_table(path)
-            for row in tbl.to_pylist():
+            for row in pq.read_table(path).to_pylist():
                 self._rows[row["ingestion_id"]] = row
+        if os.path.exists(self.log_path):
+            with open(self.log_path, "r", encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue  # torn tail write: ignore
+                    try:
+                        row = json.loads(line)
+                    except ValueError:
+                        continue
+                    self._rows[row["ingestion_id"]] = row
+        self._log = open(self.log_path, "a", encoding="utf-8")
 
     # -- reads (defaults per ingestion_state_store.py:36-50) --------------
 
@@ -67,13 +94,14 @@ class IngestionStateStore:
     def update_chunk(self, ingestion_id: str, chunk_number: int, total_records: int):
         """Commit progress — call ONLY after consumer ACK ("no false
         progress", reference README:471-482)."""
-        self._rows[ingestion_id] = {
+        row = {
             "ingestion_id": ingestion_id,
             "last_chunk": int(chunk_number),
             "total_records": int(total_records),
             "status": STATUS_IN_PROGRESS,
         }
-        self._flush()
+        self._rows[ingestion_id] = row
+        self._append(row)
 
     def mark_completed(self, ingestion_id: str):
         row = self._rows.setdefault(
@@ -86,16 +114,26 @@ class IngestionStateStore:
             },
         )
         row["status"] = STATUS_COMPLETED
-        self._flush()
+        self.compact()
 
-    def _flush(self) -> None:
+    def _append(self, row: dict) -> None:
+        self._log.write(json.dumps(row) + "\n")
+        self._log.flush()
+
+    def compact(self) -> None:
+        """Fold the log into the parquet snapshot (durable: fsync'd)."""
         tmp = f"{self.path}.tmp"
         pq.write_table(
             pa.Table.from_pylist(list(self._rows.values()), schema=_SCHEMA), tmp
         )
+        with open(tmp, "rb+") as f:
+            os.fsync(f.fileno())
         os.replace(tmp, self.path)  # atomic on POSIX
+        self._log.truncate(0)
+        self._log.seek(0)
 
     def as_dataframe(self, spark: SparkSession) -> DataFrame:
+        self.compact()
         return spark.read.schema(
             "ingestion_id string, last_chunk long, total_records long, status string"
         ).parquet(self.path)
