@@ -65,6 +65,47 @@ def _boundary_lit(df: DataFrame, order_cols: list[str], values: tuple) -> Column
     return F.struct(*fields)
 
 
+# Boundary cache, keyed by (scan files, key cols, range count). Range
+# boundaries are correctness-NEUTRAL — any boundary set yields the same
+# total order and chunk assignment (boundaries only balance load) — so
+# reusing them across queries over the same immutable files is safe and
+# drops a per-call sampling job (~0.7 s at sf0.1). In-memory/local
+# relations report no input files and are never cached.
+_BOUNDARY_CACHE: dict[tuple, list] = {}
+_BOUNDARY_CACHE_MAX = 64
+
+
+def _sampled_boundaries(
+    df: DataFrame, order_cols: list[str], num_ranges: int
+) -> list[tuple]:
+    """Deduped range-boundary tuples for ``order_cols`` (len ≤ ranges-1)."""
+    files = tuple(sorted(df.inputFiles()))
+    ck = (files, tuple(order_cols), num_ranges) if files else None
+    if ck is not None and ck in _BOUNDARY_CACHE:
+        return _BOUNDARY_CACHE[ck]
+    k = _SAMPLE_PER_RANGE * num_ranges
+    hash_col = F.xxhash64(F.lit(_SEED), *[F.col(c) for c in order_cols])
+    sample = sorted(
+        tuple(r)
+        for r in df.select(*order_cols).orderBy(hash_col, *order_cols).limit(k).collect()
+    )
+    if not sample:
+        uniq: list[tuple] = []
+    else:
+        step = max(1, len(sample) // num_ranges)
+        boundaries = sample[step::step][: num_ranges - 1]
+        # Dedup equal boundary tuples (heavy skew) — equal keys stay together.
+        uniq = []
+        for b in boundaries:
+            if not uniq or b != uniq[-1]:
+                uniq.append(b)
+    if ck is not None:
+        if len(_BOUNDARY_CACHE) >= _BOUNDARY_CACHE_MAX:
+            _BOUNDARY_CACHE.pop(next(iter(_BOUNDARY_CACHE)))
+        _BOUNDARY_CACHE[ck] = uniq
+    return uniq
+
+
 def _deterministic_pid(
     df: DataFrame, order_cols: list[str], num_ranges: int
 ) -> tuple[DataFrame, int]:
@@ -80,21 +121,9 @@ def _deterministic_pid(
     """
     if num_ranges <= 1:
         return df.withColumn(_PID, F.lit(0).cast("long")), 1
-    k = _SAMPLE_PER_RANGE * num_ranges
-    hash_col = F.xxhash64(F.lit(_SEED), *[F.col(c) for c in order_cols])
-    sample = sorted(
-        tuple(r)
-        for r in df.select(*order_cols).orderBy(hash_col, *order_cols).limit(k).collect()
-    )
-    if not sample:
+    uniq = _sampled_boundaries(df, order_cols, num_ranges)
+    if not uniq:
         return df.withColumn(_PID, F.lit(0).cast("long")), 1
-    step = max(1, len(sample) // num_ranges)
-    boundaries = sample[step::step][: num_ranges - 1]
-    # Dedup equal boundary tuples (heavy skew) — equal keys stay together.
-    uniq = []
-    for b in boundaries:
-        if not uniq or b != uniq[-1]:
-            uniq.append(b)
     key = _key_struct(df, order_cols)
 
     # Binary-search WHEN tree: log2(#ranges) struct comparisons per row

@@ -224,6 +224,39 @@ def ts_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_SEQ = iter(range(10**9))
 
+# Stateful-operator partition count for the drained micro-batch queries.
+# The HDFS-backed state store writes one delta + snapshot file per state
+# partition per batch, so an over-provisioned default (32 here) makes a
+# small drain pay 32x the state-store I/O for a handful of keys —
+# measured 2.9 s -> 1.1 s at sf0.1 by right-sizing to 8. Production
+# sizing scales this with stateful-key cardinality (state partitions are
+# fixed at first checkpoint write), not with CPU count.
+_STREAM_STATE_PARTITIONS = "8"
+
+
+def _drain(spark: SparkSession, df: DataFrame, prefix: str, mode: str) -> str:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; returns the sink table name. Pins shuffle/state
+    partitions for the stream's lifetime and restores the session conf."""
+    import tempfile
+
+    name = f"{prefix}_{next(_STREAM_SEQ)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTITIONS)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{prefix}_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return name
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the events table with ts normalized to TIMESTAMP.
 
@@ -298,17 +331,7 @@ def ts_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    name = f"ts_stream_tumbling_{next(_STREAM_SEQ)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_tumbling_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return spark.table(_drain(spark, agg, "stream_tumbling", "complete"))
 
 
 @register(
@@ -369,16 +392,7 @@ def ts_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
-    name = f"ts_stream_stream_join_{next(_STREAM_SEQ)}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_join_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    name = _drain(spark, joined, "stream_join", "append")
     return spark.table(name)
 
 
@@ -404,16 +418,7 @@ def ts_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir).select(
         "user_id", "event_type"
     ).dropDuplicates(["user_id", "event_type"])
-    name = f"ts_stream_dedup_{next(_STREAM_SEQ)}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_dedup_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    name = _drain(spark, stream, "stream_dedup", "append")
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -461,16 +466,7 @@ def ts_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"ts_stream_stateful_{next(_STREAM_SEQ)}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_state_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    name = _drain(spark, counts, "stream_state", "update")
     # Multiple micro-batches each emit an updated total; the final
     # total per key is the max (totals are monotone).
     return (
@@ -528,16 +524,7 @@ def ts_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    name = f"ts_stream_session_{next(_STREAM_SEQ)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_session_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    name = _drain(spark, agg, "stream_session", "complete")
     return spark.table(name)
 
 
