@@ -310,7 +310,6 @@ GROUP BY 1, 2
     "production with identical semantics.",
 )
 def ts_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     # TIMESTAMP(NANOS) parquet reads as long under the session's legacy
     # conf; rebuild the µs timestamp exactly like tables.load does.
@@ -356,7 +355,6 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
     "the trigger).",
 )
 def ts_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     def src() -> DataFrame:
         return _events_stream(spark, sf_dir)
@@ -413,7 +411,6 @@ GROUP BY event_type
     "COUNT(DISTINCT user_id).",
 )
 def ts_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     stream = _events_stream(spark, sf_dir).select(
         "user_id", "event_type"
@@ -442,7 +439,6 @@ GROUP BY event_type
     "total per key equals the batch COUNT(*), which the oracle checks.",
 )
 def ts_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -506,7 +502,6 @@ GROUP BY user_id, session_no
     "horizon, bounding state at 100 TB/day event volumes.",
 )
 def ts_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     stream = _events_stream(spark, sf_dir)
     agg = (
@@ -698,3 +693,42 @@ def window_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("session_value"),
     )
+
+
+@register(
+    "ts_stream_static_join",
+    oracle=f"""
+WITH dim(event_type, tier) AS (
+  VALUES ('click', 'engagement'), ('view', 'engagement'),
+         ('signup', 'growth'), ('purchase', 'revenue'), ('error', 'ops')
+)
+SELECT d.tier, COUNT(*) AS n_events, {sql_dsum('e.value', 'sum_value')}
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY d.tier
+""",
+    doc="Stream-static enrichment join: a readStream over events joins a "
+    "static dimension (event_type → tier). Spark broadcasts the static "
+    "side into every micro-batch — no state, no watermark needed for "
+    "the join itself; this is THE pattern for enriching a 100 TB/day "
+    "event feed with slowly-changing dimensions (the static side is "
+    "re-read per batch, so a dim table update is picked up without "
+    "restarting the query). Drained with AvailableNow, the per-tier "
+    "totals must equal the batch join/DuckDB result exactly.",
+)
+def ts_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("signup", "growth"),
+            ("purchase", "revenue"),
+            ("error", "ops"),
+        ],
+        "event_type string, tier string",
+    )
+    stream = _events_stream(spark, sf_dir).select("event_type", "value")
+    enriched = stream.join(F.broadcast(dim), "event_type")
+    agg = enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )
+    return spark.table(_drain(spark, agg, "stream_static", "complete"))
