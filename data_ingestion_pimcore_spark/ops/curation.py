@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import load
 from .dedup import _SQL_SHINGLES
-from .textops import md5_hash60, sql_md5_hash60, with_shingles
+from .textops import _SQL_STOPLIST, md5_hash60, sql_md5_hash60, with_shingles
 
 # ~1% of docs play the held-out benchmark set in the demo split.
 _EVAL_MOD = 97
@@ -187,3 +187,137 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("raw", F.lit(email)).alias("n_emails"),
         F.regexp_count(no_email, F.lit(num)).alias("n_longnums"),
     )
+
+
+# Composite-funnel thresholds (C4/Gopher-style demo values).
+_LANG_TAU = 0.05
+_QUALITY_TAU = 0.5
+_REP_TAU = 0.2
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), flags AS (
+  SELECT doc_id, text,
+         doc_id % {_EVAL_MOD} = 0 AS is_eval,
+         CAST(LEN(list_filter(w, t -> t IN ({_SQL_STOPLIST}))) AS DOUBLE)
+           / LEN(w) >= {_LANG_TAU} AS pass_lang,
+         0.5 * LEAST(CAST(LEN(w) AS DOUBLE) / 100.0, 1.0)
+           + 0.5 * (CAST(LEN(list_distinct(w)) AS DOUBLE) / LEN(w))
+           >= {_QUALITY_TAU} AS pass_quality,
+         LEN(w) < 2 OR
+         CAST(list_max(list_transform(
+                list_distinct(list_transform(range(1, LEN(w)),
+                                             i -> w[i] || ' ' || w[i+1])),
+                x -> LEN(list_filter(list_transform(range(1, LEN(w)),
+                                                    i -> w[i] || ' ' || w[i+1]),
+                                     y -> y = x)))) AS DOUBLE)
+           / (LEN(w) - 1) <= {_REP_TAU} AS pass_repetition
+  FROM base
+), canon AS (
+  SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+  FROM base
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform({_SQL_SHINGLES},
+                               s -> {sql_md5_hash60('s')})) AS s
+  FROM documents
+), contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % {_EVAL_MOD} != 0) t
+  JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % {_EVAL_MOD} = 0) e ON t.s = e.s
+)
+SELECT f.doc_id, f.is_eval, f.pass_lang, f.pass_quality, f.pass_repetition,
+       c.is_canonical,
+       f.doc_id IN (SELECT doc_id FROM contaminated) AS is_contaminated,
+       NOT f.is_eval AND f.pass_lang AND f.pass_quality AND f.pass_repetition
+         AND c.is_canonical
+         AND f.doc_id NOT IN (SELECT doc_id FROM contaminated) AS keep
+FROM flags f JOIN canon c ON f.doc_id = c.doc_id
+""",
+    doc="The full pretraining-data curation funnel as ONE declarative "
+    "plan over one corpus scan: language-ID gate (stopword density), "
+    "composite quality score, Gopher-style repetition gate (all three "
+    "pure map-side array expressions inside whole-stage codegen), "
+    "exact-dup canonicalization (min doc_id per content hash — one "
+    "window over a hash shuffle), and benchmark decontamination (n-gram "
+    "overlap with the held-out split via a broadcast probe of DISTINCT "
+    "eval shingle hashes). Per-document boolean audit columns plus the "
+    "final keep verdict, so attrition per stage is one GROUP BY away. "
+    "At 100 TB: three slim shuffles total (content-hash window, corpus "
+    "shingle distinct, contaminated-id semi-join); every gate before "
+    "them prunes map-side, and the eval side of decontamination stays "
+    "broadcast-sized by construction.",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import STOPWORDS, _words
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    n_tokens = F.size(w)
+    lang_ratio = (
+        F.size(F.filter(w, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tokens
+    )
+    quality = 0.5 * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) + 0.5 * (
+        F.size(F.array_distinct(w)).cast("double") / n_tokens
+    )
+    bg = F.transform(
+        F.sequence(F.lit(0), n_tokens - 2),
+        lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
+    )
+    top_bg = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda x: F.size(F.filter(bg, lambda y: y == x)),
+        )
+    )
+    rep_ratio = top_bg.cast("double") / (n_tokens - 1)
+    flags = d.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
+        (lang_ratio >= _LANG_TAU).alias("pass_lang"),
+        (quality >= _QUALITY_TAU).alias("pass_quality"),
+        ((n_tokens < 2) | (rep_ratio <= _REP_TAU)).alias("pass_repetition"),
+    )
+    canon = flags.withColumn(
+        "is_canonical",
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text")))),
+    )
+    sh = with_shingles(d).select(
+        "doc_id",
+        F.explode(F.transform("shingles", lambda s: md5_hash60(s))).alias("s"),
+    )
+    eval_sh = sh.where(F.col("doc_id") % _EVAL_MOD == 0).select("s").distinct()
+    contaminated = (
+        sh.where(F.col("doc_id") % _EVAL_MOD != 0)
+        .select("doc_id", "s")
+        .distinct()
+        .join(F.broadcast(eval_sh), "s")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    out = canon.join(contaminated, "doc_id", "left").select(
+        "doc_id",
+        "is_eval",
+        "pass_lang",
+        "pass_quality",
+        "pass_repetition",
+        "is_canonical",
+        F.coalesce("is_contaminated", F.lit(False)).alias("is_contaminated"),
+        (
+            ~F.col("is_eval")
+            & F.col("pass_lang")
+            & F.col("pass_quality")
+            & F.col("pass_repetition")
+            & F.col("is_canonical")
+            & ~F.coalesce("is_contaminated", F.lit(False))
+        ).alias("keep"),
+    )
+    return out

@@ -393,3 +393,36 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+PACK_BUDGET_TOKENS = 2048  # context-window budget for sequence packing
+
+
+@register(
+    "text_pack_sequences",
+    oracle=None,  # sequential greedy fold; invariants asserted in pytest
+    doc=f"Sequence packing for LLM training: documents are greedily "
+    f"packed, in deterministic doc_id order, into context windows of "
+    f"at most {PACK_BUDGET_TOKENS} tokens (whitespace tokenization "
+    "here; swap in the BPE count column for byte-exact budgets). "
+    "Direct reuse of the ingestion byte-budget chunker "
+    "(chunker.assign_chunks_by_bytes with size_col=n_tokens): "
+    "per-range greedy fold via Arrow-batched mapInPandas + broadcast "
+    "offset renumbering — two passes over the data, no global sort, "
+    "driver state O(#ranges). A document longer than the budget gets "
+    "its own pack (the strict pre-append rule), mirroring how "
+    "oversized training docs are isolated rather than silently "
+    "truncated.",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..chunker import CHUNK_COL, assign_chunks_by_bytes
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_words(F.col("text"))).alias("n_tokens")
+    )
+    packed = assign_chunks_by_bytes(
+        d, ["doc_id"], PACK_BUDGET_TOKENS, size_col="n_tokens"
+    )
+    return packed.select(
+        "doc_id", "n_tokens", F.col(CHUNK_COL).alias("pack_id")
+    )

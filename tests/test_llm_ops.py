@@ -241,3 +241,30 @@ def test_mm_audio_resample_plumbing(spark):
         assert 0.0 < r["rms"] <= 1.0
     rows2 = {r["doc_id"]: r for r in q.fn(spark, SF).collect()}
     assert rows == rows2
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Greedy packing invariants: every doc packed exactly once, no
+    pack exceeds the token budget unless it is a single oversized doc,
+    pack ids are contiguous from 0, and assignment is deterministic."""
+    from data_ingestion_pimcore_spark.ops.textops import (
+        PACK_BUDGET_TOKENS,
+        text_pack_sequences,
+    )
+
+    rows = text_pack_sequences(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+
+    packs: dict = {}
+    for r in rows:
+        packs.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    assert sorted(packs) == list(range(len(packs)))  # contiguous ids
+    for toks in packs.values():
+        assert sum(toks) <= PACK_BUDGET_TOKENS or len(toks) == 1
+
+    again = text_pack_sequences(spark, sf_dir).collect()
+    assert sorted((r["doc_id"], r["pack_id"]) for r in rows) == sorted(
+        (r["doc_id"], r["pack_id"]) for r in again
+    )
