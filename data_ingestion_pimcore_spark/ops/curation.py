@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load
+from ..tables import load, spread
 from .dedup import _SQL_SHINGLES
 from .textops import _SQL_STOPLIST, md5_hash60, sql_md5_hash60, with_shingles
 
@@ -256,7 +256,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import STOPWORDS, _words
     from pyspark.sql.window import Window
 
-    d = load(spark, sf_dir, "documents")
+    # spread(): the per-doc gates below are CPU-bound array expressions
+    # (the repetition gate is O(L²) per doc) — they must run at core
+    # parallelism, not at the small scan's split count.
+    d = spread(load(spark, sf_dir, "documents"))
     w = _words(F.col("text"))
     n_tokens = F.size(w)
     lang_ratio = (

@@ -216,8 +216,10 @@ def with_shingles(
     makes each lambda access an O(1) attribute read; CollapseProject
     keeps the alias because it is non-cheap and multi-referenced.
     """
+    from ..tables import spread
+
     w = F.col("__words")
-    staged = df.withColumn("__words", F.split(F.col(text_col), " "))
+    staged = spread(df).withColumn("__words", F.split(F.col(text_col), " "))
     idx = F.sequence(F.lit(0), F.size(w) - n)
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.get(w, i + k) for k in range(n)])

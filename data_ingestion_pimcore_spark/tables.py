@@ -47,3 +47,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         else:
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Re-balance a narrow scan for CPU-bound per-row work.
+
+    A small parquet table arrives as a handful of file splits (often
+    one), so expensive per-row expressions (shingling, per-doc O(L²)
+    gates, hash fans) would run at the scan's task count — serializing
+    on one core while 31 idle. When the input has materially fewer
+    partitions than the session's shuffle parallelism, pay one cheap
+    round-robin shuffle of the raw rows to unlock the cores. At real
+    scale the scan has plenty of splits and this is a no-op — the
+    condition, not the repartition, is the point.
+    """
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
