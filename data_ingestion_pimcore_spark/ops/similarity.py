@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load
+from ..tables import load, spread
 
 K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -103,6 +103,9 @@ SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {K}
     "window-group-limit.",
 )
 def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread: the codegen'd dot-product fan is cheap enough that an
+    # extra exchange costs more than single-split map time (A/B'd); the
+    # downstream window shuffle re-balances anyway.
     e = load(spark, sf_dir, "embeddings").withColumn(
         "__nsq", nsq_col(F.col("embedding"))
     )
@@ -216,7 +219,7 @@ def sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    local = e.select("vec_id", "embedding").mapInPandas(
+    local = spread(e.select("vec_id", "embedding")).mapInPandas(
         topk_per_batch, schema="query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -266,7 +269,7 @@ def _ivf_centroids(e: DataFrame, n_cells: int, iters: int = 2) -> np.ndarray:
                 )
                 yield out
 
-        assigned = e.select("embedding").mapInPandas(
+        assigned = spread(e.select("embedding")).mapInPandas(
             assign, schema="cell long, embedding array<float>"
         )
         agg = (
@@ -341,7 +344,7 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    local = e.select("vec_id", "embedding").mapInPandas(
+    local = spread(e.select("vec_id", "embedding")).mapInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
