@@ -104,9 +104,22 @@ def main() -> None:
 
     # Untimed warmup: first Spark job pays JVM JIT + vectorized-reader
     # class loading (~6 s) that every later query then skips; measure
-    # the engine, not one-time class loading.
+    # the engine, not one-time class loading. The applyInPandas probe
+    # additionally spins up the Python worker pool + Arrow serializer
+    # classes that the ingest pipeline and pandas-UDF queries share —
+    # a long-running service pays both exactly once.
     li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
     li.groupBy("l_returnflag").count().count()
+    import pandas as _pd
+
+    (
+        li.limit(256)
+        .groupBy("l_returnflag")
+        .applyInPandas(
+            lambda pdf: _pd.DataFrame({"n": [len(pdf)]}), schema="n long"
+        )
+        .count()
+    )
 
     timings: dict[str, float] = {}
 

@@ -267,3 +267,43 @@ def test_canonical_dumps_golden_bytes():
     )
     # null / bool spelling
     assert canonical_dumps({"x": None, "y": True}) == b'{"x":null,"y":true}'
+
+
+def test_state_store_wal_replay(tmp_path):
+    """Crash-recovery: commits appended to the WAL but not yet compacted
+    into the parquet snapshot must be recovered by a fresh store opened
+    on the same path (snapshot + log replay)."""
+    p = str(tmp_path / "st.parquet")
+    s1 = IngestionStateStore(p)
+    s1.update_chunk("ing-a", 0, 10)
+    s1.update_chunk("ing-a", 1, 20)
+    s1.update_chunk("ing-b", 5, 500)
+    # no compact/mark_completed — simulate a crash mid-ingestion
+
+    s2 = IngestionStateStore(p)
+    assert s2.get_last_chunk("ing-a") == 1
+    assert s2.get_total_records("ing-a") == 20
+    assert s2.get_last_chunk("ing-b") == 5
+    assert s2.get_status("ing-a") == "IN_PROGRESS"
+
+    s2.update_chunk("ing-a", 2, 30)
+    s2.mark_completed("ing-a")  # compacts: snapshot holds the fold
+    s3 = IngestionStateStore(p)
+    assert s3.get_last_chunk("ing-a") == 2
+    assert s3.get_status("ing-a") == "COMPLETED"
+    assert s3.get_last_chunk("ing-b") == 5
+    # unknown ingestion falls back to the reference defaults
+    assert s3.get_last_chunk("nope") == -1 and s3.get_total_records("nope") == 0
+
+
+def test_state_store_wal_torn_tail(tmp_path):
+    """A torn final WAL line (partial write at crash) is ignored; intact
+    earlier commits survive."""
+    p = str(tmp_path / "st.parquet")
+    s1 = IngestionStateStore(p)
+    s1.update_chunk("ing-a", 3, 99)
+    with open(p + ".log", "a", encoding="utf-8") as f:
+        f.write('{"ingestion_id": "ing-a", "last_chu')  # torn write
+    s2 = IngestionStateStore(p)
+    assert s2.get_last_chunk("ing-a") == 3
+    assert s2.get_total_records("ing-a") == 99
