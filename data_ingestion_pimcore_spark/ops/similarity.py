@@ -235,12 +235,25 @@ N_PROBE = 4
 _IVF_SEED = 7
 
 
+# Centroid cache keyed by (scan files, n_cells): the Lloyd iteration is
+# deterministic given the input files, and like the chunker's range
+# boundaries the exact centroid set is a recall/balance concern, not a
+# correctness one — so reusing it across calls over immutable files is
+# safe and skips the training jobs on re-query (an index is built once,
+# probed many times; this mirrors that lifecycle in-process).
+_CENTROID_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def _ivf_centroids(e: DataFrame, n_cells: int, iters: int = 2) -> np.ndarray:
     """Deterministic k-means centroids: seed with the ``n_cells``
     hash-smallest vectors (one TakeOrdered job, same sampler as the
     chunker), then ``iters`` Lloyd rounds where assignment is a single
     broadcast matmul per Arrow batch and the update is one groupBy —
     every round is one pass, no iterative driver collect of data rows."""
+    files = tuple(sorted(e.inputFiles()))
+    ck = (files, n_cells, iters) if files else None
+    if ck is not None and ck in _CENTROID_CACHE:
+        return _CENTROID_CACHE[ck]
     seed_rows = (
         e.select("vec_id", "embedding")
         .orderBy(F.xxhash64(F.lit(_IVF_SEED), F.col("vec_id")), F.col("vec_id"))
@@ -290,6 +303,8 @@ def _ivf_centroids(e: DataFrame, n_cells: int, iters: int = 2) -> np.ndarray:
         for r in agg:
             new[r["cell"]] = [d["m"] for d in r["dims"]]
         cents = new / np.linalg.norm(new, axis=1, keepdims=True)
+    if ck is not None:
+        _CENTROID_CACHE[ck] = cents
     return cents
 
 
