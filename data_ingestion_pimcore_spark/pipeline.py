@@ -209,7 +209,26 @@ def ingest(
     # mandated sequential, CV2) network emit. Payload bytes are the
     # canonical JSON the consumer re-hashes, so producer and consumer
     # share one canonicalizer end to end.
-    payloads = _chunk_payloads(pending, record_cols, order_cols).orderBy(CHUNK_COL)
+    payloads = _chunk_payloads(pending, record_cols, order_cols)
+    # Drain layout: toLocalIterator schedules ONE job per partition, so
+    # over-splitting the (few, large) payload rows pays per-job
+    # scheduling overhead — a default orderBy spread 150 chunks over 17
+    # partitions and the drain jobs cost more than the drain itself
+    # (~2.5 s at sf0.1). Explicit ascending range partitions sized at
+    # ~64 chunks each keep global order for the sequential emit, bound
+    # driver memory per prefetched partition (64 × payload cap), and
+    # scale the job count with the data. NOTE coalesce() would NOT
+    # preserve order here — under AQE it merges non-consecutive
+    # shuffle partitions.
+    if request.chunk_size_by_records is not None:
+        n_rows = df.count()  # parquet scans answer from footer stats
+        est_chunks = -(-n_rows // request.chunk_size_by_records)
+        n_parts = max(2, min(256, -(-est_chunks // 64)))
+        payloads = payloads.repartitionByRange(
+            n_parts, F.col(CHUNK_COL)
+        ).sortWithinPartitions(CHUNK_COL)
+    else:
+        payloads = payloads.orderBy(CHUNK_COL)
     chunks_sent, total_records = deliver_payloads(
         payloads, ingestion_id, state, transport, total_records, mark_last=True
     )
