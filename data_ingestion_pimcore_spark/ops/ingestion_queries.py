@@ -425,3 +425,68 @@ def source_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+WITH old_batch AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_clerk
+  FROM orders WHERE o_orderkey % 2 = 0
+), new_batch AS (
+  SELECT o_orderkey, o_totalprice, 'clerk_' || (o_orderkey % 7) AS o_clerk
+  FROM orders WHERE o_orderkey % 2 = 1
+), unioned AS (
+  SELECT * FROM old_batch UNION ALL SELECT * FROM new_batch
+)
+SELECT COALESCE(o_clerk, '<pre-migration>') AS clerk,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM unioned
+GROUP BY 1
+""",
+    doc="Schema evolution across parquet batches: an early batch written "
+    "without o_clerk and a later batch with it are read as ONE dataset "
+    "via mergeSchema — the standard lifecycle of a long-lived ingestion "
+    "landing zone where producers add columns over time. Spark "
+    "null-fills the missing column for old files at scan time (no "
+    "rewrite of historical data — the schema merge is footer-metadata "
+    "work, O(files), not O(bytes)); the oracle models the same merge "
+    "with a name-aligned union. Aggregating over the merged column "
+    "proves old and new batches stay queryable together.",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="src_evo_")
+    try:
+        o.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(f"{d}/batch=old")
+        o.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.concat(F.lit("clerk_"), (F.col("o_orderkey") % 7).cast("string")).alias(
+                "o_clerk"
+            ),
+        ).write.mode("overwrite").parquet(f"{d}/batch=new")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{d}/batch=old", f"{d}/batch=new"
+        )
+        out = (
+            merged.groupBy(
+                F.coalesce("o_clerk", F.lit("<pre-migration>")).alias("clerk")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
