@@ -238,8 +238,15 @@ def _drain(spark: SparkSession, df: DataFrame, prefix: str, mode: str) -> str:
     """Run a streaming DataFrame to completion (AvailableNow) into a
     memory sink; returns the sink table name. Pins shuffle/state
     partitions for the stream's lifetime and restores the session conf."""
+    import os
     import tempfile
 
+    # These drains mint a FRESH checkpoint per call (the query's life is
+    # one AvailableNow pass), so checkpoint durability buys nothing —
+    # put the state-store churn on tmpfs when available to take disk
+    # latency out of the drain. Long-lived production streams point
+    # checkpointLocation at durable storage instead.
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     name = f"{prefix}_{next(_STREAM_SEQ)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTITIONS)
@@ -248,7 +255,10 @@ def _drain(spark: SparkSession, df: DataFrame, prefix: str, mode: str) -> str:
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{prefix}_"))
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix=f"ckpt_{prefix}_", dir=ckpt_root),
+            )
             .trigger(availableNow=True)
             .start()
         )
