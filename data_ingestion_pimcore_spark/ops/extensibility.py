@@ -292,3 +292,61 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS max_abs,
+         LEN(embedding) AS dim
+  FROM embeddings
+)
+SELECT vec_id, dim,
+       CAST(FLOOR(max_abs * 1000000) AS BIGINT) AS scale_micro
+FROM q
+""",
+    doc="mapInArrow extension point (the third Arrow API next to the "
+    "pandas UDF/UDAF/UDTF): per-vector int8 quantization scale derived "
+    "with pyarrow compute directly on RecordBatches — no pandas "
+    "conversion at all, the zero-copy path for binary/tensor columns. "
+    "The arithmetic (per-vector max |v|, the symmetric-quantization "
+    "scale, emitted as floor-to-micro integers so both engines agree "
+    "bit-exactly) is deliberately SQL-expressible so the oracle checks the "
+    "Arrow machinery end-to-end; the real workload swaps in the "
+    "full quantize kernel with the same batch shape.",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def scales(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for b in batches:
+            emb = b.column(b.schema.get_field_index("embedding"))
+            flat = pc.abs(pc.list_flatten(emb))
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            import numpy as np
+
+            vals = flat.to_numpy(zero_copy_only=False)
+            # per-list max via reduceat on the flattened values
+            starts = offs[:-1]
+            max_abs = np.maximum.reduceat(vals, starts)
+            dims = (offs[1:] - starts).astype("int64")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("vec_id")),
+                    pa.array(dims, pa.int64()),
+                    pa.array(
+                        np.floor(max_abs.astype("float64") * 1_000_000).astype(
+                            "int64"
+                        )
+                    ),
+                ],
+                names=["vec_id", "dim", "scale_micro"],
+            )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(scales, schema="vec_id long, dim long, scale_micro long")
