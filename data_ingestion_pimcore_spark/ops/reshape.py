@@ -122,3 +122,68 @@ def reshape_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_sampled"), dsum("l_quantity", "sum_qty"))
     )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "profile_column_stats",
+    oracle="""
+SELECT 'l_quantity' AS col, COUNT(*) AS n_rows,
+       CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice),
+       COUNT(DISTINCT l_extendedprice),
+       CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*), COUNT(l_discount), COUNT(DISTINCT l_discount),
+       CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', COUNT(*), COUNT(l_tax), COUNT(DISTINCT l_tax),
+       CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE)
+FROM lineitem
+""",
+    doc="Column profiling (the ANALYZE/data-quality pass every warehouse "
+    "runs before heavy queries): per-column row/non-null/distinct "
+    "counts and min/max, computed in ONE scan — a single wide "
+    "aggregate row (count_distinct expands to per-column partial "
+    "aggregates map-side), then unpivoted driver-side from one row. "
+    "The oracle re-scans per column; the engine plan reads the table "
+    "once no matter how many columns are profiled, which is the "
+    "difference that matters at 100 TB.",
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.count(c).alias(f"{c}__n_nonnull"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(c).cast("double").alias(f"{c}__min_val"),
+            F.max(c).cast("double").alias(f"{c}__max_val"),
+        ]
+    row = li.agg(*aggs).collect()[0]
+    out = [
+        (
+            c,
+            row[f"{c}__n_rows"],
+            row[f"{c}__n_nonnull"],
+            row[f"{c}__n_distinct"],
+            row[f"{c}__min_val"],
+            row[f"{c}__max_val"],
+        )
+        for c in _PROFILE_COLS
+    ]
+    return spark.createDataFrame(
+        out,
+        "col string, n_rows long, n_nonnull long, n_distinct long, "
+        "min_val double, max_val double",
+    )
