@@ -939,6 +939,11 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderstatus")
         .withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(_N_SALTS)])))
+        # shuffle_hash: the salted join's point is reducer balance, and a
+        # hash join gets it without SMJ's sort of BOTH exploded sides
+        # (~2x here). Build side = this exploded dim; at scale keep the
+        # build side the smaller input so per-reducer hash maps fit.
+        .hint("shuffle_hash")
     )
     joined = li.join(
         o,
