@@ -144,7 +144,14 @@ def _partitioned(
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    withpid, n_ranges = _deterministic_pid(df, order_cols, parts)
+    # Range ids only need a PREFIX of the order: ties on the prefix stay
+    # co-located (the within-partition sort totalizes), and a 1–2 column
+    # boundary key keeps the binary-search comparison tree ~4x smaller
+    # than the full 4-column struct — cheaper codegen (cold) and
+    # per-row evaluation (warm), plus a column-pruned sample scan. Two
+    # columns guard against a low-cardinality leading column collapsing
+    # the ranges.
+    withpid, n_ranges = _deterministic_pid(df, order_cols[:2], parts)
     return (
         withpid.repartition(n_ranges, F.col(_PID)).sortWithinPartitions(
             _PID, *order_cols
