@@ -301,3 +301,40 @@ def test_pii_scrub_is_pure_codegen_projection(spark):
     assert "Exchange" not in tree
     assert "[codegen id :" in plan  # every operator codegen-fused
     assert "Python" not in tree  # built-in regexp fns, not UDFs
+
+
+def test_curation_pipeline_broadcasts_probe_and_single_window(spark):
+    plan = plan_of(spark, "curation_pipeline")
+    tree = tree_of(spark, "curation_pipeline")
+    # eval shingle set and contaminated-id set both broadcast — the
+    # corpus is never shuffled against the eval side
+    assert tree.count("BroadcastExchange") == 2
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # exact-dup canonicalization is the only window (one hash exchange)
+    assert tree.count("Window") == 1
+    # all three per-doc gates fold into map-side projections: no
+    # aggregate feeds the flags side
+    assert "pass_lang" in plan and "pass_repetition" in plan
+
+
+def test_salted_skew_uses_hash_join_not_smj(spark):
+    tree = tree_of(spark, "join_salted_skew")
+    assert "ShuffledHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_stream_static_join_broadcasts_dim(spark, tmp_path):
+    # build the streaming plan without draining it: broadcast of the
+    # static side must appear in the logical-to-physical translation
+    from data_ingestion_pimcore_spark.ops.timeseries import _events_stream
+
+    dim = spark.createDataFrame(
+        [("click", "engagement")], "event_type string, tier string"
+    )
+    stream = _events_stream(spark, SF).select("event_type", "value")
+    joined = stream.join(F.broadcast(dim), "event_type")
+    # streaming DataFrames can't explain() until a sink starts; assert
+    # on the analyzed plan's join hint instead
+    assert "UnresolvedHint BROADCAST" in joined._jdf.queryExecution().logical().toString() or \
+           "broadcast" in joined._jdf.queryExecution().analyzed().toString().lower()
