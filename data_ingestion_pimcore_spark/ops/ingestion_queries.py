@@ -490,3 +490,116 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "source_corrupt_quarantine",
+    oracle=f"""
+SELECT CASE WHEN doc_id % 10 = 3 THEN 'quarantined' ELSE 'parsed' END AS bucket,
+       COUNT(*) AS n_records,
+       CAST(SUM(CASE WHEN doc_id % 10 = 3 THEN 0 ELSE doc_id END) AS BIGINT)
+         AS sum_good_ids
+FROM documents
+WHERE doc_id < 400
+GROUP BY 1
+""",
+    doc="Corrupt-record quarantine (dead-letter path): a JSONL batch "
+    "where every doc_id % 10 == 3 line is truncated mid-record is read "
+    "in PERMISSIVE mode with columnNameOfCorruptRecord — bad lines land "
+    "in the quarantine column with their raw bytes intact instead of "
+    "failing the job (the reference aborts the whole ingestion on a "
+    "parse error; at 100 TB you quarantine and continue, then replay "
+    "the dead-letter set after the producer fix). Counts and the "
+    "good-id checksum are oracle-checked from the seeding rule.",
+)
+def source_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    rows = docs.select("doc_id").collect()
+    d = tempfile.mkdtemp(prefix="src_corrupt_")
+    try:
+        path = f"{d}/batch.jsonl"
+        with open(path, "w", encoding="utf-8") as f:
+            for r in rows:
+                i = r["doc_id"]
+                line = f'{{"doc_id": {i}, "payload": "rec-{i}"}}'
+                if i % 10 == 3:
+                    line = line[: len(line) // 2]  # truncated mid-record
+                f.write(line + "\n")
+        parsed = (
+            spark.read.schema("doc_id long, payload string, _bad string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .json(path)
+        )
+        out = (
+            parsed.select(
+                F.when(F.col("_bad").isNotNull(), "quarantined")
+                .otherwise("parsed")
+                .alias("bucket"),
+                F.coalesce("doc_id", F.lit(0)).alias("good_id"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.sum("good_id").alias("sum_good_ids"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "ingest_incremental_files",
+    oracle="""
+SELECT CAST(o_orderkey % 3 AS BIGINT) AS batch_no,
+       COUNT(*) AS n_new,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderkey % 3 != 0
+GROUP BY 1
+""",
+    doc="File-level incremental ingest (the daily-landing-zone pattern): "
+    "three batch files arrive; a processed-files manifest already "
+    "contains batch 0, so the engine lists the directory, anti-joins "
+    "input_file_name() against the manifest, and processes only the "
+    "new files — no re-read of historical data beyond the listing "
+    "(file pruning is metadata work; the manifest is broadcast-sized "
+    "at any realistic file count). This is the batch-mode twin of the "
+    "streaming source's checkpointed file tracking, and the file-"
+    "granular coarsening of the reference's chunk-level resume (K3).",
+)
+def ingest_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="src_incr_")
+    try:
+        for b in range(3):
+            o.where(F.col("o_orderkey") % 3 == b).select(
+                "o_orderkey", "o_totalprice"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{d}/batch_{b}")
+        landed = spark.read.parquet(f"{d}/batch_*").withColumn(
+            "__file", F.input_file_name()
+        )
+        manifest = spark.createDataFrame(
+            [(f,) for f in spark.read.parquet(f"{d}/batch_0").inputFiles()],
+            "__file string",
+        )
+        fresh = landed.join(F.broadcast(manifest), "__file", "left_anti")
+        out = (
+            fresh.groupBy((F.col("o_orderkey") % 3).alias("batch_no"))
+            .agg(
+                F.count(F.lit(1)).alias("n_new"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
