@@ -121,24 +121,83 @@ def _minhash_pairs_for(corpus):
 
 
 def test_multimodal_plumbing_deterministic(spark):
+    from data_ingestion_pimcore_spark.ops.multimodal import attach_image_payload
+
     d = load(spark, SF, "documents").limit(50)
-    f1 = extract_features(attach_binary_payload(d))
-    f2 = extract_features(attach_binary_payload(d.repartition(7)))
-    rows1 = {r["doc_id"]: (r["content_hash"], r["width"], r["height"], tuple(r["features"])) for r in f1.collect()}
-    rows2 = {r["doc_id"]: (r["content_hash"], r["width"], r["height"], tuple(r["features"])) for r in f2.collect()}
+    f1 = extract_features(attach_image_payload(d))
+    f2 = extract_features(attach_image_payload(d.repartition(7)))
+    key = lambda r: (r["content_hash"], r["w"], r["h"], r["pixel_sum"])
+    rows1 = {r["doc_id"]: key(r) for r in f1.collect()}
+    rows2 = {r["doc_id"]: key(r) for r in f2.collect()}
     assert rows1 == rows2  # partitioning must not change decode results
-    assert all(len(v[3]) == 8 for v in rows1.values())
 
 
-def test_multimodal_decode_stub_gate():
+def test_bmp_codec_roundtrip():
+    """Real BMP codec: encode→decode is the identity for every width
+    mod-4 padding class, non-BMP bytes are rejected, and top-down
+    (negative-height) BMPs from other producers decode correctly."""
+    import struct
+
+    import numpy as np
     import pytest
 
-    from data_ingestion_pimcore_spark.ops.multimodal import decode_image_batch
+    from data_ingestion_pimcore_spark.ops.multimodal import (
+        bmp_row_size,
+        decode_bmp,
+        encode_bmp,
+        synth_pixels,
+    )
 
-    with pytest.raises(NotImplementedError):
-        decode_image_batch(b"xx")  # real codec absent in this container
-    w, h, feats = decode_image_batch(b"xx", fake=True)
-    assert 64 <= w < 256 and 64 <= h < 256 and len(feats) == 8
+    rng = np.random.default_rng(7)
+    for w in (4, 5, 6, 7, 16):  # covers all row-padding residues
+        px = rng.integers(0, 256, size=(9, w), dtype=np.uint8)
+        blob = encode_bmp(px)
+        assert blob[:2] == b"BM"
+        assert len(blob) == 54 + 9 * bmp_row_size(w)
+        assert (decode_bmp(blob) == px).all()
+    with pytest.raises(ValueError):
+        decode_bmp(b"xx" + bytes(60))
+    # top-down variant (negative height) — produced by some encoders
+    px = synth_pixels(42)
+    h_, w_ = px.shape
+    blob = bytearray(encode_bmp(px[::-1]))  # rows already top-down
+    blob[22:26] = struct.pack("<i", -h_)
+    assert (decode_bmp(bytes(blob)) == px).all()
+
+
+def test_wav_codec_roundtrip():
+    """Real WAV codec: encode→decode identity incl. int16 extremes;
+    header carries the sample rate."""
+    import numpy as np
+
+    from data_ingestion_pimcore_spark.ops.multimodal import (
+        decode_wav,
+        encode_wav,
+        synth_samples,
+    )
+
+    pcm = np.array([-32768, -1, 0, 1, 32767, 12345], dtype=np.int16)
+    sr, back = decode_wav(encode_wav(pcm, sr=8000))
+    assert sr == 8000 and (back == pcm).all()
+    s = synth_samples(3)
+    sr, back = decode_wav(encode_wav(s))
+    assert sr == 16000 and (back == s).all()
+
+
+def test_resize_nearest_matches_reference():
+    """NN resize uses floor index mapping — spot-check against a
+    hand-computed mapping and shape contract."""
+    import numpy as np
+
+    from data_ingestion_pimcore_spark.ops.multimodal import resize_nearest
+
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)  # h=3, w=4
+    out = resize_nearest(px, 2, 2)
+    # x: 0→0, 1→2 ; y: 0→0, 1→1
+    assert out.tolist() == [[0, 2], [4, 6]]
+    up = resize_nearest(px, 8, 6)
+    assert up.shape == (6, 8)
+    assert (np.unique(up) == np.unique(px)[np.isin(np.unique(px), up)]).all()
 
 
 def test_jaccard_pairs_are_symmetric_free(spark):
@@ -168,22 +227,13 @@ def test_sim_knn_ivf_recall_vs_bruteforce(spark):
         assert abs(got[k] - truth[k]) < 1e-9
 
 
-def test_mm_resize_and_frame_stub_gates():
+def test_mm_frame_stub_gate():
     import pytest as _pytest
 
-    from data_ingestion_pimcore_spark.ops.multimodal import (
-        resize_image_batch,
-        sample_frames_batch,
-    )
+    from data_ingestion_pimcore_spark.ops.multimodal import sample_frames_batch
 
     with _pytest.raises(NotImplementedError):
-        resize_image_batch(b"xx", 224, 224)
-    with _pytest.raises(NotImplementedError):
-        sample_frames_batch(b"xx", 5000, 1000)
-    # fake path is deterministic
-    assert resize_image_batch(b"xx", 224, 224, fake=True) == resize_image_batch(
-        b"xx", 224, 224, fake=True
-    )
+        sample_frames_batch(b"xx", 5000, 1000)  # ffmpeg genuinely absent
     frames = sample_frames_batch(b"xx", 3500, 1000, fake=True)
     assert [t for t, _ in frames] == [0, 1000, 2000, 3000]
 
@@ -228,8 +278,9 @@ def test_agg_approx_within_tolerance(spark):
 
 
 def test_mm_audio_resample_plumbing(spark):
-    """Stubbed audio path: one output row per clip, decimation halves
-    the sample count (16 kHz → 8 kHz, step 2), deterministic re-run."""
+    """Real WAV path: one output row per clip, decimation halves the
+    sample count (16 kHz → 8 kHz, step 2), n_samples_in comes from the
+    genuinely decoded WAV header/frames, deterministic re-run."""
     from data_ingestion_pimcore_spark.registry import all_queries
 
     q = all_queries()["mm_audio_resample"]
@@ -237,8 +288,10 @@ def test_mm_audio_resample_plumbing(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert len(rows) == min(docs, 500)
     for r in rows.values():
+        assert r["sr_in"] == 16000 and r["sr_out"] == 8000
+        assert r["n_samples_in"] == 800 + (r["doc_id"] * 37) % 800
         assert r["n_samples_out"] == (r["n_samples_in"] + 1) // 2
-        assert 0.0 < r["rms"] <= 1.0
+        assert 0 < r["peak"] <= 32768
     rows2 = {r["doc_id"]: r for r in q.fn(spark, SF).collect()}
     assert rows == rows2
 
