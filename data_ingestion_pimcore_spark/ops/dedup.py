@@ -33,6 +33,17 @@ N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
+# Stop-shingle document-frequency cap: a shingle appearing in L docs
+# contributes L² candidate pairs under ANY exact posting-list scheme, so
+# boilerplate-heavy corpora (headers, licenses) blow up one posting list.
+# Shingles with df > DF_CAP are dropped BEFORE pair generation — the
+# production MinHashLSH/suffix-dedup convention. 128 is ~5× the max
+# organic df observed at sf0.1 (25), so results are unchanged at test
+# scales while an adversarial stop-shingle is bounded at DF_CAP² pairs.
+# Jaccard denominators still use the full (uncapped) shingle-set sizes;
+# intersections count capped shingles only — mirrored in the oracle.
+DF_CAP = 128
+
 _SQL_SHINGLES = """
   CASE WHEN LEN(string_split(text, ' ')) >= 3
        THEN list_distinct(list_transform(
@@ -67,38 +78,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-WITH sh AS (
-  SELECT doc_id,
-         LEN({_SQL_SHINGLES}) AS n,
-         unnest(list_transform({_SQL_SHINGLES},
-                               s -> {sql_md5_hash60('s')})) AS s
-  FROM documents
-), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b,
-       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-FROM pairs
-WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
-""",
-    doc="N-gram Jaccard near-dup via a single-pass inverted shingle "
-    "index: shingles (md5-hashed to 60-bit longs — 8-byte shuffle keys "
-    "instead of strings) group into posting lists, pairs are generated "
-    "inside each list, intersections counted per pair, |A∩B|/|A∪B| ≥ τ. "
-    "Shingling runs ONCE (the naive self-join recomputes it for both "
-    "sides plus the size aggregate); no cross join anywhere. Skew note "
-    "for 100 TB: a stop-shingle with document frequency L contributes "
-    "L² pairs under ANY exact algorithm — production corpora drop "
-    "shingles above a df cap before this step.",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = with_shingles(load(spark, sf_dir, "documents"))
+def jaccard_pairs(
+    docs: DataFrame, df_cap: int = DF_CAP, threshold: float = 0.2
+) -> DataFrame:
+    """Inverted-index n-gram Jaccard pairs over a documents-shaped DF.
+
+    Shingles above ``df_cap`` document frequency are dropped before
+    pair generation (skew bound: one posting list can emit at most
+    df_cap² pairs); denominators keep the uncapped per-doc sizes.
+    """
+    d = with_shingles(docs)
     # sizes come from the array BEFORE exploding — no per-doc aggregate.
     sh = d.select(
         F.col("doc_id"),
@@ -106,11 +95,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.transform("shingles", lambda s: md5_hash60(s))).alias("s"),
     )
     # Posting list per shingle, sorted so generated pairs satisfy
-    # doc_a < doc_b by construction; lists of 1 produce no pairs.
+    # doc_a < doc_b by construction; lists of 1 produce no pairs, lists
+    # above the df cap are stop-shingles and are dropped entirely.
     lists = (
         sh.groupBy("s")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
-        .where(F.size("ds") > 1)
+        .where((F.size("ds") > 1) & (F.size("ds") <= F.lit(df_cap)))
     )
     pair_structs = F.flatten(
         F.transform(
@@ -132,7 +122,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return pairs.where(jac >= 0.2).select("doc_a", "doc_b", jac.alias("jaccard"))
+    return pairs.where(jac >= threshold).select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         LEN({_SQL_SHINGLES}) AS n,
+         unnest(list_transform({_SQL_SHINGLES},
+                               s -> {sql_md5_hash60('s')})) AS s
+  FROM documents
+), keep AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {DF_CAP}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN keep k ON k.s = a.s
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
+""",
+    doc="N-gram Jaccard near-dup via a single-pass inverted shingle "
+    "index: shingles (md5-hashed to 60-bit longs — 8-byte shuffle keys "
+    "instead of strings) group into posting lists, pairs are generated "
+    "inside each list, intersections counted per pair, |A∩B|/|A∪B| ≥ τ. "
+    "Shingling runs ONCE (the naive self-join recomputes it for both "
+    "sides plus the size aggregate); no cross join anywhere. Skew bound "
+    f"for 100 TB: shingles with document frequency > {DF_CAP} are "
+    "stop-shingles, dropped before pair generation (a df-L shingle "
+    "yields L² pairs under any exact algorithm) — mirrored in the "
+    "oracle and property-tested against an adversarial corpus.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(load(spark, sf_dir, "documents"))
 
 
 def _sig_expr(i: int):
@@ -381,10 +411,13 @@ sh AS (
          unnest(list_transform({_SQL_SHINGLES},
                                s -> {sql_md5_hash60('s')})) AS s
   FROM documents
+), keep AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {DF_CAP}
 ), jpairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb, COUNT(*) AS inter
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN keep k ON k.s = a.s
   GROUP BY a.doc_id, b.doc_id
 ), jedges AS (
   SELECT doc_a AS src, doc_b AS dst FROM jpairs

@@ -200,6 +200,23 @@ def test_resize_nearest_matches_reference():
     assert (np.unique(up) == np.unique(px)[np.isin(np.unique(px), up)]).all()
 
 
+def test_jaccard_df_cap_bounds_skew(spark):
+    """Adversarial corpus: one stop-shingle in 100% of docs. With the
+    df cap the posting list is dropped and NO quadratic pair set is
+    generated; without it the same corpus yields n(n-1)/2 pairs."""
+    from data_ingestion_pimcore_spark.ops.dedup import jaccard_pairs
+
+    n = 100
+    docs = spark.createDataFrame(
+        [(i, f"common one two w{i} x{i} y{i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    capped = jaccard_pairs(docs, df_cap=10, threshold=0.0)
+    assert capped.count() == 0  # stop-shingle dropped, uniques collide nowhere
+    uncapped = jaccard_pairs(docs, df_cap=10_000, threshold=0.0)
+    assert uncapped.count() == n * (n - 1) // 2  # the blow-up the cap prevents
+
+
 def test_jaccard_pairs_are_symmetric_free(spark):
     """Pair output is canonical (doc_a < doc_b) with no self-pairs."""
     pairs = dedup_ngram_jaccard(spark, SF).collect()
