@@ -24,15 +24,21 @@ cross-job shuffle determinism:
   tiny broadcast join — the classic zipWithIndex pattern, two passes
   over the data, driver state O(#ranges).
 * Count-based chunking is then a pure projection ``floor((rn-1)/N)``.
-* Byte-budget chunking runs the (inherently sequential) greedy fold
-  per range via Arrow-batched ``mapInPandas``, then renumbers local
-  chunk ids into a global sequence with the same offset mechanism.
-  Each range starts a fresh chunk, so boundaries can differ from a
-  strict single-stream greedy — but every reference invariant holds:
-  budget never exceeded (except a single record alone above budget,
-  which gets its own chunk, matching the pre-append check in
-  `json_reader.py:129-136`), no empty chunks, contiguous global
-  numbering in order.
+* Byte-budget chunking is EPOCH'd greedy: the exact global row number
+  defines fixed epochs of ``epoch_rows`` records, and the (inherently
+  sequential) greedy fold runs per epoch via Arrow-batched
+  ``mapInPandas``, renumbered globally with the same offset mechanism.
+  A fresh chunk starts at every epoch boundary, so chunk membership is
+  a PURE FUNCTION of (data, order, budget, epoch_rows) — independent
+  of sampling, caching, partitioning, or process restarts, which is
+  what makes byte-mode resume (K3) reproducible across crashed and
+  fresh runs. Every reference invariant holds: budget never exceeded
+  (except a single record alone above budget, which gets its own
+  chunk, matching the pre-append check in `json_reader.py:129-136`),
+  no empty chunks, contiguous global numbering in order. Epochs have
+  identical row counts, so the fold stage is balanced by construction;
+  driver offset state is O(#epochs) — raise ``epoch_rows`` (1M+) at
+  trillion-row scale to keep that map small.
 """
 
 from __future__ import annotations
@@ -65,14 +71,26 @@ def _boundary_lit(df: DataFrame, order_cols: list[str], values: tuple) -> Column
     return F.struct(*fields)
 
 
-# Boundary cache, keyed by (scan files, key cols, range count). Range
-# boundaries are correctness-NEUTRAL — any boundary set yields the same
-# total order and chunk assignment (boundaries only balance load) — so
-# reusing them across queries over the same immutable files is safe and
-# drops a per-call sampling job (~0.7 s at sf0.1). In-memory/local
-# relations report no input files and are never cached.
+# Boundary cache, keyed by (scan files, analyzed-plan semantic hash,
+# key cols, range count). Range boundaries are correctness-NEUTRAL for
+# everything built here: the global row number is boundary-independent
+# (per-range counts become offsets whatever the ranges are), count-mode
+# chunks are a pure function of rn, and byte-mode chunks restart at
+# fixed rn epochs — so boundaries only balance load. The semantic hash
+# keeps two different row sets over the same files (e.g. a filtered
+# source) from aliasing one entry, which would skew balance. Assumes
+# immutable files (the Spark norm); in-memory/local relations report no
+# input files and are never cached.
 _BOUNDARY_CACHE: dict[tuple, list] = {}
 _BOUNDARY_CACHE_MAX = 64
+
+
+def _plan_discriminator(df: DataFrame) -> int:
+    """Semantic hash of the analyzed plan — distinguishes row sets."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # Spark Connect or API drift: disable caching
+        return id(df)
 
 
 def _sampled_boundaries(
@@ -80,7 +98,11 @@ def _sampled_boundaries(
 ) -> list[tuple]:
     """Deduped range-boundary tuples for ``order_cols`` (len ≤ ranges-1)."""
     files = tuple(sorted(df.inputFiles()))
-    ck = (files, tuple(order_cols), num_ranges) if files else None
+    ck = (
+        (files, _plan_discriminator(df), tuple(order_cols), num_ranges)
+        if files
+        else None
+    )
     if ck is not None and ck in _BOUNDARY_CACHE:
         return _BOUNDARY_CACHE[ck]
     k = _SAMPLE_PER_RANGE * num_ranges
@@ -136,28 +158,6 @@ def _deterministic_pid(
         return F.when(key > b, rec(mid + 1, hi)).otherwise(rec(lo, mid))
 
     return df.withColumn(_PID, rec(0, len(uniq))), len(uniq) + 1
-
-
-def _partitioned(
-    df: DataFrame, order_cols: list[str], num_partitions: int | None
-) -> tuple[DataFrame, int]:
-    parts = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    # Range ids only need a PREFIX of the order: ties on the prefix stay
-    # co-located (the within-partition sort totalizes), and a 1–2 column
-    # boundary key keeps the binary-search comparison tree ~4x smaller
-    # than the full 4-column struct — cheaper codegen (cold) and
-    # per-row evaluation (warm), plus a column-pruned sample scan. Two
-    # columns guard against a low-cardinality leading column collapsing
-    # the ranges.
-    withpid, n_ranges = _deterministic_pid(df, order_cols[:2], parts)
-    return (
-        withpid.repartition(n_ranges, F.col(_PID)).sortWithinPartitions(
-            _PID, *order_cols
-        ),
-        n_ranges,
-    )
 
 
 def _offsets_df(counts: list[tuple[int, int]], spark, value_col: str) -> DataFrame:
@@ -240,35 +240,62 @@ def assign_chunks_by_count(
     ).drop(_RN)
 
 
+DEFAULT_EPOCH_ROWS = 8192
+
+
 def assign_chunks_by_bytes(
     df: DataFrame,
     order_cols: list[str],
     byte_budget: int,
     size_col: str | None = None,
     num_partitions: int | None = None,
+    epoch_rows: int = DEFAULT_EPOCH_ROWS,
 ) -> DataFrame:
     """Greedy byte-budget chunking (reference byte-mode C1, strict
     pre-append check): a chunk is flushed *before* a record that would
     push it past ``byte_budget``.
+
+    Epoch'd for determinism + parallelism: the exact global row number
+    splits the stream into fixed ``epoch_rows`` epochs, the greedy fold
+    restarts fresh at each epoch, and local chunk ids renumber globally
+    via broadcast offsets. Chunk membership is a pure function of
+    (data, order, budget, epoch_rows) — reproducible across processes,
+    partitionings, and cache states, which byte-mode resume requires.
 
     Adds ``record_bytes`` (canonical serialized size, C2) unless
     ``size_col`` names an existing column.
     """
     from .integrity import record_bytes_col
 
-    part, _ = _partitioned(df, order_cols, num_partitions)
+    late = None
     if size_col is None:
         # Post-exchange (see global_row_number.late_project): the
         # serialization-size projection runs at shuffle parallelism,
         # not at the scan's (possibly 1-task) split count.
-        part = part.withColumn("record_bytes", record_bytes_col(df))
         size_col = "record_bytes"
+        late = lambda d: d.withColumn("record_bytes", record_bytes_col(df))
+
+    withrn = global_row_number(
+        df,
+        order_cols,
+        _RN,
+        num_partitions,
+        pid_cols=order_cols[:2],
+        late_project=late,
+    )
+    part = (
+        withrn.withColumn(
+            _PID, F.floor((F.col(_RN) - 1) / F.lit(int(epoch_rows))).cast("long")
+        )
+        .repartition(F.col(_PID))
+        .sortWithinPartitions(_PID, _RN)
+    )
 
     out_schema = StructType(part.schema.fields + [StructField(_LOCAL_CHUNK, LongType())])
     budget = int(byte_budget)
 
     def greedy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        state: dict[int, tuple[int, int]] = {}  # pid → (chunk, cur_bytes)
+        state: dict[int, tuple[int, int]] = {}  # epoch → (chunk, cur_bytes)
         for pdf in batches:
             pdf = pdf.copy()
             out = []
@@ -295,5 +322,5 @@ def assign_chunks_by_bytes(
     return (
         local.join(offsets, _PID)
         .withColumn(CHUNK_COL, (F.col(_LOCAL_CHUNK) + F.col("__offset")).cast("long"))
-        .drop(_PID, _LOCAL_CHUNK, "__offset")
+        .drop(_PID, _LOCAL_CHUNK, "__offset", _RN)
     )

@@ -229,19 +229,107 @@ def ingest_record_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BYTE_BUDGET = 64 * 1024
+_EPOCH_ROWS = 8192
+
+
+def _sql_greedy_chunks(
+    source_sql: str, budget: int, epoch_rows: int, select: str
+) -> str:
+    """DuckDB mirror of the epoch'd greedy byte chunker.
+
+    ``source_sql`` must yield (rn, record_bytes) in total order. The
+    greedy fold is re-expressed without iteration over rows: within an
+    epoch, a chunk starting at row s ends at the LAST row whose
+    cumulative byte sum fits in csum(s-1) + budget (ASOF join on the
+    strictly-increasing csum), so chunk starts form a pointer chain the
+    recursive CTE walks one CHUNK per step — #chunks iterations, not
+    #rows.
+    """
+    return f"""
+WITH RECURSIVE
+li AS ({source_sql}),
+p AS (
+  SELECT rn, record_bytes,
+         CAST(FLOOR((rn - 1) / {epoch_rows}) AS BIGINT) AS epoch,
+         SUM(record_bytes) OVER (
+            PARTITION BY CAST(FLOOR((rn - 1) / {epoch_rows}) AS BIGINT)
+            ORDER BY rn) AS csum
+  FROM li
+),
+ep AS (SELECT epoch, MIN(rn) AS first_rn, MAX(rn) AS last_rn
+       FROM p GROUP BY epoch),
+nexts AS (
+  SELECT a.rn, a.epoch, e.last_rn,
+         GREATEST(COALESCE(b.rn, a.rn), a.rn) + 1 AS next_start
+  FROM p a
+  JOIN ep e ON e.epoch = a.epoch
+  ASOF LEFT JOIN p b
+    ON b.epoch = a.epoch AND b.csum <= a.csum - a.record_bytes + {budget}
+),
+ch(epoch, k, start_rn) AS (
+  SELECT epoch, CAST(0 AS BIGINT), first_rn FROM ep
+  UNION ALL
+  SELECT c.epoch, c.k + 1, n.next_start
+  FROM ch c JOIN nexts n ON n.epoch = c.epoch AND n.rn = c.start_rn
+  WHERE n.next_start <= n.last_rn
+),
+numbered AS (
+  SELECT epoch, k,
+         ROW_NUMBER() OVER (ORDER BY epoch, k) - 1 AS chunk_number
+  FROM ch
+),
+assigned AS (
+  SELECT p.rn, p.record_bytes, n.chunk_number
+  FROM p ASOF JOIN (SELECT c.epoch, c.start_rn, m.chunk_number
+                    FROM ch c JOIN numbered m USING (epoch, k)) n
+    ON n.epoch = p.epoch AND n.start_rn <= p.rn
+)
+{select}
+"""
+
+
 @register(
     "ingest_chunk_by_bytes",
-    oracle=None,  # partition-local greedy: invariants asserted in tests
-    doc="Byte-budget chunker (C1 byte mode): per-chunk totals. Greedy "
-    "fold runs per ordered partition (Arrow-batched), renumbered "
+    oracle=_sql_greedy_chunks(
+        f"""
+  SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn,
+         CAST(STRLEN({_CANON_SQL}) AS BIGINT) AS record_bytes
+  FROM lineitem
+""",
+        _BYTE_BUDGET,
+        _EPOCH_ROWS,
+        """
+SELECT chunk_number,
+       COUNT(*) AS n_records,
+       CAST(SUM(record_bytes) AS BIGINT) AS chunk_bytes,
+       CAST(MAX(record_bytes) AS BIGINT) AS max_record_bytes
+FROM assigned GROUP BY chunk_number
+""",
+    ),
+    doc="Byte-budget chunker (C1 byte mode): per-chunk totals. Epoch'd "
+    "greedy — exact global row number defines fixed epochs, the greedy "
+    "fold (Arrow-batched mapInPandas) restarts per epoch, renumbered "
     "globally — budget strictly respected except single oversized "
-    "records (pre-append check semantics, json_reader.py:129-136).",
+    "records (pre-append check semantics, json_reader.py:129-136). "
+    "Chunk membership is a pure function of data+order, so the DuckDB "
+    "oracle replays it exactly (ASOF-join chunk ends + recursive "
+    "pointer chase, one iteration per chunk). Sizes here are canonical-"
+    "string bytes (cross-engine stable); the pipeline path defaults to "
+    "JSON payload bytes.",
 )
 def ingest_chunk_by_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    # size_col=None → assign_chunks_by_bytes derives record_bytes
-    # post-exchange, at shuffle parallelism (see chunker docstring).
-    chunked = assign_chunks_by_bytes(li, _LI_ORDER, byte_budget=64 * 1024)
+    sized = li.withColumn(
+        "record_bytes", F.octet_length(canonical_string_col(li)).cast("long")
+    )
+    chunked = assign_chunks_by_bytes(
+        sized,
+        _LI_ORDER,
+        byte_budget=_BYTE_BUDGET,
+        size_col="record_bytes",
+        epoch_rows=_EPOCH_ROWS,
+    )
     return (
         chunked.groupBy("chunk_number")
         .agg(

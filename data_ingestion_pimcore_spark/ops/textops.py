@@ -400,18 +400,41 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET_TOKENS = 2048  # context-window budget for sequence packing
 
 
+def _pack_oracle() -> str:
+    from .ingestion_queries import _sql_greedy_chunks
+
+    return _sql_greedy_chunks(
+        """
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS record_bytes
+  FROM documents
+""",
+        PACK_BUDGET_TOKENS,
+        8192,
+        """
+SELECT d.doc_id,
+       CAST(a.record_bytes AS INTEGER) AS n_tokens,
+       a.chunk_number AS pack_id
+FROM assigned a
+JOIN (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+      FROM documents) d USING (rn)
+""",
+    )
+
+
 @register(
     "text_pack_sequences",
-    oracle=None,  # sequential greedy fold; invariants asserted in pytest
+    oracle=_pack_oracle(),
     doc=f"Sequence packing for LLM training: documents are greedily "
     f"packed, in deterministic doc_id order, into context windows of "
     f"at most {PACK_BUDGET_TOKENS} tokens (whitespace tokenization "
     "here; swap in the BPE count column for byte-exact budgets). "
     "Direct reuse of the ingestion byte-budget chunker "
     "(chunker.assign_chunks_by_bytes with size_col=n_tokens): "
-    "per-range greedy fold via Arrow-batched mapInPandas + broadcast "
-    "offset renumbering — two passes over the data, no global sort, "
-    "driver state O(#ranges). A document longer than the budget gets "
+    "epoch'd greedy fold via Arrow-batched mapInPandas + broadcast "
+    "offset renumbering — no global sort, driver state O(#epochs), "
+    "membership a pure function of the data so the DuckDB oracle "
+    "replays it exactly. A document longer than the budget gets "
     "its own pack (the strict pre-append rule), mirroring how "
     "oversized training docs are isolated rather than silently "
     "truncated.",
