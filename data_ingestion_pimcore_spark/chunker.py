@@ -180,6 +180,7 @@ def global_row_number(
     num_partitions: int | None = None,
     pid_cols: list[str] | None = None,
     late_project: "callable | None" = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """1-based global row number over a total order, without a global
     sort: deterministic range ids → per-range JVM window row_number →
@@ -210,6 +211,10 @@ def global_row_number(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ))
     counts = [(r[_PID], r["count"]) for r in withpid.groupBy(_PID).count().collect()]
+    if stats_out is not None:
+        # Free byproduct of the counts pass — callers sizing downstream
+        # stages use this instead of a second count() over the source.
+        stats_out["n_rows"] = sum(c for _, c in counts)
     offsets = F.broadcast(_offsets_df(counts, df.sparkSession, "__offset"))
     # Explicit exchange: HashPartitioning(__pid) satisfies the window's
     # clustering requirement, so no second shuffle is added.
@@ -231,10 +236,13 @@ def assign_chunks_by_count(
     chunk_size: int,
     num_partitions: int | None = None,
     pid_cols: list[str] | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """chunk_number = floor((global_rn - 1) / chunk_size), 0-based chunks
     in total order (reference count-mode C1)."""
-    withrn = global_row_number(df, order_cols, _RN, num_partitions, pid_cols)
+    withrn = global_row_number(
+        df, order_cols, _RN, num_partitions, pid_cols, stats_out=stats_out
+    )
     return withrn.withColumn(
         CHUNK_COL, F.floor((F.col(_RN) - 1) / chunk_size).cast("long")
     ).drop(_RN)
@@ -250,6 +258,7 @@ def assign_chunks_by_bytes(
     size_col: str | None = None,
     num_partitions: int | None = None,
     epoch_rows: int = DEFAULT_EPOCH_ROWS,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Greedy byte-budget chunking (reference byte-mode C1, strict
     pre-append check): a chunk is flushed *before* a record that would
@@ -282,6 +291,7 @@ def assign_chunks_by_bytes(
         num_partitions,
         pid_cols=order_cols[:2],
         late_project=late,
+        stats_out=stats_out,
     )
     part = (
         withrn.withColumn(
@@ -318,6 +328,8 @@ def assign_chunks_by_bytes(
         .agg((F.max(_LOCAL_CHUNK) + 1).alias("n_chunks"))
         .collect()
     ]
+    if stats_out is not None:
+        stats_out["n_chunks"] = sum(c for _, c in counts)
     offsets = F.broadcast(_offsets_df(counts, df.sparkSession, "__offset"))
     return (
         local.join(offsets, _PID)

@@ -294,6 +294,42 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
 
 
+def quant_scales_batch(b: "pa.RecordBatch") -> "pa.RecordBatch":
+    """Per-vector quantization-scale kernel over one Arrow batch.
+
+    Slice-safe: a sliced ListArray keeps its parent's offset base while
+    ``list_flatten`` rebases values to 0, so offsets are rebased before
+    segmenting. ``reduceat`` runs over NONEMPTY list starts only —
+    empty lists contribute no values, so nonempty starts delimit exact
+    segments, no index can point past the value buffer, and empty lists
+    yield scale 0 deterministically.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    emb = b.column(b.schema.get_field_index("embedding"))
+    vals = pc.abs(pc.list_flatten(emb)).to_numpy(zero_copy_only=False)
+    offs = emb.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    offs = offs - offs[0]
+    starts = offs[:-1]
+    dims = (offs[1:] - starts).astype("int64")
+    max_abs = np.zeros(len(starts), dtype="float64")
+    nonempty = dims > 0
+    if nonempty.any():
+        max_abs[nonempty] = np.maximum.reduceat(
+            vals.astype("float64"), starts[nonempty]
+        )
+    return pa.RecordBatch.from_arrays(
+        [
+            b.column(b.schema.get_field_index("vec_id")),
+            pa.array(dims, pa.int64()),
+            pa.array(np.floor(max_abs * 1_000_000).astype("int64")),
+        ],
+        names=["vec_id", "dim", "scale_micro"],
+    )
+
+
 @register(
     "udf_map_in_arrow",
     oracle="""
@@ -321,32 +357,10 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from typing import Iterator
 
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     def scales(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         for b in batches:
-            emb = b.column(b.schema.get_field_index("embedding"))
-            flat = pc.abs(pc.list_flatten(emb))
-            offs = emb.offsets.to_numpy(zero_copy_only=False)
-            import numpy as np
-
-            vals = flat.to_numpy(zero_copy_only=False)
-            # per-list max via reduceat on the flattened values
-            starts = offs[:-1]
-            max_abs = np.maximum.reduceat(vals, starts)
-            dims = (offs[1:] - starts).astype("int64")
-            yield pa.RecordBatch.from_arrays(
-                [
-                    b.column(b.schema.get_field_index("vec_id")),
-                    pa.array(dims, pa.int64()),
-                    pa.array(
-                        np.floor(max_abs.astype("float64") * 1_000_000).astype(
-                            "int64"
-                        )
-                    ),
-                ],
-                names=["vec_id", "dim", "scale_micro"],
-            )
+            yield quant_scales_batch(b)
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(scales, schema="vec_id long, dim long, scale_micro long")

@@ -239,14 +239,18 @@ def _drain(spark: SparkSession, df: DataFrame, prefix: str, mode: str) -> str:
     memory sink; returns the sink table name. Pins shuffle/state
     partitions for the stream's lifetime and restores the session conf."""
     import os
+    import shutil
     import tempfile
 
     # These drains mint a FRESH checkpoint per call (the query's life is
     # one AvailableNow pass), so checkpoint durability buys nothing —
     # put the state-store churn on tmpfs when available to take disk
-    # latency out of the drain. Long-lived production streams point
-    # checkpointLocation at durable storage instead.
+    # latency out of the drain, and remove it after termination (it is
+    # RAM-backed; leaking one per drain would accumulate across bench/
+    # test runs). Long-lived production streams point checkpointLocation
+    # at durable storage instead.
     ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{prefix}_", dir=ckpt_root)
     name = f"{prefix}_{next(_STREAM_SEQ)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTITIONS)
@@ -255,16 +259,14 @@ def _drain(spark: SparkSession, df: DataFrame, prefix: str, mode: str) -> str:
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix=f"ckpt_{prefix}_", dir=ckpt_root),
-            )
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return name
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -169,10 +169,19 @@ class IngestSummary:
     status: str
 
 
-def _chunked(df: DataFrame, request: IngestRequest, order_cols: list[str]) -> DataFrame:
+def _chunked(
+    df: DataFrame,
+    request: IngestRequest,
+    order_cols: list[str],
+    stats_out: dict | None = None,
+) -> DataFrame:
     if request.chunk_size_by_records is not None:
-        return assign_chunks_by_count(df, order_cols, request.chunk_size_by_records)
-    return assign_chunks_by_bytes(df, order_cols, request.chunk_size_by_memory)
+        return assign_chunks_by_count(
+            df, order_cols, request.chunk_size_by_records, stats_out=stats_out
+        )
+    return assign_chunks_by_bytes(
+        df, order_cols, request.chunk_size_by_memory, stats_out=stats_out
+    )
 
 
 def ingest(
@@ -199,7 +208,8 @@ def ingest(
     total_records = state.get_total_records(ingestion_id)
 
     record_cols = df.columns
-    chunked = _chunked(df, request, order_cols)
+    chunk_stats: dict = {}
+    chunked = _chunked(df, request, order_cols, stats_out=chunk_stats)
     # K3: skip already-ACKed chunks — a pushed-down predicate, so re-runs
     # never recompute completed work.
     pending = chunked.where(F.col(CHUNK_COL) > last_chunk)
@@ -220,15 +230,17 @@ def ingest(
     # scale the job count with the data. NOTE coalesce() would NOT
     # preserve order here — under AQE it merges non-consecutive
     # shuffle partitions.
+    # Chunk-count estimates fall out of the chunker's own counts pass
+    # (stats_out) — no extra count() job over the source, which for
+    # JSON/CSV/Excel ingests would be a second full parse pass.
     if request.chunk_size_by_records is not None:
-        n_rows = df.count()  # parquet scans answer from footer stats
-        est_chunks = -(-n_rows // request.chunk_size_by_records)
-        n_parts = max(2, min(256, -(-est_chunks // 64)))
-        payloads = payloads.repartitionByRange(
-            n_parts, F.col(CHUNK_COL)
-        ).sortWithinPartitions(CHUNK_COL)
+        est_chunks = -(-chunk_stats["n_rows"] // request.chunk_size_by_records)
     else:
-        payloads = payloads.orderBy(CHUNK_COL)
+        est_chunks = chunk_stats["n_chunks"]
+    n_parts = max(2, min(256, -(-est_chunks // 64)))
+    payloads = payloads.repartitionByRange(
+        n_parts, F.col(CHUNK_COL)
+    ).sortWithinPartitions(CHUNK_COL)
     chunks_sent, total_records = deliver_payloads(
         payloads, ingestion_id, state, transport, total_records, mark_last=True
     )

@@ -200,6 +200,32 @@ def test_resize_nearest_matches_reference():
     assert (np.unique(up) == np.unique(px)[np.isin(np.unique(px), up)]).all()
 
 
+def test_quant_scales_kernel_sliced_and_empty():
+    """Arrow kernel must be correct on sliced ListArrays (offsets keep
+    the parent's base while list_flatten rebases values) and on empty
+    lists, including an empty trailing list (reduceat edge)."""
+    import pyarrow as pa
+
+    from data_ingestion_pimcore_spark.ops.extensibility import quant_scales_batch
+
+    lists = pa.array(
+        [[1.0, -9.0], [2.0], [], [-3.0, 4.0], []], type=pa.list_(pa.float32())
+    )
+    ids = pa.array([10, 11, 12, 13, 14], pa.int64())
+    batch = pa.RecordBatch.from_arrays([ids, lists], names=["vec_id", "embedding"])
+    full = quant_scales_batch(batch)
+    assert full.column(1).to_pylist() == [2, 1, 0, 2, 0]
+    assert full.column(2).to_pylist() == [9_000_000, 2_000_000, 0, 4_000_000, 0], (
+        full.column(2).to_pylist()
+    )
+    # sliced view: rows 1.. — offsets now start at 2, values rebase to 0
+    sliced = batch.slice(1)
+    out = quant_scales_batch(sliced)
+    assert out.column(0).to_pylist() == [11, 12, 13, 14]
+    assert out.column(1).to_pylist() == [1, 0, 2, 0]
+    assert out.column(2).to_pylist() == [2_000_000, 0, 4_000_000, 0]
+
+
 def test_jaccard_df_cap_bounds_skew(spark):
     """Adversarial corpus: one stop-shingle in 100% of docs. With the
     df cap the posting list is dropped and NO quadratic pair set is
