@@ -237,15 +237,19 @@ def assign_chunks_by_count(
     num_partitions: int | None = None,
     pid_cols: list[str] | None = None,
     stats_out: dict | None = None,
+    rn_col: str | None = None,
 ) -> DataFrame:
     """chunk_number = floor((global_rn - 1) / chunk_size), 0-based chunks
-    in total order (reference count-mode C1)."""
+    in total order (reference count-mode C1). ``rn_col`` keeps the
+    1-based global row number under that name (record-level resume
+    filters on it)."""
     withrn = global_row_number(
         df, order_cols, _RN, num_partitions, pid_cols, stats_out=stats_out
     )
-    return withrn.withColumn(
+    out = withrn.withColumn(
         CHUNK_COL, F.floor((F.col(_RN) - 1) / chunk_size).cast("long")
-    ).drop(_RN)
+    )
+    return out.withColumnRenamed(_RN, rn_col) if rn_col else out.drop(_RN)
 
 
 DEFAULT_EPOCH_ROWS = 8192
@@ -259,6 +263,7 @@ def assign_chunks_by_bytes(
     num_partitions: int | None = None,
     epoch_rows: int = DEFAULT_EPOCH_ROWS,
     stats_out: dict | None = None,
+    rn_col: str | None = None,
 ) -> DataFrame:
     """Greedy byte-budget chunking (reference byte-mode C1, strict
     pre-append check): a chunk is flushed *before* a record that would
@@ -331,8 +336,9 @@ def assign_chunks_by_bytes(
     if stats_out is not None:
         stats_out["n_chunks"] = sum(c for _, c in counts)
     offsets = F.broadcast(_offsets_df(counts, df.sparkSession, "__offset"))
-    return (
+    out = (
         local.join(offsets, _PID)
         .withColumn(CHUNK_COL, (F.col(_LOCAL_CHUNK) + F.col("__offset")).cast("long"))
-        .drop(_PID, _LOCAL_CHUNK, "__offset", _RN)
+        .drop(_PID, _LOCAL_CHUNK, "__offset")
     )
+    return out.withColumnRenamed(_RN, rn_col) if rn_col else out.drop(_RN)

@@ -29,6 +29,13 @@ class IngestRequest:
     chunk_size_by_records: int | None = None
     chunk_size_by_memory: int | None = None
     re_ingestion: bool = False
+    # Record-level resume (reference Excel path records_to_skip,
+    # excel_reader.py:32,65-69): skip individual already-counted
+    # records instead of whole ACKed chunks, so a crash mid-chunk
+    # re-sends only the unacked remainder of the partial chunk.
+    # Default False = chunk-level resume (K3), which is equivalent
+    # whenever state only commits whole chunks.
+    record_resume: bool = False
     # Engine extension: explicit deterministic ordering columns (the
     # reference relies on file order; at scale the order must be a
     # declared, reproducible sort key — SURVEY §7.4.3).

@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..chunker import assign_chunks_by_bytes, global_row_number
+from ..chunker import (
+    CHUNK_COL,
+    assign_chunks_by_bytes,
+    assign_chunks_by_count,
+    global_row_number,
+)
 from ..integrity import (
     build_file_id,
     build_ingestion_id,
@@ -176,6 +181,47 @@ def ingest_resume_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("chunk_number") > 2)
         .groupBy("chunk_number")
         .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+
+
+_RESUME_SKIP_RECORDS = 2_100  # mid-chunk at every test SF (chunk 0 is partial)
+
+
+@register(
+    "ingest_record_resume",
+    oracle=f"""
+WITH base AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+)
+SELECT CAST(FLOOR((rn - 1) / {CHUNK_SIZE}) AS BIGINT) AS chunk_number,
+       COUNT(*) AS n_records,
+       MIN(rn) AS first_rn,
+       MAX(rn) AS last_rn
+FROM base
+WHERE rn > {_RESUME_SKIP_RECORDS}
+GROUP BY 1
+""",
+    doc="Record-level resume (reference excel_reader.py:32,65-69 "
+    "records_to_skip): individual already-counted records are filtered "
+    "out by global row number, so the chunk containing the crash point "
+    "re-sends only its unacked remainder (here chunk 0 resumes "
+    f"mid-chunk after {_RESUME_SKIP_RECORDS} records) while chunk "
+    "numbering — deterministic — is unchanged. The pushed-down rn "
+    "predicate prunes fully-acked chunks before any expensive work, "
+    "like the chunk-level K3 filter.",
+)
+def ingest_record_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    chunked = assign_chunks_by_count(li, _LI_ORDER, CHUNK_SIZE, rn_col="rn")
+    return (
+        chunked.where(F.col("rn") > _RESUME_SKIP_RECORDS)
+        .groupBy(CHUNK_COL)
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("rn").alias("first_rn"),
+            F.max("rn").alias("last_rn"),
+        )
     )
 
 

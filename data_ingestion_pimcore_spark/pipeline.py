@@ -169,18 +169,30 @@ class IngestSummary:
     status: str
 
 
+_RESUME_RN = "__resume_rn"
+
+
 def _chunked(
     df: DataFrame,
     request: IngestRequest,
     order_cols: list[str],
     stats_out: dict | None = None,
 ) -> DataFrame:
+    rn_col = _RESUME_RN if request.record_resume else None
     if request.chunk_size_by_records is not None:
         return assign_chunks_by_count(
-            df, order_cols, request.chunk_size_by_records, stats_out=stats_out
+            df,
+            order_cols,
+            request.chunk_size_by_records,
+            stats_out=stats_out,
+            rn_col=rn_col,
         )
     return assign_chunks_by_bytes(
-        df, order_cols, request.chunk_size_by_memory, stats_out=stats_out
+        df,
+        order_cols,
+        request.chunk_size_by_memory,
+        stats_out=stats_out,
+        rn_col=rn_col,
     )
 
 
@@ -210,9 +222,17 @@ def ingest(
     record_cols = df.columns
     chunk_stats: dict = {}
     chunked = _chunked(df, request, order_cols, stats_out=chunk_stats)
-    # K3: skip already-ACKed chunks — a pushed-down predicate, so re-runs
-    # never recompute completed work.
-    pending = chunked.where(F.col(CHUNK_COL) > last_chunk)
+    if request.record_resume:
+        # Record-level resume (reference excel_reader.py:65-69): skip
+        # individual already-counted records, so a partially-delivered
+        # chunk is re-sent with only its unacked remainder. Chunk
+        # numbering is untouched — assignment is deterministic, and the
+        # consumer's running count continues exactly where it stopped.
+        pending = chunked.where(F.col(_RESUME_RN) > total_records).drop(_RESUME_RN)
+    else:
+        # K3: skip already-ACKed chunks — a pushed-down predicate, so
+        # re-runs never recompute completed work.
+        pending = chunked.where(F.col(CHUNK_COL) > last_chunk)
     # Canonicalization + checksumming run IN EXECUTORS (one Arrow group
     # per chunk), in parallel across all cores; the driver only streams
     # the finished payloads in chunk order and performs the (contract-

@@ -107,6 +107,29 @@ def test_resume_skips_acked_chunks(spark, tmp_path, products):
     assert s.status == "COMPLETED"
 
 
+def test_record_level_resume_mid_chunk(spark, tmp_path, products):
+    """record_resume=True: a crash mid-chunk (chunks 0-1 acked, 5
+    records of chunk 2 counted) re-sends chunk 2 with ONLY its unacked
+    remainder — the reference Excel path's records_to_skip semantics
+    (excel_reader.py:32,65-69) — then continues with full chunks."""
+    req = _request(record_resume=True)
+    state = _store(tmp_path)
+    iid = build_ingestion_id(
+        build_file_id(req.file_path, req.file_type), version_for(False)
+    )
+    state.update_chunk(iid, 1, 25)  # 2 full chunks + 5 records of chunk 2
+    validator = ChunkValidator()
+    validator.last_chunk[iid] = 1
+    s = ingest(spark, req, products, state, validator)
+    assert validator.received_chunks[0] == 2
+    assert [r["product_id"] for r in validator.received_records[0]] == list(
+        range(26, 31)
+    )
+    assert [len(r) for r in validator.received_records] == [5] + [10] * 7
+    assert s.total_records == 100
+    assert s.status == "COMPLETED"
+
+
 def test_transient_nack_retried(spark, tmp_path, products):
     validator = ChunkValidator(reject_once={4})
     state = _store(tmp_path)
