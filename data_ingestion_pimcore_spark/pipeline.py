@@ -83,9 +83,27 @@ def _chunk_payloads(
 def load_source(spark: SparkSession, request: IngestRequest) -> DataFrame:
     """O1 file-type dispatch (`ingestion_controllers.py:45-59`), minus
     the HTTP shell: each validated file_type maps to a source connector.
-    Paths pass through to Spark unchanged, so ``s3a://``/``gs://``/
-    ``abfss://`` URIs resolve via Hadoop FS (the reference's fsspec
-    multi-cloud behavior, S3)."""
+
+    Multi-cloud (the reference's fsspec s3fs/gcsfs/adlfs behavior,
+    requirements.txt:1,26,27,68), the Hadoop-FS way:
+
+    * JVM readers (parquet/csv/jsonl and the multiLine json path)
+      accept any Hadoop-FS URI directly — ``file://``, ``s3a://``,
+      ``gs://``, ``abfss://``. S3 recipe::
+
+          spark-submit --packages org.apache.hadoop:hadoop-aws:3.4.1
+          spark.conf: spark.hadoop.fs.s3a.aws.credentials.provider =
+              org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider
+            spark.hadoop.fs.s3a.access.key / .secret.key (or the
+            DefaultAWSCredentialsProviderChain / IRSA on EKS)
+          file_path = "s3a://bucket/exports/products_*.json"
+
+    * The Python-side streaming readers (giant-array ``json_array``
+      files, xlsx) use stdlib IO: ``file://`` URIs are resolved
+      locally (tested end-to-end); object-store URIs for those two
+      formats should land via a copy/distcp stage first — at 100 TB
+      the giant-array parse is the bottleneck anyway, not the copy.
+    """
     from .sources import read_excel, read_json_array
 
     ft = request.file_type

@@ -222,7 +222,11 @@ def iter_excel_records(path: str) -> Iterator[dict[str, Any]]:
 
 def excel_paths(path: str) -> list[str]:
     """Directory → recursive ``**/*.xlsx`` glob in sorted order (the
-    S2 semantics applied to workbooks); file → itself."""
+    S2 semantics applied to workbooks); file → itself. ``file://``
+    URIs resolve to local paths (the zip reader is stdlib-side)."""
+    from .json_source import local_path
+
+    path = local_path(path)
     if os.path.isdir(path):
         return sorted(
             _glob.glob(os.path.join(path, "**", "*.xlsx"), recursive=True)

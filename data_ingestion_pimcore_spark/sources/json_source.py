@@ -100,9 +100,21 @@ def iter_json_array(path: str, read_size: int = _READ_SIZE) -> Iterator[Any]:
                         raise ValueError(f"{path}: truncated JSON element")
 
 
+def local_path(path: str) -> str:
+    """``file://`` URIs → plain local paths for the Python-side
+    streaming readers. Spark's JVM readers accept URIs natively; the
+    stdlib ``open``/``glob``/``zipfile`` calls here do not."""
+    if path.startswith("file://"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(path).path)
+    return path
+
+
 def json_paths(path: str) -> list[str]:
     """S2: directory → recursive ``**/*.json`` glob (sorted, the
     glob-order contract of `json_reader.py:55-60`); file → itself."""
+    path = local_path(path)
     if os.path.isdir(path):
         return sorted(_glob.glob(os.path.join(path, "**", "*.json"), recursive=True))
     return [path]

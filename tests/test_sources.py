@@ -171,6 +171,51 @@ def test_run_ingestion_json_end_to_end(spark, tmp_path, json_array_file):
     assert v.received_records[0][0]["attributes"] == {"a": "1", "b": "2"}
 
 
+def test_scheme_qualified_paths_end_to_end(spark, tmp_path, json_array_file):
+    """file:// URIs work through load_source for every file_type:
+    JVM readers take the URI natively, Python-side streaming readers
+    resolve it locally — the minimal multi-cloud scheme contract
+    (s3a:// etc. follow the same JVM path with connector configs)."""
+    import json as _json
+
+    from data_ingestion_pimcore_spark.config import IngestRequest
+    from data_ingestion_pimcore_spark.pipeline import load_source
+    from data_ingestion_pimcore_spark.sources.json_source import (
+        iter_json_array,
+        local_path,
+    )
+
+    path, records = json_array_file
+    uri = f"file://{path}"
+
+    # Python streaming parser accepts the URI
+    assert list(iter_json_array(local_path(uri))) == records
+
+    # JSON (JVM multiLine) through load_source with a file:// URI
+    req = IngestRequest(
+        file_path=uri, file_type="json",
+        chunk_size_by_records=10, order_cols=("product_id",),
+    )
+    assert load_source(spark, req).count() == 25
+
+    # parquet + csv through file:// URIs
+    pq = tmp_path / "t.parquet"
+    spark.range(7).write.mode("overwrite").parquet(f"file://{pq}")
+    req_pq = IngestRequest(
+        file_path=f"file://{pq}", file_type="parquet",
+        chunk_size_by_records=10, order_cols=("id",),
+    )
+    assert load_source(spark, req_pq).count() == 7
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    req_csv = IngestRequest(
+        file_path=f"file://{csv}", file_type="csv",
+        chunk_size_by_records=10, order_cols=("a",),
+    )
+    assert load_source(spark, req_csv).count() == 2
+
+
 def test_run_ingestion_excel_end_to_end(spark, tmp_path):
     from data_ingestion_pimcore_spark.config import IngestRequest
     from data_ingestion_pimcore_spark.pipeline import run_ingestion
