@@ -445,9 +445,9 @@ SELECT src AS doc_id, MIN(node) AS component_id FROM reach GROUP BY src
     "propagation: each round every vertex takes the min of its own and "
     "its neighbors' labels — pure DataFrame joins/aggs, converging in "
     "diameter rounds (near-dup components are chains of a few docs, so "
-    "2-3 rounds in practice; a 100 TB corpus with adversarial chain "
-    "length would swap in alternating large-star/small-star for "
-    "O(log n) rounds, same join primitives). Edges are localCheckpointed "
+    "2-3 rounds in practice; for adversarial chain lengths "
+    "connected_components_star below runs the same primitives in "
+    "O(log n) rounds). Edges are localCheckpointed "
     "once and reused every round; labels are checkpointed per round so "
     "the plan does not grow with iterations. Oracle = DuckDB recursive "
     "CTE computing min reachable id, which equals the component min.",
@@ -488,6 +488,116 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             return labels
     raise RuntimeError("connected components did not converge in 20 rounds")
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "doc_id",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — the O(log n)-round
+    alternative to min-label propagation for adversarial diameters
+    (label propagation needs diameter rounds; a 1000-node chain would
+    blow any fixed budget).
+
+    Each round: LARGE-STAR hangs every strictly-larger neighbor of u
+    onto m = min(Γ(u) ∪ {u}); SMALL-STAR re-hangs u's smaller
+    neighbors (and u) onto their minimum. Both are pure groupBy-min +
+    self-join steps; edges monotonically flatten into stars (v → root).
+    Fixpoint = the star partition, detected by edge-set equality.
+    localCheckpoint per round keeps the plan from growing with
+    iterations. ``edges`` is undirected input (one direction or both),
+    columns ``src``/``dst``; isolated nodes label themselves.
+    """
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        m = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        ls_pairs = (
+            sym.join(m, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        e2 = (
+            ls_pairs.unionByName(m.select("src", F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        down = (
+            e2.unionByName(
+                e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .where(F.col("src") > F.col("dst"))
+        )
+        m2 = down.groupBy("src").agg(F.min("dst").alias("m"))
+        ss_pairs = (
+            down.join(m2, "src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        e_new = (
+            ss_pairs.unionByName(m2.select("src", F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = (
+            e_new.count() == e.count()
+            and e_new.subtract(e).limit(1).count() == 0
+        )
+        e = e_new
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"star connected components did not converge in {max_rounds} rounds"
+        )
+    comp = e.groupBy("src").agg(F.min("dst").alias("component_id"))
+    return (
+        nodes.select(F.col(node_col))
+        .join(comp.withColumnRenamed("src", node_col), node_col, "left")
+        .select(
+            node_col,
+            F.coalesce("component_id", F.col(node_col)).alias("component_id"),
+        )
+    )
+
+
+@register(
+    "dedup_connected_components_star",
+    oracle=f"""
+WITH RECURSIVE {_SQL_JACCARD_EDGES},
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN jedges e ON e.src = r.node
+)
+SELECT src AS doc_id, MIN(node) AS component_id FROM reach GROUP BY src
+""",
+    doc="Connected components over the n-gram-Jaccard near-dup graph via "
+    "alternating large-star/small-star — same result as the label-"
+    "propagation variant (one oracle checks both), but O(log n) rounds "
+    "regardless of component diameter: the 100 TB path when near-dup "
+    "chains can be long. Property-tested on a 1000-node chain.",
+)
+def dedup_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    return connected_components_star(nodes, pairs)
 
 
 @register(

@@ -243,6 +243,59 @@ def test_jaccard_df_cap_bounds_skew(spark):
     assert uncapped.count() == n * (n - 1) // 2  # the blow-up the cap prevents
 
 
+def test_star_cc_chain_and_random(spark):
+    """Large-star/small-star CC: a 1000-node chain (the adversarial
+    diameter that label propagation cannot finish in bounded rounds)
+    must converge within the default 20-round budget, and random graphs
+    must match a union-find reference exactly."""
+    import random
+
+    from data_ingestion_pimcore_spark.ops.dedup import connected_components_star
+
+    # 1000-node chain: component min is 0 for every node
+    n = 1000
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components_star(nodes, chain).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+    # random sparse graph + isolated nodes vs union-find
+    rng = random.Random(11)
+    m = 120
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(m)]
+    parent = list(range(100))  # 80 connected-ish + 20 isolated
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in range(100)}
+    # normalize to component minimum
+    comp_min: dict[int, int] = {}
+    for i, r in expect.items():
+        comp_min[r] = min(comp_min.get(r, i), i)
+    expect = {i: comp_min[r] for i, r in expect.items()}
+
+    nodes2 = spark.range(100).withColumnRenamed("id", "doc_id")
+    e2 = spark.createDataFrame(edges, "src long, dst long")
+    got2 = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components_star(nodes2, e2).collect()
+    }
+    assert got2 == expect
+
+
 def test_jaccard_pairs_are_symmetric_free(spark):
     """Pair output is canonical (doc_a < doc_b) with no self-pairs."""
     pairs = dedup_ngram_jaccard(spark, SF).collect()
