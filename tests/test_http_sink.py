@@ -115,3 +115,49 @@ def test_http_three_failures_reject_chunk(spark, tmp_path, http_consumer):
         ingest(spark, _req(f"{sf}/lineitem.parquet"), li, state, HttpTransport(url))
     # no false progress: nothing was ACKed, nothing committed
     assert v.received_chunks == []
+
+
+def test_stream_ingest_over_real_http(spark, tmp_path, http_consumer):
+    """Streaming twin of test_ingest_over_real_http: micro-batched
+    stream_ingest delivers over the actual HTTP wire (POST JSON,
+    business ACK, K4 completion), chunk numbers sequential across
+    micro-batches."""
+    import json as _json
+
+    from data_ingestion_pimcore_spark.streaming import stream_ingest
+
+    url, v, _ = http_consumer
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for fname, start in (("f1.jsonl", 1), ("f2.jsonl", 26)):
+        rows = [
+            {"product_id": i, "sku": f"SKU-{i:06d}", "qty": i % 7}
+            for i in range(start, start + 25)
+        ]
+        (landing / fname).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("product_id long, sku string, qty long")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .json(str(landing))
+    )
+    req = IngestRequest(
+        file_path=str(landing),
+        file_type="jsonl",
+        chunk_size_by_records=10,
+        order_cols=("product_id",),
+    )
+    s = stream_ingest(
+        spark,
+        req,
+        stream,
+        IngestionStateStore(str(tmp_path / "st.pq")),
+        HttpTransport(url),
+        str(tmp_path / "ckpt"),
+    )
+    assert s.status == "COMPLETED" and s.total_records == 50
+    assert v.received_chunks == list(range(len(v.received_chunks)))
+    assert [len(r) for r in v.received_records] == [10, 10, 5, 10, 10, 5]
+    got = [r["product_id"] for recs in v.received_records for r in recs]
+    assert got == list(range(1, 51))
+    assert v.completed == [s.ingestion_id]
