@@ -303,3 +303,32 @@ def ingest(
         last_chunk=state.get_last_chunk(ingestion_id),
         status=state.get_status(ingestion_id) or "IN_PROGRESS",
     )
+
+
+def warm_ingest(spark: SparkSession) -> None:
+    """One-time session warm-up: run a miniature ingestion through the
+    exact plan shapes of ``ingest()`` — deterministic-pid sampling,
+    global-row-number window, Arrow ``applyInPandas`` canonicalization,
+    broadcast offset join, ordered ``toLocalIterator`` drain, state
+    snapshot — so the FIRST real ingestion does not pay Python-worker
+    pool spin-up, Arrow path initialization, and whole-stage-codegen
+    JIT on top of its own work. A long-running ingestion service calls
+    this once at startup; cost is a few hundred ms of driver+executor
+    warm-up against seconds saved on the first request."""
+    import tempfile
+
+    from .sink import ChunkValidator
+    from .state import IngestionStateStore
+
+    df = spark.createDataFrame(
+        [(i, f"w{i}", i * 1.5) for i in range(64)], "k long, v string, x double"
+    )
+    req = IngestRequest(
+        file_path="warmup://noop",
+        file_type="parquet",
+        chunk_size_by_records=16,
+        re_ingestion=True,
+        order_cols=("k", "v"),
+    )
+    state = IngestionStateStore(tempfile.mktemp(suffix=".parquet"))
+    ingest(spark, req, df, state, ChunkValidator())

@@ -330,3 +330,11 @@ def test_state_store_wal_torn_tail(tmp_path):
     s2 = IngestionStateStore(p)
     assert s2.get_last_chunk("ing-a") == 3
     assert s2.get_total_records("ing-a") == 99
+
+
+def test_warm_ingest_runs(spark):
+    """Service-startup warm-up completes end-to-end (miniature
+    ingestion through all ingest() plan shapes)."""
+    from data_ingestion_pimcore_spark.pipeline import warm_ingest
+
+    warm_ingest(spark)
