@@ -75,10 +75,19 @@ class IngestionService:
         )
 
         def run() -> None:
+            from .logging_util import get_logger
+
             try:
-                run_ingestion(self.spark, request, self.state, transport)
+                s = run_ingestion(self.spark, request, self.state, transport)
+                get_logger("info").info(
+                    f"ingestion {ingestion_id[:12]} {s.status}: "
+                    f"{s.chunks_sent} chunks, {s.total_records} records"
+                )
             except BaseException as exc:  # recorded, not raised: K1 failure
                 self._running[ingestion_id].error = exc
+                get_logger("error").error(
+                    f"ingestion {ingestion_id[:12]} failed: {exc}"
+                )
 
         t = threading.Thread(target=run, name=f"ingest-{ingestion_id[:12]}", daemon=True)
         self._running[ingestion_id] = _Execution(thread=t)

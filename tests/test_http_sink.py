@@ -161,3 +161,87 @@ def test_stream_ingest_over_real_http(spark, tmp_path, http_consumer):
     got = [r["product_id"] for recs in v.received_records for r in recs]
     assert got == list(range(1, 51))
     assert v.completed == [s.ingestion_id]
+
+
+def test_http_app_full_wire(spark, tmp_path, http_consumer, monkeypatch):
+    """Both wire layers real: POST /api/ingest into the stdlib HTTP
+    shell (validate → 400 / STARTED + background thread) and delivery
+    out over HttpTransport to the localhost consumer — plus the
+    status endpoint, health probe, and rotating log files."""
+    import logging
+    import urllib.error
+    import urllib.request
+
+    from data_ingestion_pimcore_spark.app import IngestionService
+    from data_ingestion_pimcore_spark.http_app import start_http_app
+
+    # point the log factory at a fresh root for this test
+    for k in ("info", "error", "debug"):
+        logging.getLogger(f"data_ingestion_pimcore_spark.{k}").handlers.clear()
+    monkeypatch.setenv("SPARK_GRAFT_LOG_DIR", str(tmp_path / "logs"))
+
+    url, v, _ = http_consumer
+    svc = IngestionService(
+        spark=spark, state=IngestionStateStore(str(tmp_path / "st.pq"))
+    )
+    srv, _t, port = start_http_app(svc)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/health") as r:
+            assert json.loads(r.read())["status"] == 200
+
+        bad = json.dumps({"file_path": "", "file_type": "parquet"}).encode()
+        req = urllib.request.Request(
+            f"{base}/api/ingest", data=bad,
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req)
+        assert exc_info.value.code == 400
+        assert "file_path" in json.loads(exc_info.value.read())["error"]
+
+        sf = "/root/testdata/sf0.001"
+        body = json.dumps(
+            {
+                "file_path": f"{sf}/lineitem.parquet",
+                "file_type": "parquet",
+                "callback_url": url,
+                "chunk_size_by_records": 2000,
+                "order_cols": [
+                    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                ],
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{base}/api/ingest", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            resp = json.loads(r.read())
+        assert resp["status"] == "STARTED"
+        iid = resp["ingestion_id"]
+        done = svc.wait(iid, timeout=300)
+        assert done["status"] == "COMPLETED", done
+
+        with urllib.request.urlopen(f"{base}/api/status/{iid}") as r:
+            st = json.loads(r.read())
+        assert st["status"] == "COMPLETED"
+        assert st["total_records"] == done["total_records"] > 0
+        assert v.completed == [iid]
+
+        info_log = (tmp_path / "logs" / "info" / "info.log").read_text()
+        assert "api_hit : /api/ingest" in info_log
+        err_log = (tmp_path / "logs" / "error" / "error.log").read_text()
+        assert "rejected" in err_log  # the 400 request was logged
+    finally:
+        srv.shutdown()
+        for k in ("info", "error", "debug"):
+            logging.getLogger(f"data_ingestion_pimcore_spark.{k}").handlers.clear()
+
+
+def test_numbered_log_namer():
+    from data_ingestion_pimcore_spark.logging_util import numbered_namer
+
+    assert numbered_namer("/x/info/info.log.1") == "/x/info/info1.log"
+    assert numbered_namer("/x/debug/debug.log.10") == "/x/debug/debug10.log"
+    assert numbered_namer("/x/info/info.log") == "/x/info/info.log"
