@@ -107,14 +107,25 @@ def _parse_date_styles(zf: zipfile.ZipFile) -> set[int]:
     return styles
 
 
-def _first_sheet_path(zf: zipfile.ZipFile) -> str:
-    """Resolve the workbook's first sheet (the reference reads
-    ``wb.active``, which is the first sheet unless saved otherwise)."""
+def _active_sheet_path(zf: zipfile.ZipFile) -> str:
+    """Resolve the workbook's ACTIVE sheet — the reference reads
+    ``wb.active`` (`excel_reader.py:40`), which is the sheet selected
+    when the file was last saved (``bookViews/workbookView@activeTab``,
+    0-based index into the sheets list), not necessarily the first."""
     wb = ET.fromstring(zf.read("xl/workbook.xml"))
     sheets = wb.find(f"{_NS}sheets")
     if sheets is None or len(sheets) == 0:
         raise ValueError("workbook has no sheets")
-    rid = sheets[0].get(_REL_NS)
+    active = 0
+    view = wb.find(f"{_NS}bookViews/{_NS}workbookView")
+    if view is not None:
+        try:
+            active = int(view.get("activeTab", "0"))
+        except ValueError:
+            active = 0
+    if not (0 <= active < len(sheets)):
+        active = 0  # corrupt activeTab → openpyxl falls back to first
+    rid = sheets[active].get(_REL_NS)
     rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
     for rel in rels:
         if rel.get("Id") == rid:
@@ -141,7 +152,7 @@ def _iter_raw_rows(path: str) -> Iterator[list[Any]]:
         wb = ET.fromstring(zf.read("xl/workbook.xml"))
         pr = wb.find(f"{_NS}workbookPr")
         date1904 = pr is not None and pr.get("date1904") in ("1", "true")
-        with zf.open(_first_sheet_path(zf)) as sheet:
+        with zf.open(_active_sheet_path(zf)) as sheet:
             for _event, el in ET.iterparse(sheet):
                 if el.tag != f"{_NS}row":
                     continue

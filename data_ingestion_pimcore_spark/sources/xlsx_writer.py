@@ -10,12 +10,12 @@ from __future__ import annotations
 import zipfile
 from typing import Any
 
-_CT = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+_CT_HEAD = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
 <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
 <Default Extension="xml" ContentType="application/xml"/>
 <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+{sheet_overrides}
 <Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
 <Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
 </Types>"""
@@ -23,16 +23,6 @@ _CT = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 _ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
 <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
-</Relationships>"""
-
-_WB = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
-</workbook>"""
-
-_WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
 </Relationships>"""
 
 # style 0: general; style 1: builtin date numFmt 14 (m/d/yyyy)
@@ -58,8 +48,17 @@ def _col_letter(i: int) -> str:
     return s
 
 
-def write_xlsx(path: str, rows: list[list[Any]]) -> str:
-    """``None`` cells are omitted from the XML (true gaps)."""
+def write_xlsx(
+    path: str,
+    rows: list[list[Any]],
+    more_sheets: list[list[list[Any]]] | None = None,
+    active_tab: int = 0,
+) -> str:
+    """``None`` cells are omitted from the XML (true gaps).
+
+    ``more_sheets`` appends additional worksheets after the first;
+    ``active_tab`` sets ``bookViews/workbookView@activeTab`` — the
+    sheet a reader honoring ``wb.active`` must pick."""
     shared: list[str] = []
     sidx: dict[str, int] = {}
 
@@ -77,17 +76,21 @@ def write_xlsx(path: str, rows: list[list[Any]]) -> str:
             shared.append(s)
         return f'<c r="{ref}" t="s"><v>{sidx[s]}</v></c>'
 
-    body = []
-    for r, row in enumerate(rows):
-        cells = "".join(
-            cell_xml(r, c, v) for c, v in enumerate(row) if v is not None
+    def sheet_xml(sheet_rows: list[list[Any]]) -> str:
+        body = []
+        for r, row in enumerate(sheet_rows):
+            cells = "".join(
+                cell_xml(r, c, v) for c, v in enumerate(row) if v is not None
+            )
+            body.append(f'<row r="{r + 1}">{cells}</row>')
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f"<sheetData>{''.join(body)}</sheetData></worksheet>"
         )
-        body.append(f'<row r="{r + 1}">{cells}</row>')
-    sheet = (
-        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-        f"<sheetData>{''.join(body)}</sheetData></worksheet>"
-    )
+
+    all_sheets = [rows] + list(more_sheets or [])
+    sheet_parts = [sheet_xml(s) for s in all_sheets]
 
     def esc(s: str) -> str:
         return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -100,12 +103,45 @@ def write_xlsx(path: str, rows: list[list[Any]]) -> str:
         + "</sst>"
     )
 
+    n = len(all_sheets)
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<bookViews><workbookView activeTab="{active_tab}"/></bookViews>'
+        "<sheets>"
+        + "".join(
+            f'<sheet name="Sheet{i + 1}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i in range(n)
+        )
+        + "</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(n)
+        )
+        + "</Relationships>"
+    )
+    ct = _CT_HEAD.format(
+        sheet_overrides="".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(n)
+        )
+    )
+
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("[Content_Types].xml", _CT)
+        zf.writestr("[Content_Types].xml", ct)
         zf.writestr("_rels/.rels", _ROOT_RELS)
-        zf.writestr("xl/workbook.xml", _WB)
-        zf.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         zf.writestr("xl/styles.xml", _STYLES)
         zf.writestr("xl/sharedStrings.xml", sst)
-        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        for i, sx in enumerate(sheet_parts):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", sx)
     return path

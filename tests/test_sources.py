@@ -55,6 +55,25 @@ def test_excel_iter_records(workbook):
     assert recs[3]["padded"] == "2024-01-01" and recs[3]["column_3"] is True
 
 
+def test_excel_active_sheet_not_first(tmp_path):
+    """wb.active semantics (reference excel_reader.py:40): when the
+    workbook was saved with a non-first active sheet (activeTab=1),
+    the reader must take THAT sheet, not sheet 1."""
+    p = str(tmp_path / "multi.xlsx")
+    sheet1 = [["wrong", "sheet"], [1, "nope"]]
+    sheet2 = [["id", "name"], [10, "right"], [11, "also-right"]]
+    write_xlsx(p, sheet1, more_sheets=[sheet2], active_tab=1)
+    recs = list(iter_excel_records(p))
+    assert recs == [
+        {"id": 10, "name": "right"},
+        {"id": 11, "name": "also-right"},
+    ]
+    # default active_tab=0 still reads the first sheet
+    p2 = str(tmp_path / "single_active.xlsx")
+    write_xlsx(p2, sheet1, more_sheets=[sheet2], active_tab=0)
+    assert list(iter_excel_records(p2))[0] == {"wrong": 1, "sheet": "nope"}
+
+
 def test_excel_date_cell(tmp_path):
     p = write_xlsx(
         str(tmp_path / "d.xlsx"),
