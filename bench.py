@@ -57,6 +57,12 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "q7_nation_volume",
     "q21_waiting_suppliers",
+    # round-3 additions: epoch'd byte chunker, real-codec multimodal,
+    # O(log n) connected components, sequence packing
+    "ingest_chunk_by_bytes",
+    "mm_feature_extract",
+    "dedup_connected_components_star",
+    "text_pack_sequences",
 ]
 
 
