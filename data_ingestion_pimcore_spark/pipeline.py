@@ -55,11 +55,14 @@ def _chunk_payloads(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        recs = pdf[record_cols].astype(object)
-        recs = recs.where(pd.notna(recs), None)
+        # Per-column tolist with null-fixing ONLY for columns that
+        # actually contain nulls: a whole-frame astype(object) +
+        # where(notna) would copy every value into object cells per
+        # chunk (~40% of payload-build CPU); numeric/string columns
+        # without nulls convert in one C call instead.
+        columns = _record_columns(pdf, record_cols)
         # dict(zip(...)) over column lists ≈ 4x pandas to_dict("records")
         # on 4000-row chunks — this runs once per chunk in the hot path.
-        columns = [recs[c].tolist() for c in record_cols]
         records = [dict(zip(record_cols, row)) for row in zip(*columns)]
         blob = canonical_dumps(records)
         # Payload stays BYTES end-to-end (Arrow binary → driver → wire):
@@ -77,6 +80,160 @@ def _chunk_payloads(
     return pending.groupBy(CHUNK_COL).applyInPandas(
         build,
         schema=f"{CHUNK_COL} long, n_records long, checksum string, payload binary",
+    )
+
+
+def _record_columns(pdf: pd.DataFrame, record_cols: list[str]) -> list[list]:
+    """Per-column tolist with null-fixing only where needed (see
+    _chunk_payloads.build)."""
+    columns = []
+    for c in record_cols:
+        s = pdf[c]
+        vals = s.tolist()
+        if s.isna().any():
+            vals = [None if pd.isna(v) else v for v in vals]
+        columns.append(vals)
+    return columns
+
+
+def _chunk_payloads_fused(
+    pending: DataFrame,
+    record_cols: list[str],
+    rn_col: str,
+    chunk_size: int,
+    n_rows: int,
+    n_parts: int,
+) -> DataFrame:
+    """Shuffle-light payload builder for COUNT-mode chunks.
+
+    Chunk membership is a closed formula of the global row number
+    (rows ``[c·size+1, min((c+1)·size, n_rows)]``), so a task that
+    holds ALL of a chunk's rows serializes + hashes it locally in the
+    ordering stage itself — the full-record shuffle of the groupBy
+    path disappears. Only chunks straddling a partition border (≤ 2
+    per task) emit fragments: per-row canonical JSON, merged in the
+    drain's range-partition pass (which the delivery layout needed
+    anyway, and which co-locates a chunk's fragments by construction).
+    ``canonical_dumps`` of a list is exactly ``[`` + ``,``-joined
+    element dumps + ``]`` (compact separators, both orjson and the
+    stdlib fallback), so fragment concatenation is byte-identical to
+    whole-chunk serialization — the consumer's CV3 re-hash verifies
+    this on every delivery.
+
+    At 100 TB each record crosses the network ONCE (the ordering
+    exchange) plus its finished payload bytes once (the drain layout
+    exchange), instead of twice + payload. Partial chunks from resume
+    filters route through the fragment path automatically (their
+    in-task count never matches the formula). Returns payloads already
+    range-partitioned and sorted by chunk — the drain consumes them
+    directly.
+    """
+
+    out_cols = [CHUNK_COL, "n_records", "checksum", "payload", "complete", "first_rn"]
+    out_schema = (
+        f"{CHUNK_COL} long, n_records long, checksum string, payload binary, "
+        "complete boolean, first_rn long"
+    )
+
+    def expected(c: int) -> int:
+        hi = min((c + 1) * chunk_size, n_rows)
+        return hi - c * chunk_size
+
+    # open_chunks: c -> list of (first_rn, records) fragments seen so
+    # far in THIS task; fragments arrive in rn order per chunk (input
+    # is rn-sorted within the partition) but sort defensively on emit.
+    def emit(c: int, buf: list[tuple[int, list[dict]]], complete: bool):
+        buf.sort(key=lambda t: t[0])
+        records = [r for _, recs in buf for r in recs]
+        if complete:
+            # one list-level canonical_dumps per chunk (orjson per-call
+            # overhead × rows would dominate — measured 15% slower)
+            blob = canonical_dumps(records)
+            return (
+                c, len(records), hashlib.sha256(blob).hexdigest(), blob,
+                True, buf[0][0],
+            )
+        body = b",".join(canonical_dumps(r) for r in records)
+        return (c, len(records), None, body, False, buf[0][0])
+
+    def run(batches):
+        open_chunks: dict[int, list[tuple[int, list[dict]]]] = {}
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            done = []
+            # vectorized per (batch × chunk) group — the per-row Python
+            # loop variant measured ~70% slower at sf0.1
+            for c, g in pdf.groupby(CHUNK_COL, sort=False):
+                c = int(c)
+                g = g.sort_values(rn_col, kind="mergesort")
+                columns = _record_columns(g, record_cols)
+                recs = [dict(zip(record_cols, row)) for row in zip(*columns)]
+                buf = open_chunks.setdefault(c, [])
+                buf.append((int(g[rn_col].iloc[0]), recs))
+                counts[c] = counts.get(c, 0) + len(recs)
+                if counts[c] == expected(c):
+                    done.append(emit(c, buf, True))
+                    del open_chunks[c], counts[c]
+            if done:
+                yield pd.DataFrame(done, columns=out_cols)
+        if open_chunks:
+            tail = [emit(c, buf, False) for c, buf in sorted(open_chunks.items())]
+            yield pd.DataFrame(tail, columns=out_cols)
+
+    local = pending.mapInPandas(run, schema=out_schema)
+
+    # Merge pass, fused with the drain layout: range-partitioning by
+    # chunk co-locates a chunk's fragments AND produces the ascending
+    # ordered partitions the sequential emit requires — one exchange
+    # serves both. (A where/union split here would reference `local`
+    # twice and recompute the serialize pass per branch.)
+    final_schema = (
+        f"{CHUNK_COL} long, n_records long, checksum string, payload binary"
+    )
+    final_cols = [CHUNK_COL, "n_records", "checksum", "payload"]
+
+    def merge(batches):
+        frag_c = None
+        frag_n = 0
+        frag_bodies: list[bytes] = []
+
+        def flush():
+            nonlocal frag_c, frag_n, frag_bodies
+            if frag_c is None:
+                return []
+            blob = b"[" + b",".join(frag_bodies) + b"]"
+            row = (frag_c, frag_n, hashlib.sha256(blob).hexdigest(), blob)
+            frag_c, frag_n, frag_bodies = None, 0, []
+            return [row]
+
+        for pdf in batches:
+            out = []
+            for c, n, checksum, payload, complete in zip(
+                pdf[CHUNK_COL], pdf["n_records"], pdf["checksum"],
+                pdf["payload"], pdf["complete"],
+            ):
+                c = int(c)
+                if complete:
+                    out.extend(flush())
+                    out.append((c, int(n), checksum, bytes(payload)))
+                else:
+                    if frag_c is not None and frag_c != c:
+                        out.extend(flush())
+                    frag_c = c
+                    frag_n += int(n)
+                    frag_bodies.append(bytes(payload))
+            if out:
+                yield pd.DataFrame(out, columns=final_cols)
+        tail = flush()
+        if tail:
+            yield pd.DataFrame(tail, columns=final_cols)
+
+    return (
+        local.repartitionByRange(n_parts, F.col(CHUNK_COL))
+        .sortWithinPartitions(CHUNK_COL, "first_rn")
+        .mapInPandas(merge, schema=final_schema)
     )
 
 
@@ -196,6 +353,9 @@ def _chunked(
     order_cols: list[str],
     stats_out: dict | None = None,
 ) -> DataFrame:
+    # Count mode always keeps the row number: the fused payload builder
+    # and record-level resume both key off it. Byte mode needs it only
+    # for record-level resume.
     rn_col = _RESUME_RN if request.record_resume else None
     if request.chunk_size_by_records is not None:
         return assign_chunks_by_count(
@@ -203,7 +363,7 @@ def _chunked(
             order_cols,
             request.chunk_size_by_records,
             stats_out=stats_out,
-            rn_col=rn_col,
+            rn_col=_RESUME_RN,
         )
     return assign_chunks_by_bytes(
         df,
@@ -246,7 +406,7 @@ def ingest(
         # chunk is re-sent with only its unacked remainder. Chunk
         # numbering is untouched — assignment is deterministic, and the
         # consumer's running count continues exactly where it stopped.
-        pending = chunked.where(F.col(_RESUME_RN) > total_records).drop(_RESUME_RN)
+        pending = chunked.where(F.col(_RESUME_RN) > total_records)
     else:
         # K3: skip already-ACKed chunks — a pushed-down predicate, so
         # re-runs never recompute completed work.
@@ -257,7 +417,26 @@ def ingest(
     # mandated sequential, CV2) network emit. Payload bytes are the
     # canonical JSON the consumer re-hashes, so producer and consumer
     # share one canonicalizer end to end.
-    payloads = _chunk_payloads(pending, record_cols, order_cols)
+    if request.chunk_size_by_records is not None:
+        # Count mode: fused builder — complete chunks serialize in the
+        # task that already holds their rows; the only remaining
+        # exchange is the drain-layout one, which also merges
+        # partition-border fragments. Output is already range-
+        # partitioned and chunk-sorted for the sequential emit.
+        est_chunks = -(-chunk_stats["n_rows"] // request.chunk_size_by_records)
+        n_parts = max(2, min(256, -(-est_chunks // 64)))
+        payloads = _chunk_payloads_fused(
+            pending,
+            record_cols,
+            _RESUME_RN,
+            request.chunk_size_by_records,
+            chunk_stats["n_rows"],
+            n_parts,
+        )
+    else:
+        payloads = _chunk_payloads(
+            pending.drop(_RESUME_RN), record_cols, order_cols
+        )
     # Drain layout: toLocalIterator schedules ONE job per partition, so
     # over-splitting the (few, large) payload rows pays per-job
     # scheduling overhead — a default orderBy spread 150 chunks over 17
@@ -270,15 +449,14 @@ def ingest(
     # shuffle partitions.
     # Chunk-count estimates fall out of the chunker's own counts pass
     # (stats_out) — no extra count() job over the source, which for
-    # JSON/CSV/Excel ingests would be a second full parse pass.
-    if request.chunk_size_by_records is not None:
-        est_chunks = -(-chunk_stats["n_rows"] // request.chunk_size_by_records)
-    else:
+    # JSON/CSV/Excel ingests would be a second full parse pass. The
+    # fused count-mode path already produced this layout.
+    if request.chunk_size_by_records is None:
         est_chunks = chunk_stats["n_chunks"]
-    n_parts = max(2, min(256, -(-est_chunks // 64)))
-    payloads = payloads.repartitionByRange(
-        n_parts, F.col(CHUNK_COL)
-    ).sortWithinPartitions(CHUNK_COL)
+        n_parts = max(2, min(256, -(-est_chunks // 64)))
+        payloads = payloads.repartitionByRange(
+            n_parts, F.col(CHUNK_COL)
+        ).sortWithinPartitions(CHUNK_COL)
     chunks_sent, total_records = deliver_payloads(
         payloads, ingestion_id, state, transport, total_records, mark_last=True
     )
