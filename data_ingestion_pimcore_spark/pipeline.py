@@ -96,6 +96,49 @@ def _record_columns(pdf: pd.DataFrame, record_cols: list[str]) -> list[list]:
     return columns
 
 
+def _chunk_payloads_local(
+    pending: DataFrame, record_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Zero-extra-shuffle payload builder for BYTE-mode chunks.
+
+    The epoch'd byte chunker guarantees a chunk never spans an epoch,
+    and the chunker's output is still hash-partitioned by epoch — so
+    every chunk's rows are already co-located in one task (AQE may
+    merge whole partitions, which preserves the property; resume
+    filters drop rows, never split a chunk across tasks). Payloads
+    build in place; the only remaining exchange is the drain layout.
+    Any violation of the co-location assumption would surface as a
+    CV3 checksum NACK at delivery, not silent corruption.
+    """
+
+    def run(batches):
+        bufs: dict[int, list[pd.DataFrame]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for c, g in pdf.groupby(CHUNK_COL, sort=False):
+                bufs.setdefault(int(c), []).append(g)
+        out = []
+        for c, frames in sorted(bufs.items()):
+            g = pd.concat(frames) if len(frames) > 1 else frames[0]
+            g = g.sort_values(order_cols, kind="mergesort")
+            columns = _record_columns(g, record_cols)
+            records = [dict(zip(record_cols, row)) for row in zip(*columns)]
+            blob = canonical_dumps(records)
+            out.append(
+                (c, len(records), hashlib.sha256(blob).hexdigest(), blob)
+            )
+        if out:
+            yield pd.DataFrame(
+                out, columns=[CHUNK_COL, "n_records", "checksum", "payload"]
+            )
+
+    return pending.mapInPandas(
+        run,
+        schema=f"{CHUNK_COL} long, n_records long, checksum string, payload binary",
+    )
+
+
 def _chunk_payloads_fused(
     pending: DataFrame,
     record_cols: list[str],
@@ -434,8 +477,11 @@ def ingest(
             n_parts,
         )
     else:
-        payloads = _chunk_payloads(
-            pending.drop(_RESUME_RN), record_cols, order_cols
+        # Byte mode: chunks are epoch-local by construction — build
+        # payloads in place, no grouping shuffle.
+        drop = [_RESUME_RN] if request.record_resume else []
+        payloads = _chunk_payloads_local(
+            pending.drop(*drop), record_cols, order_cols
         )
     # Drain layout: toLocalIterator schedules ONE job per partition, so
     # over-splitting the (few, large) payload rows pays per-job
