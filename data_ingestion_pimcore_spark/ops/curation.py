@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load, spread
-from .dedup import _SQL_SHINGLES
+from .dedup import _SQL_JACCARD_EDGES, _SQL_SHINGLES
 from .textops import _SQL_STOPLIST, md5_hash60, sql_md5_hash60, with_shingles
 
 # ~1% of docs play the held-out benchmark set in the demo split.
@@ -324,3 +324,65 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep"),
     )
     return out
+
+
+@register(
+    "curation_keep_best_per_group",
+    oracle=f"""
+WITH RECURSIVE {_SQL_JACCARD_EDGES},
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN jedges e ON e.src = r.node
+),
+comp AS (
+  SELECT src AS doc_id, MIN(node) AS component_id FROM reach GROUP BY src
+),
+ranked AS (
+  SELECT c.component_id, d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.component_id
+           ORDER BY d.n_chars DESC, d.doc_id ASC
+         ) AS rnk,
+         COUNT(*) OVER (PARTITION BY c.component_id) AS n_members
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT component_id, doc_id AS keep_doc_id,
+       CAST(n_chars AS BIGINT) AS keep_n_chars,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rnk = 1
+""",
+    doc="Dedup-to-curation integration: connected components over the "
+    "n-gram-Jaccard near-dup graph, then keep the LONGEST member per "
+    "component (ties to the lowest doc_id) — the keep-best rule "
+    "production dedup applies instead of blind keep-minimum. One "
+    "window over the (tiny) component table after the O(log n) "
+    "large-star/small-star CC; integer-only comparison keys so both "
+    "engines rank identically.",
+)
+def curation_keep_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .dedup import connected_components_star, dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    docs = load(spark, sf_dir, "documents")
+    comp = connected_components_star(docs.select("doc_id"), pairs)
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("component_id")
+    return (
+        comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("rnk") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").cast("long").alias("keep_n_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )

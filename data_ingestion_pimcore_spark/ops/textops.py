@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load
+from ..tables import load, spread
 
 STOPWORDS = ("the", "a", "of", "to", "in", "and", "is", "on")
 _SQL_STOPLIST = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -450,4 +450,98 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packed.select(
         "doc_id", "n_tokens", F.col(CHUNK_COL).alias("pack_id")
+    )
+
+
+_TRI = "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+_SQL_TRI = "list_transform(range(1, LEN(text) - 1), i -> text[i:i+2])"
+
+
+@register(
+    "text_trigram_diversity",
+    oracle=f"""
+WITH tri AS (
+  SELECT doc_id, unnest({_SQL_TRI}) AS t
+  FROM documents WHERE LEN(text) >= 3
+), counts AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tri GROUP BY doc_id, t
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_trigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(c * c) AS BIGINT) AS sq_sum,
+       ROUND(1.0 - CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c)), 9)
+           AS diversity
+FROM counts GROUP BY doc_id
+""",
+    doc="Char-trigram Gini-Simpson diversity per document — the log-free "
+    "repetitiveness/quality signal (boilerplate and degenerate "
+    "repetition score low). Integer-exact numerators (Σc, Σc²) plus "
+    "ONE correctly-rounded double division, so both engines agree "
+    "bit-for-bit — same determinism trick as the ratio-IDF in "
+    "text_tfidf_top_terms (libm log parity is not guaranteed; Simpson "
+    "needs no log). One explode + one hash aggregate per level; at "
+    "100 TB the trigram explode is map-side only and the per-doc "
+    "aggregate shuffles 12-byte pairs, not text.",
+)
+def text_trigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).where(F.length("text") >= 3)
+    tri = d.select("doc_id", F.explode(F.expr(_TRI)).alias("t"))
+    counts = tri.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_trigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).alias("sq_sum"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c") * F.sum("c")),
+            9,
+        ).alias("diversity"),
+    )
+
+
+@register(
+    "text_trigram_novelty",
+    oracle=f"""
+WITH tri AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TRI}) AS t
+  FROM documents WHERE LEN(text) >= 3
+), df AS (
+  SELECT t, COUNT(*) AS df FROM tri GROUP BY t
+)
+SELECT tri.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_trigrams,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS novelty
+FROM tri JOIN df USING (t)
+GROUP BY tri.doc_id
+""",
+    doc="Trigram novelty per document: the fraction of a doc's distinct "
+    "char-trigrams that appear in NO other document — high novelty "
+    "flags unique content, near-zero novelty flags template/boilerplate "
+    "docs. Corpus-level document-frequency aggregate joined back per "
+    "doc (the same two-level shape as TF-IDF); integer counts + one "
+    "rounded division keep it hash-stable cross-engine. The df table "
+    "is trigram-keyed (bounded by alphabet³ in the limit) — broadcast "
+    "it at scale.",
+)
+def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).where(F.length("text") >= 3)
+    tri = d.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TRI))).alias("t")
+    )
+    df_ = tri.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    novel = (F.col("df") == 1).cast("long")
+    return (
+        tri.join(df_, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_trigrams"),
+            F.sum(novel).alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 9
+            ).alias("novelty"),
+        )
     )
