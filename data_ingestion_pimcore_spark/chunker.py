@@ -264,10 +264,17 @@ def assign_chunks_by_bytes(
     epoch_rows: int = DEFAULT_EPOCH_ROWS,
     stats_out: dict | None = None,
     rn_col: str | None = None,
+    size_expr: Column | None = None,
 ) -> DataFrame:
     """Greedy byte-budget chunking (reference byte-mode C1, strict
     pre-append check): a chunk is flushed *before* a record that would
     push it past ``byte_budget``.
+
+    ``size_expr`` names a custom per-record size expression computed
+    LATE (post-exchange, at shuffle parallelism) under the name
+    ``size_col`` — pass both when the size is an expensive projection
+    (e.g. canonical-string length) that must not run at the scan's
+    possibly-1-task split count.
 
     Epoch'd for determinism + parallelism: the exact global row number
     splits the stream into fixed ``epoch_rows`` epochs, the greedy fold
@@ -288,6 +295,8 @@ def assign_chunks_by_bytes(
         # not at the scan's (possibly 1-task) split count.
         size_col = "record_bytes"
         late = lambda d: d.withColumn("record_bytes", record_bytes_col(df))
+    elif size_expr is not None:
+        late = lambda d: d.withColumn(size_col, size_expr)
 
     withrn = global_row_number(
         df,

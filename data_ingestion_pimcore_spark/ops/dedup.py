@@ -517,6 +517,26 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # Size per-round shuffles to the graph, not the session default: a
+    # near-dup graph is typically tiny relative to the corpus, and each
+    # round launches several shuffling jobs whose fixed per-task cost
+    # dominates at 32+ partitions. ~50k edges per partition; restored
+    # after the loop. (Same scale-aware sizing as streaming state
+    # partitions in ops/timeseries.)
+    spark = e.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_edges = e.count()
+    round_parts = max(4, min(int(prev_parts), n_edges // 50_000 + 4))
+    spark.conf.set("spark.sql.shuffle.partitions", str(round_parts))
+    try:
+        return _star_rounds(nodes, e, node_col, max_rounds)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _star_rounds(
+    nodes: DataFrame, e: DataFrame, node_col: str, max_rounds: int
+) -> DataFrame:
     for _ in range(max_rounds):
         sym = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -366,14 +366,15 @@ FROM assigned GROUP BY chunk_number
 )
 def ingest_chunk_by_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    sized = li.withColumn(
-        "record_bytes", F.octet_length(canonical_string_col(li)).cast("long")
-    )
+    # size_expr → the canonical-string projection runs post-exchange at
+    # shuffle parallelism (a pre-computed column would execute in the
+    # scan stage: one task per file split, idling every other core).
     chunked = assign_chunks_by_bytes(
-        sized,
+        li,
         _LI_ORDER,
         byte_budget=_BYTE_BUDGET,
         size_col="record_bytes",
+        size_expr=F.octet_length(canonical_string_col(li)).cast("long"),
         epoch_rows=_EPOCH_ROWS,
     )
     return (

@@ -442,7 +442,9 @@ JOIN (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..chunker import CHUNK_COL, assign_chunks_by_bytes
 
-    d = load(spark, sf_dir, "documents").select(
+    # spread BEFORE tokenizing: documents is a one-split scan at small
+    # SF, and tokenization is the expensive projection here.
+    d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", F.size(_words(F.col("text"))).alias("n_tokens")
     )
     packed = assign_chunks_by_bytes(

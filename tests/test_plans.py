@@ -338,3 +338,44 @@ def test_stream_static_join_broadcasts_dim(spark, tmp_path):
     # on the analyzed plan's join hint instead
     assert "UnresolvedHint BROADCAST" in joined._jdf.queryExecution().logical().toString() or \
            "broadcast" in joined._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_fused_payload_plan_has_two_exchanges(spark):
+    """The fused count-mode payload path must move full records over
+    the network exactly once (the ordering exchange) plus payload rows
+    once (the drain-layout range exchange) — the groupBy builder's
+    third, full-record exchange must NOT reappear."""
+    from data_ingestion_pimcore_spark.config import IngestRequest
+    from data_ingestion_pimcore_spark.pipeline import (
+        _RESUME_RN,
+        _chunk_payloads_fused,
+        _chunked,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    req = IngestRequest(
+        file_path=f"{SF}/lineitem.parquet",
+        file_type="parquet",
+        chunk_size_by_records=1000,
+        re_ingestion=True,
+        order_cols=("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+    )
+    stats: dict = {}
+    chunked = _chunked(li, req, list(req.order_cols), stats_out=stats)
+    payloads = _chunk_payloads_fused(
+        chunked, li.columns, _RESUME_RN, 1000, stats["n_rows"], 2
+    )
+    plan = payloads._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n(1)")[0]
+    # ordering exchange (hash by __pid) + drain range exchange; the
+    # broadcast offset join adds BroadcastExchanges, which move O(#ranges)
+    # rows and don't count against shuffle volume
+    shuffles = [
+        ln for ln in tree.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert len(shuffles) == 2, tree
