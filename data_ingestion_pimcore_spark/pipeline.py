@@ -227,57 +227,53 @@ def _chunk_payloads_fused(
 
     local = pending.mapInPandas(run, schema=out_schema)
 
-    # Merge pass, fused with the drain layout: range-partitioning by
-    # chunk co-locates a chunk's fragments AND produces the ascending
-    # ordered partitions the sequential emit requires — one exchange
-    # serves both. (A where/union split here would reference `local`
-    # twice and recompute the serialize pass per branch.)
-    final_schema = (
-        f"{CHUNK_COL} long, n_records long, checksum string, payload binary"
+    # Drain layout doubles as the fragment co-locator: range partitions
+    # by chunk give the ascending order the sequential emit requires
+    # AND put a chunk's fragments side by side; the (rare) fragment
+    # rows are merged on the driver inside deliver_payloads, so
+    # complete payloads never re-enter Python after serialization. (An
+    # executor-side merge stage was measured ~10% slower end-to-end —
+    # it Arrow-round-trips every payload byte once more; a where/union
+    # split would recompute the serialize pass per branch.)
+    return local.repartitionByRange(n_parts, F.col(CHUNK_COL)).sortWithinPartitions(
+        CHUNK_COL, "first_rn"
     )
-    final_cols = [CHUNK_COL, "n_records", "checksum", "payload"]
 
-    def merge(batches):
-        frag_c = None
-        frag_n = 0
-        frag_bodies: list[bytes] = []
 
-        def flush():
-            nonlocal frag_c, frag_n, frag_bodies
-            if frag_c is None:
-                return []
-            blob = b"[" + b",".join(frag_bodies) + b"]"
-            row = (frag_c, frag_n, hashlib.sha256(blob).hexdigest(), blob)
-            frag_c, frag_n, frag_bodies = None, 0, []
-            return [row]
+def _merge_fragment_rows(rows):
+    """Driver-side merge of consecutive fragment rows (complete=false)
+    emitted by _chunk_payloads_fused; complete rows pass through.
+    O(straddling chunks) work — a few sha256 calls per ingestion."""
+    frag_c = None
+    frag_n = 0
+    frag_bodies: list[bytes] = []
 
-        for pdf in batches:
-            out = []
-            for c, n, checksum, payload, complete in zip(
-                pdf[CHUNK_COL], pdf["n_records"], pdf["checksum"],
-                pdf["payload"], pdf["complete"],
-            ):
-                c = int(c)
-                if complete:
-                    out.extend(flush())
-                    out.append((c, int(n), checksum, bytes(payload)))
-                else:
-                    if frag_c is not None and frag_c != c:
-                        out.extend(flush())
-                    frag_c = c
-                    frag_n += int(n)
-                    frag_bodies.append(bytes(payload))
-            if out:
-                yield pd.DataFrame(out, columns=final_cols)
-        tail = flush()
-        if tail:
-            yield pd.DataFrame(tail, columns=final_cols)
+    def flush():
+        nonlocal frag_c, frag_n, frag_bodies
+        if frag_c is None:
+            return []
+        blob = b"[" + b",".join(frag_bodies) + b"]"
+        out = {
+            CHUNK_COL: frag_c,
+            "n_records": frag_n,
+            "checksum": hashlib.sha256(blob).hexdigest(),
+            "payload": blob,
+        }
+        frag_c, frag_n, frag_bodies = None, 0, []
+        return [out]
 
-    return (
-        local.repartitionByRange(n_parts, F.col(CHUNK_COL))
-        .sortWithinPartitions(CHUNK_COL, "first_rn")
-        .mapInPandas(merge, schema=final_schema)
-    )
+    for row in rows:
+        if row["complete"]:
+            yield from flush()
+            yield row
+        else:
+            c = row[CHUNK_COL]
+            if frag_c is not None and frag_c != c:
+                yield from flush()
+            frag_c = c
+            frag_n += row["n_records"]
+            frag_bodies.append(bytes(row["payload"]))
+    yield from flush()
 
 
 def load_source(spark: SparkSession, request: IngestRequest) -> DataFrame:
@@ -338,13 +334,16 @@ def deliver_payloads(
     transport: Transport,
     total_records: int,
     mark_last: bool,
+    merge_fragments: bool = False,
 ) -> tuple[int, int]:
     """Ordered, ACK-gated emit of prepared chunk payloads (K1–K3).
 
     Sequential per contract (CV2); the expensive work already happened
     in executors. ``mark_last`` sets ``is_last=True`` on the final
     chunk (batch mode knows the end; streaming batches pass False and
-    rely on the completion event). Returns (chunks_sent, total_records).
+    rely on the completion event). ``merge_fragments`` enables the
+    driver-side fragment merge for the fused count-mode payload stream.
+    Returns (chunks_sent, total_records).
     """
     chunks_sent = 0
 
@@ -368,8 +367,11 @@ def deliver_payloads(
         state.update_chunk(ingestion_id, row[CHUNK_COL], total_records)
         chunks_sent += 1
 
+    rows = payloads.toLocalIterator(prefetchPartitions=True)
+    if merge_fragments:
+        rows = _merge_fragment_rows(rows)
     prev = None
-    for row in payloads.toLocalIterator(prefetchPartitions=True):
+    for row in rows:
         if prev is not None:
             flush(prev, is_last=False)
         prev = row
@@ -504,7 +506,13 @@ def ingest(
             n_parts, F.col(CHUNK_COL)
         ).sortWithinPartitions(CHUNK_COL)
     chunks_sent, total_records = deliver_payloads(
-        payloads, ingestion_id, state, transport, total_records, mark_last=True
+        payloads,
+        ingestion_id,
+        state,
+        transport,
+        total_records,
+        mark_last=True,
+        merge_fragments=request.chunk_size_by_records is not None,
     )
 
     # K4: completion handshake; mark COMPLETED only after consumer ACK.
