@@ -182,25 +182,40 @@ def _chunk_payloads_fused(
         hi = min((c + 1) * chunk_size, n_rows)
         return hi - c * chunk_size
 
-    # open_chunks: c -> list of (first_rn, records) fragments seen so
-    # far in THIS task; fragments arrive in rn order per chunk (input
-    # is rn-sorted within the partition) but sort defensively on emit.
-    def emit(c: int, buf: list[tuple[int, list[dict]]], complete: bool):
-        buf.sort(key=lambda t: t[0])
-        records = [r for _, recs in buf for r in recs]
-        if complete:
-            # one list-level canonical_dumps per chunk (orjson per-call
-            # overhead × rows would dominate — measured 15% slower)
-            blob = canonical_dumps(records)
-            return (
-                c, len(records), hashlib.sha256(blob).hexdigest(), blob,
-                True, buf[0][0],
-            )
-        body = b",".join(canonical_dumps(r) for r in records)
-        return (c, len(records), None, body, False, buf[0][0])
+    # open_chunks: c -> list of (rn_list, records) slices seen so far
+    # in THIS task. NOTE the range-id exchange is a HASH partitioning,
+    # so one task can hold several NON-adjacent rn ranges: fragment
+    # emission must split on rn discontinuities, or the driver-side
+    # first_rn merge would interleave two tasks' runs out of order.
+    def emit_complete(c: int, buf: list[tuple[list[int], list[dict]]]):
+        pairs = sorted(
+            (rn, r) for rns, recs in buf for rn, r in zip(rns, recs)
+        )
+        records = [r for _, r in pairs]
+        # one list-level canonical_dumps per chunk (orjson per-call
+        # overhead × rows would dominate — measured 15% slower)
+        blob = canonical_dumps(records)
+        return (
+            c, len(records), hashlib.sha256(blob).hexdigest(), blob,
+            True, pairs[0][0],
+        )
+
+    def emit_fragments(c: int, buf: list[tuple[list[int], list[dict]]]):
+        pairs = sorted(
+            (rn, r) for rns, recs in buf for rn, r in zip(rns, recs)
+        )
+        out = []
+        run_start = 0
+        for i in range(1, len(pairs) + 1):
+            if i == len(pairs) or pairs[i][0] != pairs[i - 1][0] + 1:
+                run = pairs[run_start:i]
+                body = b",".join(canonical_dumps(r) for _, r in run)
+                out.append((c, len(run), None, body, False, run[0][0]))
+                run_start = i
+        return out
 
     def run(batches):
-        open_chunks: dict[int, list[tuple[int, list[dict]]]] = {}
+        open_chunks: dict[int, list[tuple[list[int], list[dict]]]] = {}
         counts: dict[int, int] = {}
         for pdf in batches:
             if pdf.empty:
@@ -214,15 +229,19 @@ def _chunk_payloads_fused(
                 columns = _record_columns(g, record_cols)
                 recs = [dict(zip(record_cols, row)) for row in zip(*columns)]
                 buf = open_chunks.setdefault(c, [])
-                buf.append((int(g[rn_col].iloc[0]), recs))
+                buf.append((g[rn_col].tolist(), recs))
                 counts[c] = counts.get(c, 0) + len(recs)
                 if counts[c] == expected(c):
-                    done.append(emit(c, buf, True))
+                    done.append(emit_complete(c, buf))
                     del open_chunks[c], counts[c]
             if done:
                 yield pd.DataFrame(done, columns=out_cols)
         if open_chunks:
-            tail = [emit(c, buf, False) for c, buf in sorted(open_chunks.items())]
+            tail = [
+                row
+                for c, buf in sorted(open_chunks.items())
+                for row in emit_fragments(c, buf)
+            ]
             yield pd.DataFrame(tail, columns=out_cols)
 
     local = pending.mapInPandas(run, schema=out_schema)

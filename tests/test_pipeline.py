@@ -338,3 +338,60 @@ def test_warm_ingest_runs(spark):
     from data_ingestion_pimcore_spark.pipeline import warm_ingest
 
     warm_ingest(spark)
+
+
+def test_fused_payloads_equal_groupby_payloads(spark):
+    """The fused builder (complete-in-task + fragment merge) must
+    produce byte-identical payloads and checksums to the shuffle-based
+    groupBy builder for every chunk, across chunk sizes that do and
+    don't divide the row count (fragment-heavy cases included)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pimcore_spark.pipeline import (
+        _RESUME_RN,
+        _chunk_payloads,
+        _chunk_payloads_fused,
+        _chunked,
+        _merge_fragment_rows,
+    )
+
+    # deterministic synthetic source with a unique key: order_cols must
+    # be a TOTAL order (pipeline contract), and the two builders
+    # evaluate the lineage independently, so the source must produce
+    # identical rows on every evaluation (no limit/dropDuplicates).
+    order = ["k"]
+    li = spark.range(2500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("a"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+        (F.col("id") * 1.5).alias("x"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id") % 7).alias("n"),
+    )
+    for chunk_size in (100, 999, 2500, 4000):
+        req = _request(
+            file_path="mem://fused-eq",
+            file_type="parquet",
+            chunk_size_by_records=chunk_size,
+            order_cols=tuple(order),
+        )
+        stats: dict = {}
+        chunked = _chunked(li, req, order, stats_out=stats)
+        fused = _chunk_payloads_fused(
+            chunked, li.columns, _RESUME_RN, chunk_size, stats["n_rows"], 2
+        )
+        got = {
+            r["chunk_number"]: (
+                r["n_records"], r["checksum"], bytes(r["payload"])
+            )
+            for r in _merge_fragment_rows(
+                fused.orderBy("chunk_number", "first_rn").collect()
+            )
+        }
+        grp = _chunk_payloads(
+            chunked.drop(_RESUME_RN), li.columns, order
+        ).collect()
+        want = {
+            r["chunk_number"]: (r["n_records"], r["checksum"], bytes(r["payload"]))
+            for r in grp
+        }
+        assert got == want, f"chunk_size={chunk_size}"
