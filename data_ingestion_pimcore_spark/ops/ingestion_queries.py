@@ -452,12 +452,16 @@ def ingest_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XLSX_FIXTURE_CAP = 5000  # bounds driver memory for fixture authoring at any SF
+
+
 @register(
     "source_excel_roundtrip",
-    oracle="""
+    oracle=f"""
 SELECT c_mktsegment, COUNT(*) AS n_rows,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
 FROM customer
+WHERE c_custkey <= {_XLSX_FIXTURE_CAP}
 GROUP BY c_mktsegment
 """,
     doc="The reference's Excel scan (S4/P1/P2, excel_reader.py:38-72) "
@@ -478,8 +482,12 @@ def source_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.excel_source import read_excel
     from ..sources.xlsx_writer import write_xlsx
 
-    cust = load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
+    # Capped fixture subset: authoring the workbook is driver-side by
+    # nature (one .xlsx = one file), so bound the collect at any SF.
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= _XLSX_FIXTURE_CAP)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
     )
     rows = [["c_custkey", "c_mktsegment", "c_acctbal"]] + [
         [r["c_custkey"], r["c_mktsegment"], r["c_acctbal"]]
@@ -503,12 +511,16 @@ def source_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+_JSON_FIXTURE_CAP = 20_000  # bounds driver memory for fixture authoring
+
+
 @register(
     "source_json_array",
-    oracle="""
+    oracle=f"""
 SELECT o_orderstatus, COUNT(*) AS n_rows,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
 FROM orders
+WHERE o_orderkey <= {_JSON_FIXTURE_CAP}
 GROUP BY o_orderstatus
 """,
     doc="The reference's flagship source — one huge top-level JSON "
@@ -529,8 +541,12 @@ def source_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..integrity import canonical_dumps
     from ..sources.json_source import read_json_array
 
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    # Capped fixture subset: a single-array .json file is authored
+    # driver-side by nature, so bound the collect at any SF.
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= _JSON_FIXTURE_CAP)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
     recs = [
         {"o_orderkey": r["o_orderkey"], "o_orderstatus": r["o_orderstatus"],
