@@ -143,3 +143,28 @@ def test_chunker_invariants_property(spark):
         assert seen == sorted((k, u) for k, u in rows)
 
     check()
+
+
+def test_byte_chunks_invariant_to_partitioning(spark):
+    """K3 reproducibility contract: epoch'd byte-mode chunk membership
+    is a pure function of (data, order, budget, epoch_rows) — the
+    range count used for row numbering must not change a single
+    assignment (a crashed run and its resume may compute row numbers
+    with different partitionings)."""
+    # deterministic subset (limit() may pick different rows per
+    # evaluation; each num_partitions variant re-evaluates the lineage)
+    li = load(spark, SF, "lineitem").where(F.col("l_orderkey") <= 800)
+    budget = 8 * 1024
+    ref = None
+    for parts in (1, 5, 13):
+        chunked = assign_chunks_by_bytes(
+            li, ORDER, budget, num_partitions=parts, epoch_rows=512
+        )
+        got = {
+            tuple(r[c] for c in ORDER): r["chunk_number"]
+            for r in chunked.collect()
+        }
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref, f"partitioning {parts} changed chunk ids"
