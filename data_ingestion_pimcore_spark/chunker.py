@@ -78,9 +78,10 @@ def _boundary_lit(df: DataFrame, order_cols: list[str], values: tuple) -> Column
 # chunks are a pure function of rn, and byte-mode chunks restart at
 # fixed rn epochs — so boundaries only balance load. The semantic hash
 # keeps two different row sets over the same files (e.g. a filtered
-# source) from aliasing one entry, which would skew balance. Assumes
-# immutable files (the Spark norm); in-memory/local relations report no
-# input files and are never cached.
+# source) from aliasing one entry, which would skew balance. Local-file
+# keys carry (size, mtime) so in-place overwrites invalidate; remote
+# schemes assume immutable objects (the Spark norm). In-memory/local
+# relations report no input files and are never cached.
 _BOUNDARY_CACHE: dict[tuple, list] = {}
 _BOUNDARY_CACHE_MAX = 64
 
@@ -93,11 +94,30 @@ def _plan_discriminator(df: DataFrame) -> int:
         return id(df)
 
 
+def _file_signature(path: str):
+    """(path, size, mtime) for local files so in-place overwrites under
+    the same name invalidate cached boundaries. Remote schemes return
+    path-only (no extra driver RPC per file — staleness there is
+    balance-only under the epoch design, and object stores are
+    immutable-by-convention anyway)."""
+    if path.startswith("file:"):
+        import os
+        from urllib.parse import unquote, urlparse
+
+        local = unquote(urlparse(path).path)
+        try:
+            st = os.stat(local)
+            return (path, st.st_size, st.st_mtime_ns)
+        except OSError:
+            return (path,)
+    return (path,)
+
+
 def _sampled_boundaries(
     df: DataFrame, order_cols: list[str], num_ranges: int
 ) -> list[tuple]:
     """Deduped range-boundary tuples for ``order_cols`` (len ≤ ranges-1)."""
-    files = tuple(sorted(df.inputFiles()))
+    files = tuple(_file_signature(p) for p in sorted(df.inputFiles()))
     ck = (
         (files, _plan_discriminator(df), tuple(order_cols), num_ranges)
         if files
