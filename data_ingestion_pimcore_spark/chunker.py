@@ -43,8 +43,6 @@ cross-job shuffle determinism:
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -303,6 +301,17 @@ def assign_chunks_by_bytes(
     (data, order, budget, epoch_rows) — reproducible across processes,
     partitionings, and cache states, which byte-mode resume requires.
 
+    Two-pass shape, sized for 100 TB: pass 1 (boundaries) folds only a
+    SLIM ``(epoch, rn, bytes)`` projection — the greedy chase per epoch
+    is numpy ``cumsum`` + one ``searchsorted`` per CHUNK, so Python
+    work is O(#chunks), not O(#rows), and full records never cross into
+    Python. Pass 2 (assignment) is pure JVM: the tiny per-epoch
+    chunk-start arrays broadcast-join back on the epoch id (no extra
+    exchange on the record stream — the ordering shuffle inside
+    ``global_row_number`` is the only full-width exchange), and each
+    row's chunk index is an array probe
+    ``offset + #(starts <= rn) - 1``. Driver state stays O(#epochs).
+
     Adds ``record_bytes`` (canonical serialized size, C2) unless
     ``size_col`` names an existing column.
     """
@@ -327,47 +336,67 @@ def assign_chunks_by_bytes(
         late_project=late,
         stats_out=stats_out,
     )
-    part = (
-        withrn.withColumn(
-            _PID, F.floor((F.col(_RN) - 1) / F.lit(int(epoch_rows))).cast("long")
-        )
-        .repartition(F.col(_PID))
-        .sortWithinPartitions(_PID, _RN)
-    )
-
-    out_schema = StructType(part.schema.fields + [StructField(_LOCAL_CHUNK, LongType())])
     budget = int(byte_budget)
+    epoch = F.floor((F.col(_RN) - 1) / F.lit(int(epoch_rows))).cast("long")
 
-    def greedy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        state: dict[int, tuple[int, int]] = {}  # epoch → (chunk, cur_bytes)
-        for pdf in batches:
-            pdf = pdf.copy()
-            out = []
-            for pid, size in zip(pdf[_PID], pdf[size_col]):
-                chunk, cur = state.get(pid, (0, 0))
-                size = int(size)
-                if cur > 0 and cur + size > budget:
-                    chunk += 1
-                    cur = 0
-                cur += size
-                state[pid] = (chunk, cur)
-                out.append(chunk)
-            pdf[_LOCAL_CHUNK] = out
-            yield pdf
+    # Pass 1 — per-epoch chunk starts over the slim (epoch, rn, bytes)
+    # projection. An epoch's group is ≤ epoch_rows rows by construction,
+    # so the grouped pandas frame is bounded regardless of data size.
+    def chase(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
 
-    local = part.mapInPandas(greedy, schema=out_schema)
+        pdf = pdf.sort_values(_RN)
+        csum = pdf[size_col].to_numpy(dtype="int64").cumsum()
+        n = len(csum)
+        starts: list[int] = []
+        i = 0
+        while i < n:
+            prev = int(csum[i - 1]) if i else 0
+            # First index whose cumulative size exceeds the budget is
+            # where the NEXT chunk starts (strict pre-append check); a
+            # single record alone above budget gets its own chunk.
+            j = int(np.searchsorted(csum, prev + budget, side="right"))
+            if j <= i:
+                j = i + 1
+            starts.append(i)
+            i = j
+        rns = pdf[_RN].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                _PID: np.full(len(starts), int(pdf[_PID].iloc[0]), dtype="int64"),
+                "__start_rn": rns[starts],
+            }
+        )
+
+    slim = withrn.select(epoch.alias(_PID), F.col(_RN), F.col(size_col))
+    # localCheckpoint pins the tiny (#chunks-row) boundary set so the
+    # chase executes exactly once; its lineage would otherwise re-run
+    # for the offsets collect AND the final join.
+    bounds = (
+        slim.groupBy(_PID)
+        .applyInPandas(chase, schema=f"{_PID} long, __start_rn long")
+        .localCheckpoint(eager=True)
+    )
     counts = [
         (r[_PID], r["n_chunks"])
-        for r in local.groupBy(_PID)
-        .agg((F.max(_LOCAL_CHUNK) + 1).alias("n_chunks"))
-        .collect()
+        for r in bounds.groupBy(_PID).agg(F.count("*").alias("n_chunks")).collect()
     ]
     if stats_out is not None:
         stats_out["n_chunks"] = sum(c for _, c in counts)
-    offsets = F.broadcast(_offsets_df(counts, df.sparkSession, "__offset"))
+    offsets = _offsets_df(counts, df.sparkSession, "__offset")
+    starts_df = (
+        bounds.groupBy(_PID)
+        .agg(F.array_sort(F.collect_list("__start_rn")).alias("__starts"))
+        .join(offsets, _PID)
+    )
+    # Pass 2 — pure-JVM assignment: broadcast the per-epoch start
+    # arrays (O(#epochs) rows, a few MB even at 100 TB) and probe.
+    rn = F.col(_RN)
+    local_chunk = F.size(F.filter(F.col("__starts"), lambda s: s <= rn)) - 1
     out = (
-        local.join(offsets, _PID)
-        .withColumn(CHUNK_COL, (F.col(_LOCAL_CHUNK) + F.col("__offset")).cast("long"))
-        .drop(_PID, _LOCAL_CHUNK, "__offset")
+        withrn.withColumn(_PID, epoch)
+        .join(F.broadcast(starts_df), _PID)
+        .withColumn(CHUNK_COL, (F.col("__offset") + local_chunk).cast("long"))
+        .drop(_PID, "__offset", "__starts")
     )
     return out.withColumnRenamed(_RN, rn_col) if rn_col else out.drop(_RN)

@@ -99,16 +99,13 @@ def _record_columns(pdf: pd.DataFrame, record_cols: list[str]) -> list[list]:
 def _chunk_payloads_local(
     pending: DataFrame, record_cols: list[str], order_cols: list[str]
 ) -> DataFrame:
-    """Zero-extra-shuffle payload builder for BYTE-mode chunks.
-
-    The epoch'd byte chunker guarantees a chunk never spans an epoch,
-    and the chunker's output is still hash-partitioned by epoch — so
-    every chunk's rows are already co-located in one task (AQE may
-    merge whole partitions, which preserves the property; resume
-    filters drop rows, never split a chunk across tasks). Payloads
-    build in place; the only remaining exchange is the drain layout.
-    Any violation of the co-location assumption would surface as a
-    CV3 checksum NACK at delivery, not silent corruption.
+    """Payload builder for BYTE-mode chunks: the caller hash-partitions
+    ``pending`` by ``chunk_number`` (see ``ingest``), so every chunk's
+    rows are co-located in one task and payloads build in place (AQE
+    may merge whole partitions, which preserves the property; resume
+    filters drop rows, never split a chunk across tasks). Any violation
+    of the co-location assumption would surface as a CV3 checksum NACK
+    at delivery, not silent corruption.
     """
 
     def run(batches):
@@ -498,11 +495,15 @@ def ingest(
             n_parts,
         )
     else:
-        # Byte mode: chunks are epoch-local by construction — build
-        # payloads in place, no grouping shuffle.
+        # Byte mode: one hash exchange on chunk_number co-locates each
+        # chunk's rows (the v2 byte chunker no longer shuffles by epoch
+        # itself — its assignment pass is a broadcast probe), then
+        # payloads build in place.
         drop = [_RESUME_RN] if request.record_resume else []
         payloads = _chunk_payloads_local(
-            pending.drop(*drop), record_cols, order_cols
+            pending.drop(*drop).repartition(F.col(CHUNK_COL)),
+            record_cols,
+            order_cols,
         )
     # Drain layout: toLocalIterator schedules ONE job per partition, so
     # over-splitting the (few, large) payload rows pays per-job
@@ -557,29 +558,48 @@ def ingest(
 
 
 def warm_ingest(spark: SparkSession) -> None:
-    """One-time session warm-up: run a miniature ingestion through the
+    """One-time session warm-up: run miniature ingestions through the
     exact plan shapes of ``ingest()`` — deterministic-pid sampling,
-    global-row-number window, Arrow ``applyInPandas`` canonicalization,
+    global-row-number window, Arrow ``mapInPandas`` serialization,
     broadcast offset join, ordered ``toLocalIterator`` drain, state
     snapshot — so the FIRST real ingestion does not pay Python-worker
     pool spin-up, Arrow path initialization, and whole-stage-codegen
-    JIT on top of its own work. A long-running ingestion service calls
-    this once at startup; cost is a few hundred ms of driver+executor
-    warm-up against seconds saved on the first request."""
+    JIT on top of its own work.
+
+    Sized to actually reach the JVM's hot-compile thresholds: a 64-row
+    pass loads the codegen classes but leaves every generated loop
+    interpreted, which made the first full-size ingestion ~3× steady
+    state. ~50k JVM-generated rows (`spark.range`, no driver transfer)
+    through BOTH chunk modes push the window/serialize/probe loops
+    into C2, after which the first real request runs near steady
+    state. A long-running ingestion service calls this once at boot;
+    the ~1-2 s cost is paid off on the first request."""
     import tempfile
 
     from .sink import ChunkValidator
     from .state import IngestionStateStore
 
-    df = spark.createDataFrame(
-        [(i, f"w{i}", i * 1.5) for i in range(64)], "k long, v string, x double"
+    df = (
+        spark.range(24576)
+        .withColumn("k", F.col("id"))
+        .withColumn("v", F.concat(F.lit("w"), F.col("id").cast("string")))
+        .withColumn("x", F.col("id") * 1.5)
+        .drop("id")
     )
-    req = IngestRequest(
-        file_path="warmup://noop",
+    count_req = IngestRequest(
+        file_path="warmup://count",
         file_type="parquet",
-        chunk_size_by_records=16,
+        chunk_size_by_records=4000,
         re_ingestion=True,
         order_cols=("k", "v"),
     )
-    state = IngestionStateStore(tempfile.mktemp(suffix=".parquet"))
-    ingest(spark, req, df, state, ChunkValidator())
+    byte_req = IngestRequest(
+        file_path="warmup://bytes",
+        file_type="parquet",
+        chunk_size_by_memory=256 * 1024,
+        re_ingestion=True,
+        order_cols=("k", "v"),
+    )
+    for req in (count_req, byte_req):
+        state = IngestionStateStore(tempfile.mktemp(suffix=".parquet"))
+        ingest(spark, req, df, state, ChunkValidator())
