@@ -315,6 +315,51 @@ def assign_chunks_by_bytes(
     Adds ``record_bytes`` (canonical serialized size, C2) unless
     ``size_col`` names an existing column.
     """
+    withrn, bounds, offsets = _byte_chunk_bounds(
+        df,
+        order_cols,
+        byte_budget,
+        size_col,
+        num_partitions,
+        epoch_rows,
+        stats_out,
+        size_expr,
+    )
+    epoch = F.floor((F.col(_RN) - 1) / F.lit(int(epoch_rows))).cast("long")
+    starts_df = (
+        bounds.groupBy(_PID)
+        .agg(F.array_sort(F.collect_list("__start_rn")).alias("__starts"))
+        .join(offsets, _PID)
+    )
+    # Pass 2 — pure-JVM assignment: broadcast the per-epoch start
+    # arrays (O(#epochs) rows, a few MB even at 100 TB) and probe.
+    rn = F.col(_RN)
+    local_chunk = F.size(F.filter(F.col("__starts"), lambda s: s <= rn)) - 1
+    out = (
+        withrn.withColumn(_PID, epoch)
+        .join(F.broadcast(starts_df), _PID)
+        .withColumn(CHUNK_COL, (F.col("__offset") + local_chunk).cast("long"))
+        .drop(_PID, "__offset", "__starts")
+    )
+    return out.withColumnRenamed(_RN, rn_col) if rn_col else out.drop(_RN)
+
+
+def _byte_chunk_bounds(
+    df: DataFrame,
+    order_cols: list[str],
+    byte_budget: int,
+    size_col: str | None,
+    num_partitions: int | None,
+    epoch_rows: int,
+    stats_out: dict | None,
+    size_expr: Column | None,
+):
+    """Shared pass 1 of byte-budget chunking: global row numbers, then
+    the per-epoch greedy chase over the slim (epoch, rn, bytes)
+    projection. Returns ``(withrn, bounds, offsets)`` where ``bounds``
+    has one row per chunk — (epoch, start rn, n_records, chunk_bytes,
+    max_record_bytes) — pinned by localCheckpoint, and ``offsets`` maps
+    epoch → global chunk-number offset."""
     from .integrity import record_bytes_col
 
     late = None
@@ -339,14 +384,16 @@ def assign_chunks_by_bytes(
     budget = int(byte_budget)
     epoch = F.floor((F.col(_RN) - 1) / F.lit(int(epoch_rows))).cast("long")
 
-    # Pass 1 — per-epoch chunk starts over the slim (epoch, rn, bytes)
-    # projection. An epoch's group is ≤ epoch_rows rows by construction,
-    # so the grouped pandas frame is bounded regardless of data size.
+    # Per-epoch chunk starts + fused per-chunk stats. An epoch's group
+    # is ≤ epoch_rows rows by construction, so the grouped pandas frame
+    # is bounded regardless of data size; Python work per epoch is
+    # cumsum + one searchsorted per CHUNK.
     def chase(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         pdf = pdf.sort_values(_RN)
-        csum = pdf[size_col].to_numpy(dtype="int64").cumsum()
+        sizes = pdf[size_col].to_numpy(dtype="int64")
+        csum = sizes.cumsum()
         n = len(csum)
         starts: list[int] = []
         i = 0
@@ -361,20 +408,31 @@ def assign_chunks_by_bytes(
             starts.append(i)
             i = j
         rns = pdf[_RN].to_numpy(dtype="int64")
+        st = np.asarray(starts, dtype="int64")
+        ends = np.append(st[1:], n)
         return pd.DataFrame(
             {
-                _PID: np.full(len(starts), int(pdf[_PID].iloc[0]), dtype="int64"),
-                "__start_rn": rns[starts],
+                _PID: np.full(len(st), int(pdf[_PID].iloc[0]), dtype="int64"),
+                "__start_rn": rns[st],
+                "__n_records": ends - st,
+                "__chunk_bytes": np.add.reduceat(sizes, st),
+                "__max_record_bytes": np.maximum.reduceat(sizes, st),
             }
         )
 
     slim = withrn.select(epoch.alias(_PID), F.col(_RN), F.col(size_col))
     # localCheckpoint pins the tiny (#chunks-row) boundary set so the
     # chase executes exactly once; its lineage would otherwise re-run
-    # for the offsets collect AND the final join.
+    # for the offsets collect AND every downstream consumer.
     bounds = (
         slim.groupBy(_PID)
-        .applyInPandas(chase, schema=f"{_PID} long, __start_rn long")
+        .applyInPandas(
+            chase,
+            schema=(
+                f"{_PID} long, __start_rn long, __n_records long, "
+                "__chunk_bytes long, __max_record_bytes long"
+            ),
+        )
         .localCheckpoint(eager=True)
     )
     counts = [
@@ -384,19 +442,49 @@ def assign_chunks_by_bytes(
     if stats_out is not None:
         stats_out["n_chunks"] = sum(c for _, c in counts)
     offsets = _offsets_df(counts, df.sparkSession, "__offset")
-    starts_df = (
-        bounds.groupBy(_PID)
-        .agg(F.array_sort(F.collect_list("__start_rn")).alias("__starts"))
-        .join(offsets, _PID)
+    return withrn, bounds, offsets
+
+
+def byte_chunk_stats(
+    df: DataFrame,
+    order_cols: list[str],
+    byte_budget: int,
+    size_col: str | None = None,
+    num_partitions: int | None = None,
+    epoch_rows: int = DEFAULT_EPOCH_ROWS,
+    stats_out: dict | None = None,
+    size_expr: Column | None = None,
+) -> DataFrame:
+    """Per-chunk statistics of byte-budget chunking — (chunk_number,
+    n_records, chunk_bytes, max_record_bytes) — in ONE pass over the
+    records: the boundary chase already holds every chunk's sizes, so
+    the stats are fused into it (numpy ``reduceat`` per epoch) and the
+    record stream is never re-read for a second assignment pass. Chunk
+    membership is identical to ``assign_chunks_by_bytes`` (same pass 1);
+    use that when row-level chunk ids are needed."""
+    from pyspark.sql.window import Window
+
+    _, bounds, offsets = _byte_chunk_bounds(
+        df,
+        order_cols,
+        byte_budget,
+        size_col,
+        num_partitions,
+        epoch_rows,
+        stats_out,
+        size_expr,
     )
-    # Pass 2 — pure-JVM assignment: broadcast the per-epoch start
-    # arrays (O(#epochs) rows, a few MB even at 100 TB) and probe.
-    rn = F.col(_RN)
-    local_chunk = F.size(F.filter(F.col("__starts"), lambda s: s <= rn)) - 1
-    out = (
-        withrn.withColumn(_PID, epoch)
-        .join(F.broadcast(starts_df), _PID)
-        .withColumn(CHUNK_COL, (F.col("__offset") + local_chunk).cast("long"))
-        .drop(_PID, "__offset", "__starts")
+    w = Window.partitionBy(_PID).orderBy("__start_rn")
+    return (
+        bounds.join(F.broadcast(offsets), _PID)
+        .withColumn(
+            CHUNK_COL,
+            (F.row_number().over(w) - 1 + F.col("__offset")).cast("long"),
+        )
+        .select(
+            CHUNK_COL,
+            F.col("__n_records").alias("n_records"),
+            F.col("__chunk_bytes").alias("chunk_bytes"),
+            F.col("__max_record_bytes").alias("max_record_bytes"),
+        )
     )
-    return out.withColumnRenamed(_RN, rn_col) if rn_col else out.drop(_RN)

@@ -18,8 +18,8 @@ from pyspark.sql.window import Window
 
 from ..chunker import (
     CHUNK_COL,
-    assign_chunks_by_bytes,
     assign_chunks_by_count,
+    byte_chunk_stats,
     global_row_number,
 )
 from ..integrity import (
@@ -369,23 +369,17 @@ def ingest_chunk_by_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size_expr → the canonical-string projection runs post-exchange at
     # shuffle parallelism (a pre-computed column would execute in the
     # scan stage: one task per file split, idling every other core).
-    chunked = assign_chunks_by_bytes(
+    # byte_chunk_stats fuses the per-chunk totals into the boundary
+    # chase itself — identical chunk membership to
+    # assign_chunks_by_bytes, but ONE pass over the records.
+    return byte_chunk_stats(
         li,
         _LI_ORDER,
         byte_budget=_BYTE_BUDGET,
         size_col="record_bytes",
         size_expr=F.octet_length(canonical_string_col(li)).cast("long"),
         epoch_rows=_EPOCH_ROWS,
-    )
-    return (
-        chunked.groupBy("chunk_number")
-        .agg(
-            F.count(F.lit(1)).alias("n_records"),
-            F.sum("record_bytes").alias("chunk_bytes"),
-            F.max("record_bytes").alias("max_record_bytes"),
-        )
-        .orderBy("chunk_number")
-    )
+    ).orderBy("chunk_number")
 
 
 @register(

@@ -83,6 +83,31 @@ def test_byte_budget_invariants(spark):
         assert c2 == c1 + 1 and lo2 == hi1 + 1
 
 
+def test_byte_chunk_stats_matches_row_level_aggregation(spark):
+    """The fused one-pass stats must equal aggregating the row-level
+    assignment — same boundary chase, so identical chunk membership."""
+    from data_ingestion_pimcore_spark.chunker import byte_chunk_stats
+
+    budget = 16 * 1024
+    li = load(spark, SF, "lineitem")
+    fused = {
+        r["chunk_number"]: (r["n_records"], r["chunk_bytes"], r["max_record_bytes"])
+        for r in byte_chunk_stats(li, ORDER, budget, num_partitions=5).collect()
+    }
+    rowlevel = {
+        r["chunk_number"]: (r["n"], r["b"], r["m"])
+        for r in assign_chunks_by_bytes(li, ORDER, budget, num_partitions=5)
+        .groupBy("chunk_number")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("record_bytes").alias("b"),
+            F.max("record_bytes").alias("m"),
+        )
+        .collect()
+    }
+    assert fused == rowlevel
+
+
 def test_byte_budget_single_partition_matches_python_greedy(spark):
     """With one partition, the distributed greedy must equal the
     reference's sequential pre-append-check algorithm exactly
