@@ -506,13 +506,25 @@ def connected_components_star(
     onto m = min(Γ(u) ∪ {u}); SMALL-STAR re-hangs u's smaller
     neighbors (and u) onto their minimum. Both are pure groupBy-min +
     self-join steps; edges monotonically flatten into stars (v → root).
-    Fixpoint = the star partition, detected by edge-set equality.
     localCheckpoint per round keeps the plan from growing with
     iterations. ``edges`` is undirected input (one direction or both),
     columns ``src``/``dst``; isolated nodes label themselves.
+
+    Round economy: edges live CANONICALIZED (src > dst always), which
+    makes the symmetric view `e ∪ rev(e)` duplicate-free by
+    construction and lets small-star consume large-star's output
+    directly (it is already larger→smaller oriented) — so each round
+    runs exactly one distinct, two groupBy-mins and two joins.
+    Fixpoint detection is a fused one-job fingerprint
+    (count + xor(xxhash64)) carried across rounds; only when the
+    fingerprint repeats does a definitive set-equality check run
+    (one subtract total per call, not per round).
     """
     e = (
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        edges.select(
+            F.greatest(F.col("src").cast("long"), F.col("dst").cast("long")).alias("src"),
+            F.least(F.col("src").cast("long"), F.col("dst").cast("long")).alias("dst"),
+        )
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
@@ -522,48 +534,65 @@ def connected_components_star(
     # round launches several shuffling jobs whose fixed per-task cost
     # dominates at 32+ partitions. ~50k edges per partition; restored
     # after the loop. (Same scale-aware sizing as streaming state
-    # partitions in ops/timeseries.)
+    # partitions in ops/timeseries.) The sizing count doubles as the
+    # first convergence fingerprint — one job, two uses.
     spark = e.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    n_edges = e.count()
+    n_edges, hsum = _edge_fingerprint(e)
     round_parts = max(4, min(int(prev_parts), n_edges // 50_000 + 4))
     spark.conf.set("spark.sql.shuffle.partitions", str(round_parts))
     try:
-        return _star_rounds(nodes, e, node_col, max_rounds)
+        return _star_rounds(nodes, e, (n_edges, hsum), node_col, max_rounds)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def _edge_fingerprint(e: DataFrame) -> tuple[int, int]:
+    """(row count, XOR of xxhash64(src,dst)) in ONE job — an
+    order-independent, overflow-free (ANSI-safe) fingerprint of a
+    distinct edge set."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+    ).first()
+    return int(row["c"]), int(row["h"] or 0)
+
+
 def _star_rounds(
-    nodes: DataFrame, e: DataFrame, node_col: str, max_rounds: int
+    nodes: DataFrame,
+    e: DataFrame,
+    fp: tuple[int, int],
+    node_col: str,
+    max_rounds: int,
 ) -> DataFrame:
     for _ in range(max_rounds):
+        # e is canonical (src > dst) and distinct, so the symmetric
+        # view's two halves are disjoint — no dedup shuffle needed.
         sym = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
-        m = sym.groupBy("src").agg(
-            F.least(F.min("dst"), F.first("src")).alias("m")
         )
+        m = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least(F.col("mn"), F.col("src")).alias("m"))
+        )
+        # LARGE-STAR: (v, m(u)) for every neighbor v > u, plus the star
+        # edge (u, m(u)). m(u) ≤ u < v, so every output edge is already
+        # src > dst — small-star can consume it directly, duplicates
+        # and all (its groupBy-min is duplicate-insensitive, and the
+        # final distinct dedupes the emitted pairs).
         ls_pairs = (
             sym.join(m, "src")
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
-        e2 = (
-            ls_pairs.unionByName(m.select("src", F.col("m").alias("dst")))
-            .where(F.col("src") != F.col("dst"))
-            .distinct()
-        )
-        down = (
-            e2.unionByName(
-                e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            )
-            .distinct()
-            .where(F.col("src") > F.col("dst"))
-        )
-        m2 = down.groupBy("src").agg(F.min("dst").alias("m"))
+        e2 = ls_pairs.unionByName(
+            m.select("src", F.col("m").alias("dst"))
+        ).where(F.col("src") != F.col("dst"))
+        # SMALL-STAR over larger→smaller edges (= all of e2).
+        m2 = e2.groupBy("src").agg(F.min("dst").alias("m"))
         ss_pairs = (
-            down.join(m2, "src")
+            e2.join(m2, "src")
             .where(F.col("dst") != F.col("m"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
@@ -573,11 +602,9 @@ def _star_rounds(
             .distinct()
             .localCheckpoint()
         )
-        converged = (
-            e_new.count() == e.count()
-            and e_new.subtract(e).limit(1).count() == 0
-        )
-        e = e_new
+        fp_new = _edge_fingerprint(e_new)
+        converged = fp_new == fp and e_new.subtract(e).limit(1).count() == 0
+        e, fp = e_new, fp_new
         if converged:
             break
     else:
