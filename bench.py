@@ -99,7 +99,7 @@ def bench_ingest_e2e(spark, sf_dir: str) -> tuple[float, float]:
     # the production cold-request number.
     from data_ingestion_pimcore_spark.pipeline import warm_ingest
 
-    warm_ingest(spark)
+    warm_ingest(spark, like=li, like_order_cols=req.order_cols)
     # First full execution still JIT-compiles this plan's codegen; the
     # steady state a long-running service sees is the min of two
     # follow-up runs (min, not mean: transient co-tenant CPU contention

@@ -557,7 +557,12 @@ def ingest(
     )
 
 
-def warm_ingest(spark: SparkSession) -> None:
+def warm_ingest(
+    spark: SparkSession,
+    like: DataFrame | None = None,
+    like_order_cols: tuple[str, ...] | None = None,
+    like_rows: int = 32768,
+) -> None:
     """One-time session warm-up: run miniature ingestions through the
     exact plan shapes of ``ingest()`` — deterministic-pid sampling,
     global-row-number window, Arrow ``mapInPandas`` serialization,
@@ -573,7 +578,16 @@ def warm_ingest(spark: SparkSession) -> None:
     through BOTH chunk modes push the window/serialize/probe loops
     into C2, after which the first real request runs near steady
     state. A long-running ingestion service calls this once at boot;
-    the ~1-2 s cost is paid off on the first request."""
+    the cost is paid off on the first request.
+
+    ``like`` (optional) additionally warms the EXACT plan of an
+    expected source: whole-stage codegen is generated per plan schema
+    and Spark's compile cache is keyed on the generated source, so a
+    mini count-mode ingest over a ``like_rows`` parquet slice of the
+    real table lets the first full-size request reuse the compiled
+    classes instead of paying Janino + interpreter warm-up on its own
+    rows. Pass the request's ``order_cols`` via ``like_order_cols``."""
+    import shutil
     import tempfile
 
     from .sink import ChunkValidator
@@ -603,3 +617,25 @@ def warm_ingest(spark: SparkSession) -> None:
     for req in (count_req, byte_req):
         state = IngestionStateStore(tempfile.mktemp(suffix=".parquet"))
         ingest(spark, req, df, state, ChunkValidator())
+    if like is None:
+        return
+    mini_dir = tempfile.mkdtemp(prefix="warm_like_")
+    mini_path = f"{mini_dir}/slice.parquet"
+    try:
+        like.limit(like_rows).write.mode("overwrite").parquet(mini_path)
+        like_req = IngestRequest(
+            file_path=mini_path,
+            file_type="parquet",
+            chunk_size_by_records=4000,
+            re_ingestion=True,
+            order_cols=tuple(like_order_cols or like.columns[:1]),
+        )
+        ingest(
+            spark,
+            like_req,
+            spark.read.parquet(mini_path),
+            IngestionStateStore(tempfile.mktemp(suffix=".parquet")),
+            ChunkValidator(),
+        )
+    finally:
+        shutil.rmtree(mini_dir, ignore_errors=True)
