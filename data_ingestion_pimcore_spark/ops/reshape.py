@@ -187,3 +187,128 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col string, n_rows long, n_nonnull long, n_distinct long, "
         "min_val double, max_val double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data splitting / ordering / mixing — the three corpus-level
+# sampling primitives every LLM pretraining pipeline runs after curation.
+# All three use deterministic md5 hash gates (reproducible across runs,
+# partitionings, and engines) — never sample()'s per-partition RNG.
+
+# Lexicographic thresholds over the first two md5 hex chars: 'e5' keeps
+# buckets 0x00–0xe5 (230/256 ≈ 89.8%) for train, 'f2' the next 13/256
+# ≈ 5.1% for val, remainder test. String compare is portable; no
+# hex→int conversion (engines disagree on that surface).
+_SPLIT_TRAIN_HI = "e5"
+_SPLIT_VAL_HI = "f2"
+
+
+@register(
+    "reshape_split_train_val",
+    oracle=f"""
+SELECT doc_id, source,
+       CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{_SPLIT_TRAIN_HI}'
+                 THEN 'train'
+            WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{_SPLIT_VAL_HI}'
+                 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    doc="Deterministic train/val/test split (~90/5/5) via a hash gate "
+    "on doc_id: the split is a pure function of the key, so it is "
+    "stable under re-runs, repartitioning, incremental corpus growth "
+    "(a doc never migrates between splits), and engines. Map-side "
+    "only — no shuffle at any corpus size; the standard alternative "
+    "randomSplit() resamples per run and per partitioning.",
+)
+def reshape_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(bucket <= _SPLIT_TRAIN_HI, "train")
+        .when(bucket <= _SPLIT_VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "reshape_shuffle_global",
+    oracle="""
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS shuffle_pos
+FROM documents
+""",
+    doc="Deterministic global training-order shuffle: shuffle_pos is "
+    "the rank of md5(doc_id) — a reproducible pseudorandom permutation "
+    "of the corpus (seeded by the key itself). Runs through the "
+    "engine's distributed zipWithIndex (chunker.global_row_number): "
+    "sampled range boundaries on the hash, per-range JVM window, "
+    "broadcast offsets — no global single-task sort at any scale, "
+    "unlike a naive ROW_NUMBER() OVER (ORDER BY ...) window. doc_id "
+    "tiebreak totalizes the order against hash collisions.",
+)
+def reshape_shuffle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..chunker import global_row_number
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    )
+    return global_row_number(
+        d, ["__h", "doc_id"], "shuffle_pos", num_partitions=8
+    ).select("doc_id", "shuffle_pos")
+
+
+# Per-source mixing rates: heavier sources are down-sampled harder.
+# Rates are expressed as the inclusive upper bucket ('ff' keeps all
+# 256 buckets = rate 1.0; '7f' keeps 128/256 = 0.5; '3f' keeps 0.25).
+_MIX_RATES = {"src0": "ff", "src1": "7f", "src2": "3f"}
+_MIX_DEFAULT_HI = "bf"  # 192/256 = 0.75 for every other source
+
+
+def _mix_cases_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN '{hi}'" for s, hi in _MIX_RATES.items()
+    )
+    return f"CASE {whens} ELSE '{_MIX_DEFAULT_HI}' END"
+
+
+@register(
+    "reshape_mix_sources_weighted",
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                          <= {_mix_cases_sql()}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents
+GROUP BY source
+""",
+    doc="Weighted source mixing (domain reweighting for pretraining): "
+    "each source keeps a configured fraction of its documents via the "
+    "same deterministic hash gate as the split — e.g. keep all of a "
+    "high-quality source, a quarter of a boilerplate-heavy one. The "
+    "gate is per-row map-side work; the verification aggregate is the "
+    "only shuffle. Being a pure function of (doc_id, source), the mix "
+    "composes with the train/val split without correlation (different "
+    "byte positions would decorrelate further if desired).",
+)
+def reshape_mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    hi = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(v))
+            for s, v in _MIX_RATES.items()
+        ],
+        F.lit(_MIX_DEFAULT_HI),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(bucket <= hi, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
