@@ -379,3 +379,23 @@ def test_fused_payload_plan_has_two_exchanges(spark):
         if "Exchange" in ln and "BroadcastExchange" not in ln
     ]
     assert len(shuffles) == 2, tree
+
+
+def test_split_train_val_is_map_side_only(spark):
+    """The hash-gate split must add NO shuffle: a scan + project and
+    nothing else, at any corpus size."""
+    tree = tree_of(spark, "reshape_split_train_val")
+    assert "Exchange" not in tree, tree
+    assert "Sort" not in tree, tree
+
+
+def test_shuffle_global_avoids_single_task_sort(spark):
+    """The training-order permutation must run through the distributed
+    zipWithIndex (range ids + per-range window + broadcast offsets),
+    never a global ORDER BY window (one task holding the corpus)."""
+    tree = tree_of(spark, "reshape_shuffle_global")
+    # per-range window after a hash exchange on the range id — not a
+    # single-partition Exchange(SinglePartition) global sort
+    assert "SinglePartition" not in tree, tree
+    assert "Window" in tree, tree
+    assert tree.count("BroadcastHashJoin") == 1, tree
