@@ -467,24 +467,29 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        new_label = F.least(
+            F.col("component_id"),
+            F.coalesce(F.col("nbr_min"), F.col("component_id")),
+        )
+        # Carry a per-row changed flag so convergence detection is ONE
+        # aggregate over merged — which also materializes the lazy
+        # checkpoint — instead of an eager-checkpoint job plus a
+        # merged⋈labels comparison join.
         merged = (
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
-                ).alias("component_id"),
+                new_label.alias("component_id"),
+                (new_label != F.col("component_id"))
+                .cast("long")
+                .alias("__changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            merged.alias("m")
-            .join(labels.alias("l"), "doc_id")
-            .where(F.col("m.component_id") != F.col("l.component_id"))
-            .count()
+        changed = int(
+            merged.agg(F.sum("__changed").alias("c")).first()["c"] or 0
         )
-        labels = merged
+        labels = merged.drop("__changed")
         if changed == 0:
             return labels
     raise RuntimeError("connected components did not converge in 20 rounds")
@@ -596,11 +601,14 @@ def _star_rounds(
             .where(F.col("dst") != F.col("m"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
+        # Lazy checkpoint: the fingerprint action below materializes it
+        # — one job per round instead of an eager-checkpoint job plus
+        # an aggregate job.
         e_new = (
             ss_pairs.unionByName(m2.select("src", F.col("m").alias("dst")))
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         fp_new = _edge_fingerprint(e_new)
         converged = fp_new == fp and e_new.subtract(e).limit(1).count() == 0
