@@ -362,25 +362,82 @@ def mm_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sample_frames_batch(
-    buf: bytes, duration_ms: int, stride_ms: int, fake: bool = False
-) -> list[tuple[int, bytes]]:
-    """Sample (timestamp_ms, frame_blob) pairs from a video blob.
+# Minimal multi-frame video container with REAL frames: "BMV1" magic,
+# uint32 frame count, uint32 per-frame duration (ms), then that many
+# equal-size 24-bit BMP frames back to back. Every byte is genuinely
+# decodable in-container (struct header parse + the BMP codec above);
+# only EXTERNAL containers (mp4/webm/…) still gate on ffmpeg/PyAV.
+_BMV_MAGIC = b"BMV1"
+VIDEO_FRAME_MS = 250  # 4 fps source
+VIDEO_FRAME_W = VIDEO_FRAME_H = 4
 
-    STUB: real frame extraction is an ffmpeg/PyAV call (genuinely
-    unavailable in this container). ``fake=True`` emits one
-    deterministic pseudo-frame per ``stride_ms`` so the
-    one-row-to-many-frames explosion — the part that matters for
-    partitioning — is real.
-    """
-    if not fake:
+
+def synth_frame_pixels(doc_id: int, k: int) -> np.ndarray:
+    """Deterministic frame-k pixel rule (analytically SQL-recomputable)."""
+    x = np.arange(VIDEO_FRAME_W, dtype=np.int64)
+    y = np.arange(VIDEO_FRAME_H, dtype=np.int64)
+    return (
+        (doc_id * 31 + k * 17 + x[None, :] * 7 + y[:, None] * 13) % 256
+    ).astype(np.uint8)
+
+
+def encode_bmv(doc_id: int, duration_ms: int) -> bytes:
+    """Encode a real BMV blob: one BMP frame per VIDEO_FRAME_MS of
+    duration (at least one)."""
+    n_total = -(-max(int(duration_ms), 1) // VIDEO_FRAME_MS)
+    frames = [
+        encode_bmp(synth_frame_pixels(doc_id, k)) for k in range(n_total)
+    ]
+    return (
+        _BMV_MAGIC
+        + struct.pack("<II", n_total, VIDEO_FRAME_MS)
+        + b"".join(frames)
+    )
+
+
+def sample_frames_batch(buf: bytes, stride_ms: int) -> list[tuple[int, bytes]]:
+    """Sample (timestamp_ms, frame_blob) pairs from a video blob —
+    REAL decode for the BMV container (header parse + equal-size frame
+    slicing; each returned blob is a valid BMP). External containers
+    need an ffmpeg/PyAV decode call that is genuinely unavailable in
+    this environment, so they raise instead of faking."""
+    if bytes(buf[:4]) != _BMV_MAGIC:
         raise NotImplementedError(
-            "frame sampling requires ffmpeg/PyAV; install one and replace this stub"
+            "external video containers (mp4/webm/…) require ffmpeg/PyAV; "
+            "only the BMV fixture container decodes in-environment"
         )
+    n_total, frame_ms = struct.unpack_from("<II", buf, 4)
+    body = buf[12:]
+    fsize = len(body) // n_total
     frames = []
-    for ts in range(0, max(duration_ms, 1), stride_ms):
-        frames.append((ts, hashlib.sha256(buf + ts.to_bytes(8, "big")).digest()))
+    for ts in range(0, n_total * frame_ms, stride_ms):
+        k = ts // frame_ms
+        frames.append((ts, bytes(body[k * fsize : (k + 1) * fsize])))
     return frames
+
+
+def attach_video_payload(d: DataFrame) -> DataFrame:
+    """Synthesize a real BMV blob per doc (executor-side); duration_ms
+    models 10 ms of video per character of the doc's text."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "duration_ms": (pdf["n_chars"] * 10)
+                    .clip(lower=1)
+                    .astype("int64"),
+                    "payload": [
+                        encode_bmv(int(i), max(int(n) * 10, 1))
+                        for i, n in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return d.select("doc_id", "n_chars").mapInPandas(
+        run, schema="doc_id long, duration_ms long, payload binary"
+    )
 
 
 def sample_frames_df(binary_df: DataFrame) -> DataFrame:
@@ -393,11 +450,9 @@ def sample_frames_df(binary_df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, buf, dur in zip(
-                pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
-            ):
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
                 for ts, frame in sample_frames_batch(
-                    bytes(buf), int(dur), FRAME_STRIDE_MS, fake=True
+                    bytes(buf), FRAME_STRIDE_MS
                 ):
                     rows.append((int(doc_id), ts, frame))
             yield pd.DataFrame(rows, columns=["doc_id", "ts_ms", "frame"])
@@ -409,29 +464,62 @@ def sample_frames_df(binary_df: DataFrame) -> DataFrame:
 
 @register(
     "mm_frame_sample",
-    oracle="""
-SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS duration_ms,
-       CAST(CEIL(GREATEST(LENGTH(text), 1) / 1000.0) AS BIGINT) AS n_frames
-FROM documents
-WHERE doc_id < 500
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, GREATEST(n_chars * 10, 1) AS dur
+    FROM documents WHERE doc_id < 500
+),
+samp AS (
+    SELECT doc_id, dur,
+           UNNEST(range(0, CAST(CEIL(dur / 1000.0) AS BIGINT))) AS i
+    FROM docs
+),
+xs AS (SELECT UNNEST(range(0, {VIDEO_FRAME_W})) AS x),
+ys AS (SELECT UNNEST(range(0, {VIDEO_FRAME_H})) AS y)
+SELECT doc_id,
+       CAST(MAX(dur) AS BIGINT) AS duration_ms,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS n_frames,
+       CAST(SUM((doc_id * 31 + (4 * i) * 17 + x * 7 + y * 13) % 256)
+            AS BIGINT) AS frames_pixel_sum
+FROM samp, xs, ys
+GROUP BY doc_id
 """,
-    doc="Video frame sampling (1 frame/s, stubbed codec): per-video frame "
-    "counts — the row-explosion accounting is SQL-checkable even though "
-    "the frame blobs themselves are stub-generated (n_chars stands in "
-    "for duration_ms).",
+    doc="Video frame sampling with a REAL codec end to end: a BMV blob "
+    f"(real multi-frame container of {VIDEO_FRAME_W}x{VIDEO_FRAME_H} "
+    "BMP frames at 4 fps, 10 ms per text char) is synthesized "
+    "executor-side, frames are sampled at 1 frame/s by genuine header "
+    "parse + frame slicing, and every sampled frame is BMP-decoded to "
+    "a pixel sum. The oracle recomputes counts AND pixel sums "
+    "analytically from the synthesis rule — a container or codec bug "
+    "breaks the hash match. Frame blobs never shuffle; only (doc_id, "
+    "ts, scalar sums) leave the sampling task.",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    # n_bytes of the utf-8 text stands in for video duration_ms
-    vids = attach_binary_payload(d).withColumn(
-        "duration_ms", F.col("meta.n_bytes").cast("long")
-    )
+    vids = attach_video_payload(d)
     frames = sample_frames_df(vids)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "px_sum": [
+                        int(decode_bmp(bytes(b)).astype(np.int64).sum())
+                        for b in pdf["frame"]
+                    ],
+                }
+            )
+
+    sums = frames.mapInPandas(decode, schema="doc_id long, px_sum long")
     return (
-        frames.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_frames"))
+        sums.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("px_sum").alias("frames_pixel_sum"),
+        )
         .join(vids.select("doc_id", "duration_ms"), "doc_id")
-        .select("doc_id", "duration_ms", "n_frames")
+        .select("doc_id", "duration_ms", "n_frames", "frames_pixel_sum")
     )
 
 

@@ -323,15 +323,28 @@ def test_sim_knn_ivf_recall_vs_bruteforce(spark):
         assert abs(got[k] - truth[k]) < 1e-9
 
 
-def test_mm_frame_stub_gate():
+def test_mm_frame_container_codec():
+    """BMV container decodes genuinely (every sampled frame is a valid
+    BMP with the synthesis-rule pixels); external containers still
+    gate on the genuinely-absent ffmpeg."""
+    import numpy as np
     import pytest as _pytest
 
-    from data_ingestion_pimcore_spark.ops.multimodal import sample_frames_batch
+    from data_ingestion_pimcore_spark.ops.multimodal import (
+        decode_bmp,
+        encode_bmv,
+        sample_frames_batch,
+        synth_frame_pixels,
+    )
 
     with _pytest.raises(NotImplementedError):
-        sample_frames_batch(b"xx", 5000, 1000)  # ffmpeg genuinely absent
-    frames = sample_frames_batch(b"xx", 3500, 1000, fake=True)
+        sample_frames_batch(b"\x00\x00\x00\x18ftypmp42", 1000)  # mp4 → ffmpeg
+    blob = encode_bmv(7, 3500)
+    frames = sample_frames_batch(blob, 1000)
     assert [t for t, _ in frames] == [0, 1000, 2000, 3000]
+    for ts, frame in frames:
+        k = ts // 250
+        assert np.array_equal(decode_bmp(frame), synth_frame_pixels(7, k))
 
 
 def test_mm_frame_sample_counts(spark):
