@@ -117,6 +117,7 @@ def _load_ops() -> None:
         dedup,
         extensibility,
         ingestion_queries,
+        layout,
         multimodal,
         relational,
         reshape,

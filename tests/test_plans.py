@@ -399,3 +399,41 @@ def test_shuffle_global_avoids_single_task_sort(spark):
     assert "SinglePartition" not in tree, tree
     assert "Window" in tree, tree
     assert tree.count("BroadcastHashJoin") == 1, tree
+
+
+def test_zorder_layout_concentrates_matches(spark, tmp_path):
+    """The point of Z-order clustering: after layout, a 2-D range
+    predicate's matching rows live in FEW files (tight per-file
+    min/max stats → row-group/file pruning at scale), while the same
+    predicate on an unclustered layout touches every file."""
+    from data_ingestion_pimcore_spark.ops.layout import zorder_layout
+    from data_ingestion_pimcore_spark.tables import load
+
+    li = load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    n_files = 16
+    zpath = str(tmp_path / "zordered")
+    rpath = str(tmp_path / "rand")
+    zorder_layout(li, "l_partkey", "l_suppkey", n_files).write.parquet(zpath)
+    # unclustered control: round-robin spread over the same file count
+    li.repartition(n_files).write.parquet(rpath)
+
+    pred = (
+        (F.col("l_partkey") % 256 < 32) & (F.col("l_suppkey") % 256 < 32)
+    )
+
+    def files_touched(path: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .where(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    z, r = files_touched(zpath), files_touched(rpath)
+    # random layout scatters matches across ~every file; z-order
+    # concentrates the (32/256)^2 ≈ 1.6% selectivity into a fraction
+    assert r >= n_files * 3 // 4, (z, r)
+    assert z <= r // 2, (z, r)
