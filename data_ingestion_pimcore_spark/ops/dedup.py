@@ -245,6 +245,34 @@ _SQL_BAND_UNION = "\n  UNION ALL\n".join(
     for b in range(N_BANDS)
 )
 
+# Skew bound for LSH bucket joins, the band-level analogue of DF_CAP: a
+# cluster of k identical (or near-identical) documents collides in
+# EVERY band and would emit O(k²) candidate pairs per band. Buckets
+# larger than BAND_CAP are dropped before pair generation, bounding any
+# bucket at BAND_CAP² pairs. The recall trade-off is deliberate:
+# mega-clusters are exact duplicates in practice and belong to
+# dedup_exact / the curation pipeline's canonicalization step, which
+# run upstream at O(n) — LSH is for the NEAR-duplicate tail.
+BAND_CAP = 128
+
+_SQL_BAND_KEEP = f"""bkeep AS (
+  SELECT band_idx, band_hash FROM bands
+  GROUP BY band_idx, band_hash HAVING COUNT(*) <= {BAND_CAP}
+)"""
+
+
+def _capped_bands(bands: DataFrame) -> DataFrame:
+    """Drop band buckets larger than BAND_CAP before the self-join.
+    One extra aggregate over the (doc, band) rows — linear work that
+    buys the quadratic bound."""
+    keep = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .where(F.col("__bs") <= BAND_CAP)
+        .drop("__bs")
+    )
+    return bands.join(keep, ["band_idx", "band_hash"])
+
 
 @register(
     "dedup_minhash_pairs",
@@ -261,18 +289,22 @@ WITH sh AS (
   FROM sigs
 ), bands AS (
 {_SQL_BAND_UNION}
-)
+), {_SQL_BAND_KEEP}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST({_SQL_N_EQUAL} AS DOUBLE) / {N_HASHES} AS est_jaccard
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+JOIN bkeep k ON k.band_idx = a.band_idx AND k.band_hash = a.band_hash
 """,
     doc="MinHash-LSH candidate pairs: equi-join on (band_idx, band_hash) "
     "buckets, then estimated similarity = fraction of equal signature "
-    "components. Sub-quadratic: only bucket collisions are compared. "
-    "Signatures are md5-derived, so the whole pipeline — bands, bucket "
-    "join, estimate — is deterministic and oracle-checked end-to-end "
-    "(pair quality vs true jaccard is separately asserted in pytest).",
+    "components. Sub-quadratic: only bucket collisions are compared, "
+    f"and buckets above {BAND_CAP} docs (exact-dup mega-clusters, the "
+    "adversarial skew case at 100 TB) are dropped before pair "
+    "generation — they belong to dedup_exact upstream. Signatures are "
+    "md5-derived, so the whole pipeline — bands, bucket join, estimate "
+    "— is deterministic and oracle-checked end-to-end (pair quality vs "
+    "true jaccard is separately asserted in pytest).",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(load(spark, sf_dir, "documents"))
@@ -288,6 +320,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", *[f"sig_{i}" for i in range(N_HASHES)], "band.band_idx", "band.band_hash")
+    bands = _capped_bands(bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -670,11 +703,12 @@ WITH sh AS (
   FROM sigs
 ), bands AS (
 {_SQL_BAND_UNION}
-), cand AS (
+), {_SQL_BAND_KEEP}, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id
+  JOIN bkeep k ON k.band_idx = a.band_idx AND k.band_hash = a.band_hash
 )
 SELECT c.doc_a, c.doc_b,
        levenshtein(da.text, db.text) AS edit_dist,
@@ -711,6 +745,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+    bands = _capped_bands(bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -430,3 +430,44 @@ def test_pack_sequences_invariants(spark, sf_dir):
     assert sorted((r["doc_id"], r["pack_id"]) for r in rows) == sorted(
         (r["doc_id"], r["pack_id"]) for r in again
     )
+
+
+def test_band_cap_bounds_identical_cluster(spark):
+    """Adversarial corpus for LSH: a cluster of identical docs larger
+    than BAND_CAP collides in EVERY band and would emit O(k²) pairs per
+    band; the bucket cap drops those buckets, while ordinary near-dup
+    buckets (size ≤ cap) keep producing candidates."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pimcore_spark.ops.dedup import (
+        BAND_CAP,
+        _capped_bands,
+        minhash_signatures,
+        N_BANDS,
+    )
+
+    k = BAND_CAP + 50
+    rows = [(i, "the same exact boilerplate text again and again") for i in range(k)]
+    rows += [(1000, "a genuinely near duplicate pair of documents here"),
+             (1001, "a genuinely near duplicate pair of documents here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band_{b}").alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    capped = _capped_bands(bands)
+    # mega-cluster buckets dropped entirely; the small pair survives
+    surviving_docs = {r["doc_id"] for r in capped.select("doc_id").distinct().collect()}
+    assert 1000 in surviving_docs and 1001 in surviving_docs
+    assert not any(d < k for d in surviving_docs)

@@ -233,12 +233,13 @@ def test_window_range_frame_single_exchange(spark):
 def test_edit_distance_broadcasts_candidates_no_cartesian(spark):
     plan = plan_of(spark, "dedup_edit_distance")
     tree = tree_of(spark, "dedup_edit_distance")
-    # LSH band candidates + two joins back to documents: every join is
-    # broadcast (candidate list and band side are small by construction)
-    # and nothing degenerates to a cross join
+    # LSH band candidates (self-join + a BAND_CAP bucket-size gate on
+    # each side) + two joins back to documents: every join is broadcast
+    # (candidate list and band side are small by construction) and
+    # nothing degenerates to a cross join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert tree.count("BroadcastHashJoin") == 3
+    assert tree.count("BroadcastHashJoin") == 5
 
 
 def test_tfidf_topk_plants_window_group_limit(spark):
