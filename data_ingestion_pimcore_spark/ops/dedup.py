@@ -308,19 +308,7 @@ JOIN bkeep k ON k.band_idx = a.band_idx AND k.band_hash = a.band_hash
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(load(spark, sf_dir, "documents"))
-    bands = sigs.select(
-        "doc_id",
-        *[F.col(f"sig_{i}") for i in range(N_HASHES)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", *[f"sig_{i}" for i in range(N_HASHES)], "band.band_idx", "band.band_hash")
-    bands = _capped_bands(bands)
+    bands = _capped_bands(_exploded_bands(sigs))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -343,6 +331,99 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a",
         "doc_b",
         (F.col("n_equal") / F.lit(float(N_HASHES))).alias("est_jaccard"),
+    )
+
+
+def _exploded_bands(sigs: DataFrame) -> DataFrame:
+    """doc_id + full signature + one row per (band_idx, band_hash)."""
+    return sigs.select(
+        "doc_id",
+        *[F.col(f"sig_{i}") for i in range(N_HASHES)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band_{b}").alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        *[f"sig_{i}" for i in range(N_HASHES)],
+        "band.band_idx",
+        "band.band_hash",
+    )
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+), sigs AS (
+  SELECT doc_id,
+       {_SQL_SIG_SELECT}
+  FROM sh
+), banded AS (
+  SELECT doc_id, {_SQL_SIG_LIST},
+       {_SQL_BANDS}
+  FROM sigs
+), bands AS (
+{_SQL_BAND_UNION}
+), cb AS (
+  SELECT * FROM bands WHERE doc_id % 5 != 0
+), nb AS (
+  SELECT * FROM bands WHERE doc_id % 5 = 0
+), bkeep AS (
+  SELECT band_idx, band_hash FROM cb
+  GROUP BY band_idx, band_hash HAVING COUNT(*) <= {BAND_CAP}
+)
+SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id,
+       CAST({_SQL_N_EQUAL} AS DOUBLE) / {N_HASHES} AS est_jaccard
+FROM nb a JOIN cb b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+JOIN bkeep k ON k.band_idx = a.band_idx AND k.band_hash = a.band_hash
+""",
+    doc="Incremental (batch-vs-corpus) near-dup: the production shape "
+    "for deduplicating a NEW crawl against an EXISTING corpus — new "
+    "docs' LSH bands probe the corpus band index, never an all-pairs "
+    "self-join over corpus ∪ batch. Here the split is deterministic "
+    "(doc_id % 5 = 0 is the incoming batch); at 100 TB the corpus "
+    "index is a persisted table bucketed by (band_idx, band_hash), so "
+    "the probe shuffles ONLY the new batch (tiny relative to the "
+    f"corpus) into the index's buckets. Corpus buckets above "
+    f"{BAND_CAP} docs are dropped (exact-dup mega-clusters, handled "
+    "upstream by dedup_exact).",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _exploded_bands(minhash_signatures(load(spark, sf_dir, "documents")))
+    corpus = bands.where(F.col("doc_id") % 5 != 0)
+    batch = bands.where(F.col("doc_id") % 5 == 0)
+    corpus = _capped_bands(corpus)
+    a, b = batch.alias("a"), corpus.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("corpus_doc_id"),
+            sum(
+                (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int")
+                for i in range(N_HASHES)
+            ).alias("n_equal"),
+        )
+        .distinct()
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            (F.col("n_equal") / F.lit(float(N_HASHES))).alias("est_jaccard"),
+        )
     )
 
 
@@ -730,22 +811,9 @@ WHERE levenshtein(da.text, db.text)
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.col(f"band_{b}").alias("band_hash"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
-    bands = _capped_bands(bands)
+    # sig columns in _exploded_bands are pruned away by Catalyst: cand
+    # only projects doc ids, so the scan/exchange never carry them.
+    bands = _capped_bands(_exploded_bands(minhash_signatures(d)))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
