@@ -146,6 +146,36 @@ def _sampled_boundaries(
     return uniq
 
 
+# Per-range counts are a pure function of (row set, pid boundaries) —
+# exactly the boundary cache's key discipline (file (size, mtime)
+# signatures + analyzed-plan semantic hash + pid cols + range count),
+# so repeated ingests / queries over the same immutable files skip one
+# full counts pass. In-place local overwrites invalidate via the file
+# signature; in-memory relations (no input files) are never cached.
+_COUNTS_CACHE: dict[tuple, list] = {}
+
+
+def _range_counts(
+    df: DataFrame, withpid: DataFrame, pid_cols: list[str], n_ranges: int
+) -> list[tuple[int, int]]:
+    files = tuple(_file_signature(p) for p in sorted(df.inputFiles()))
+    ck = (
+        (files, _plan_discriminator(df), tuple(pid_cols), n_ranges)
+        if files
+        else None
+    )
+    if ck is not None and ck in _COUNTS_CACHE:
+        return _COUNTS_CACHE[ck]
+    counts = [
+        (r[_PID], r["count"]) for r in withpid.groupBy(_PID).count().collect()
+    ]
+    if ck is not None:
+        if len(_COUNTS_CACHE) >= _BOUNDARY_CACHE_MAX:
+            _COUNTS_CACHE.pop(next(iter(_COUNTS_CACHE)))
+        _COUNTS_CACHE[ck] = counts
+    return counts
+
+
 def _deterministic_pid(
     df: DataFrame, order_cols: list[str], num_ranges: int
 ) -> tuple[DataFrame, int]:
@@ -228,7 +258,7 @@ def global_row_number(
     withpid, n_ranges = _deterministic_pid(df, pid_cols, num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ))
-    counts = [(r[_PID], r["count"]) for r in withpid.groupBy(_PID).count().collect()]
+    counts = _range_counts(df, withpid, pid_cols, n_ranges)
     if stats_out is not None:
         # Free byproduct of the counts pass — callers sizing downstream
         # stages use this instead of a second count() over the source.
