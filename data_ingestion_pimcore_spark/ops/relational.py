@@ -975,6 +975,53 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hash-range sampling rate for the deterministic distinct sketch:
+# keep values whose 60-bit md5 hash falls in the lowest 1/2^_HS_SHIFT
+# of the hash space, then count the survivors exactly.
+_HS_SHIFT = 6  # 1/64 sample
+_HS_THRESHOLD = 1 << (60 - _HS_SHIFT)
+
+
+@register(
+    "agg_distinct_hashsampled",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT CASE
+         WHEN CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+                   AS BIGINT) < {_HS_THRESHOLD}
+         THEN l_orderkey END) AS BIGINT) AS n_sampled,
+       CAST(COUNT(DISTINCT CASE
+         WHEN CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+                   AS BIGINT) < {_HS_THRESHOLD}
+         THEN l_orderkey END) * {1 << _HS_SHIFT} AS BIGINT) AS est_distinct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Deterministic approximate distinct via hash-range sampling "
+    "(Gibbons' distinct sampling): a value survives iff its md5-derived "
+    f"60-bit hash lands in the lowest 1/{1 << _HS_SHIFT} of the hash "
+    "space — a property of the VALUE, so duplicates agree and the "
+    "surviving distinct set is an unbiased 1/64 sample of the distinct "
+    "domain; estimate = exact count of survivors × 64. Unlike HLL "
+    "(agg_approx) the result is bit-reproducible across engines, runs, "
+    "and partitionings — hence a full hash-match oracle — while the "
+    "shuffle carries only the 64×-reduced survivor set. Accuracy vs "
+    "the exact count is asserted in pytest.",
+)
+def agg_distinct_hashsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import md5_hash60
+
+    li = load(spark, sf_dir, "lineitem")
+    h = md5_hash60(F.col("l_orderkey").cast("string"))
+    sampled = F.when(h < _HS_THRESHOLD, F.col("l_orderkey"))
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct(sampled).alias("n_sampled"),
+        (F.count_distinct(sampled) * (1 << _HS_SHIFT))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
 @register(
     "window_lag_lead",
     oracle="""

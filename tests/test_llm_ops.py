@@ -471,3 +471,27 @@ def test_band_cap_bounds_identical_cluster(spark):
     surviving_docs = {r["doc_id"] for r in capped.select("doc_id").distinct().collect()}
     assert 1000 in surviving_docs and 1001 in surviving_docs
     assert not any(d < k for d in surviving_docs)
+
+
+def test_hashsampled_distinct_tracks_exact(spark):
+    """The 1/64 hash-range sample must estimate per-group distinct
+    orderkeys within sampling error (±30% at sf0.001 cardinalities)."""
+    from data_ingestion_pimcore_spark import registry
+    from data_ingestion_pimcore_spark.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r["l_returnflag"]: r["est_distinct"]
+        for r in registry.all_queries()["agg_distinct_hashsampled"]
+        .fn(spark, sf)
+        .collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(0.3 * n, 64), (k, est[k], n)
