@@ -1584,3 +1584,33 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(key, 8).alias("high_bits"),
         F.shiftleft(key, 3).bitwiseOR(ln).bitwiseAND(F.lit(1023)).alias("packed"),
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey < 200
+"""
+
+
+@register(
+    "join_lateral_topk",
+    oracle=_LATERAL_SQL,
+    doc="LATERAL correlated subquery (top-2 orders per customer) — the "
+    "same ANSI text runs on both engines. Catalyst DECORRELATES it: no "
+    "per-customer re-execution survives; the physical plan is a "
+    "WindowGroupLimit top-k (partial below the exchange, final above) "
+    "joined back to customer — i.e. the optimizer rewrites the naive "
+    "O(customers × orders) nested loop into the same single-pass "
+    "windowed plan a hand-tuned query would use, which is what makes "
+    "LATERAL usable on a 100 TB fact table. Asserted in "
+    "tests/test_plans.py.",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)

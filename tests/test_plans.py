@@ -438,3 +438,12 @@ def test_zorder_layout_concentrates_matches(spark, tmp_path):
     # concentrates the (32/256)^2 ≈ 1.6% selectivity into a fraction
     assert r >= n_files * 3 // 4, (z, r)
     assert z <= r // 2, (z, r)
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """LATERAL top-k must not re-execute per outer row: Catalyst
+    rewrites it to a WindowGroupLimit top-k + one join back."""
+    tree = tree_of(spark, "join_lateral_topk")
+    assert "WindowGroupLimit" in tree, tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
