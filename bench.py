@@ -63,6 +63,14 @@ HEADLINE = [
     "mm_feature_extract",
     "dedup_connected_components_star",
     "text_pack_sequences",
+    # round-3 second wave: training-data sampling/split, storage
+    # layout, incremental dedup, deterministic sketch, LATERAL
+    "reshape_split_train_val",
+    "reshape_shuffle_global",
+    "layout_zorder",
+    "dedup_minhash_incremental",
+    "agg_distinct_hashsampled",
+    "join_lateral_topk",
 ]
 
 

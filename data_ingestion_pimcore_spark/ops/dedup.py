@@ -307,7 +307,11 @@ JOIN bkeep k ON k.band_idx = a.band_idx AND k.band_hash = a.band_hash
     "true jaccard is separately asserted in pytest).",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(load(spark, sf_dir, "documents"))
+    # checkpoint: the self-join + bucket gate reference the signature
+    # lineage three times; materialize the small sig table once.
+    sigs = minhash_signatures(
+        load(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
     bands = _capped_bands(_exploded_bands(sigs))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -399,7 +403,13 @@ JOIN bkeep k ON k.band_idx = a.band_idx AND k.band_hash = a.band_hash
     "upstream by dedup_exact).",
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _exploded_bands(minhash_signatures(load(spark, sf_dir, "documents")))
+    # The band stream is referenced three times (batch probe, corpus
+    # index, bucket-size gate); checkpoint the small signature table so
+    # the md5 shingle/signature computation runs once, not per branch.
+    sigs = minhash_signatures(
+        load(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
+    bands = _exploded_bands(sigs)
     corpus = bands.where(F.col("doc_id") % 5 != 0)
     batch = bands.where(F.col("doc_id") % 5 == 0)
     corpus = _capped_bands(corpus)
@@ -813,7 +823,9 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # sig columns in _exploded_bands are pruned away by Catalyst: cand
     # only projects doc ids, so the scan/exchange never carry them.
-    bands = _capped_bands(_exploded_bands(minhash_signatures(d)))
+    # checkpoint: three references to the signature lineage otherwise.
+    sigs = minhash_signatures(d).localCheckpoint(eager=False)
+    bands = _capped_bands(_exploded_bands(sigs))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

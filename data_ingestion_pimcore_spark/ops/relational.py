@@ -1014,11 +1014,18 @@ def agg_distinct_hashsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     h = md5_hash60(F.col("l_orderkey").cast("string"))
     sampled = F.when(h < _HS_THRESHOLD, F.col("l_orderkey"))
-    return li.groupBy("l_returnflag").agg(
-        F.count_distinct(sampled).alias("n_sampled"),
-        (F.count_distinct(sampled) * (1 << _HS_SHIFT))
-        .cast("long")
-        .alias("est_distinct"),
+    # single count_distinct (a second identical one doubles the Expand
+    # rows); the scaled estimate is a post-aggregation projection.
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count_distinct(sampled).alias("n_sampled"))
+        .select(
+            "l_returnflag",
+            "n_sampled",
+            (F.col("n_sampled") * (1 << _HS_SHIFT))
+            .cast("long")
+            .alias("est_distinct"),
+        )
     )
 
 
@@ -1590,7 +1597,11 @@ _LATERAL_SQL = """
 SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
 FROM customer c, LATERAL (
   SELECT o_orderkey, o_totalprice FROM orders o
-  WHERE o.o_custkey = c.c_custkey
+  -- o_custkey < 200 restates the outer filter through the correlation
+  -- (o_custkey = c_custkey AND c_custkey < 200): Catalyst does not
+  -- infer it across the decorrelation, and without it the window
+  -- top-k runs over EVERY customer's orders
+  WHERE o.o_custkey = c.c_custkey AND o.o_custkey < 200
   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
 ) t
 WHERE c.c_custkey < 200
