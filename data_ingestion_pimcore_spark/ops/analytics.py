@@ -1,0 +1,313 @@
+"""Statistical and graph analytics operators: grouped OLS regression,
+fixed-width histograms, degree-oriented triangle counting, and SCD2
+(slowly-changing-dimension) history derivation.
+
+These extend the relational surface (SURVEY §2.2) with the analytics a
+warehouse user expects beyond plain aggregates. Scale design:
+
+* Regression/correlation reduce to six partial sums per group — one
+  hash aggregate, map-side combined, no second pass. The sums use the
+  exact-decimal trick from ``_det`` so results are order- and
+  partitioning-independent (bit-identical to the DuckDB oracle).
+* The histogram is a single aggregate on a computed bin key; bins are
+  closed-form (no per-group sort, no percentile pass).
+* Triangle counting uses the degree-orientation algorithm: every edge
+  is directed from its lower-(degree, id) endpoint, wedges are generated
+  only at each edge's smaller endpoint, so wedge volume is bounded by
+  sum(min_deg(e)) — the classic bound that keeps the join sub-quadratic
+  on power-law graphs (a hub of degree D generates no wedges at the hub;
+  its neighbors generate them instead). The naive a<b<c join chain the
+  oracle uses would explode on the hub.
+* SCD2 derives validity intervals with two windows over one
+  partition-local sort (change detection via lag, interval close via
+  lead) — no global sort, no self-join; partitions by the dimension key
+  so a 100 TB change feed shuffles once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from ._det import DEC, dsum, sql_dsum
+
+# ------------------------------------------------------------- regression
+
+# Products are computed EXACTLY in decimal (inputs carry ≤2 decimal
+# digits, so DECIMAL(15,2) operands lose nothing) and summed exactly.
+# The one remaining cross-engine hazard is decimal→double conversion of
+# sums whose integer units exceed 2^53 (one engine double-rounds), so
+# the derived statistics are rounded to scales where ROUND is exact in
+# both engines (|value|·10^scale < 2^53).
+_REG_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))
+                  * CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))
+                  * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                  * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS slope,
+       ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+         / CAST(n AS DOUBLE), 4) AS intercept,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+            * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 12) AS corr_xy
+FROM s
+"""
+
+
+@register(
+    "stats_regression_by_group",
+    oracle=_REG_SQL,
+    doc="Grouped OLS regression of l_extendedprice on l_quantity "
+    "(slope, intercept, Pearson correlation) per return flag. The six "
+    "sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²) come from ONE "
+    "hash aggregate with map-side partials — the closed-form normal "
+    "equations need no second pass and no per-group sort, so the op "
+    "costs exactly one shuffle at any scale. Products are computed and "
+    "summed EXACTLY in decimal (operands carry ≤2 decimal digits), the "
+    "final formulas evaluate in double with an expression tree mirrored "
+    "verbatim in the oracle, and each statistic is rounded to a scale "
+    "where ROUND is exact in both engines — the only cross-engine "
+    "divergence (decimal→double casts of >2^53-unit sums double-round "
+    "in one engine) is below the rounding floor.",
+)
+def stats_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    x2, y2 = x.cast("decimal(15,2)"), y.cast("decimal(15,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum(x2 * x2).cast("double").alias("sxx"),
+        F.sum(x2 * y2).cast("double").alias("sxy"),
+        F.sum(y2 * y2).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / nd, 4).alias("intercept"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+            12,
+        ).alias("corr_xy"),
+    )
+
+
+# -------------------------------------------------------------- histogram
+
+HIST_WIDTH = 60_000.0
+HIST_BINS = 10
+
+
+@register(
+    "stats_histogram",
+    oracle=f"""
+SELECT CAST(LEAST(FLOOR(o_totalprice / {HIST_WIDTH}), {HIST_BINS - 1}) AS INTEGER)
+         AS bin,
+       CAST(LEAST(FLOOR(o_totalprice / {HIST_WIDTH}), {HIST_BINS - 1})
+            * {HIST_WIDTH} AS DOUBLE) AS bin_lo,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'sum_price')},
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1, 2
+""",
+    doc="Fixed-width histogram of order totals: the bin key is a "
+    "closed-form expression (floor-divide, clamped top bin), so the "
+    "whole histogram is ONE hash aggregate with map-side combine — no "
+    "sort, no percentile pass, and the output cardinality is the bin "
+    "count regardless of input size. This is the shape dashboard "
+    "binning should take at 100 TB (contrast with NTILE, which needs a "
+    "global sort).",
+)
+def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.floor(F.col("o_totalprice") / HIST_WIDTH), F.lit(HIST_BINS - 1)
+    ).cast("int")
+    return (
+        o.select(
+            bin_.alias("bin"),
+            (bin_.cast("double") * HIST_WIDTH).alias("bin_lo"),
+            "o_totalprice",
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+# -------------------------------------------------------- triangle count
+
+# Orders with more than ORDER_ITEM_CAP distinct parts would contribute
+# C(L,2) edges; TPC-H orders hold ≤7 items so the cap never binds at
+# test scale — it exists as the basket-size skew bound for real data
+# (the co-occurrence analogue of the shingle DF_CAP).
+ORDER_ITEM_CAP = 64
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT (SELECT COUNT(DISTINCT l_partkey) FROM items) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*)
+        FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+          ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+""",
+    doc="Triangle counting on the part co-purchase graph (parts are "
+    "adjacent when they appear in the same order). The Spark plan uses "
+    "degree orientation: edges point from the lower-(degree, id) "
+    "endpoint, wedges generate only at each edge's smaller end, and a "
+    "final join against the oriented edge set closes triangles. Wedge "
+    "volume is Σ_e min_deg(e) — on power-law graphs orders of magnitude "
+    "below the naive a<b<c chain the oracle runs (a degree-D hub makes "
+    "zero wedges at itself). Edges derive from per-order part lists "
+    "(posting-list pair generation, no self-join of lineitem), with an "
+    f"order-size cap of {ORDER_ITEM_CAP} as the basket-skew bound.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    edges = (
+        baskets.where(F.size("ps") <= ORDER_ITEM_CAP)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    # Degree per node, then orient each edge low→high by (degree, id).
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        edges.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    # Wedges at the low-degree center: pairs of out-neighbors; closing
+    # edge lookup is against the UNDIRECTED edge set normalized a<b.
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(o2, "src").where(F.col("o1.dst") < F.col("o2.dst")).select(
+        F.col("o1.dst").alias("a"), F.col("o2.dst").alias("b")
+    )
+    triangles = wedges.join(edges, ["a", "b"], "inner")
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+# ------------------------------------------------------------------- SCD2
+
+
+@register(
+    "ingest_scd2_history",
+    oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         LAG(o_orderpriority) OVER w AS prev_p
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+changes AS (
+  SELECT o_custkey, o_orderpriority AS priority,
+         o_orderdate AS valid_from, o_orderkey
+  FROM ordered
+  WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+)
+SELECT o_custkey, priority, valid_from,
+       LEAD(valid_from) OVER w AS valid_to,
+       LEAD(valid_from) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)
+""",
+    doc="SCD Type-2 history derivation from a change feed: orders act "
+    "as per-customer attribute observations (o_orderpriority over "
+    "time); consecutive repeats collapse, each surviving change opens a "
+    "validity interval closed by the next change (valid_to NULL = "
+    "current row). Two window passes over ONE partition-local sort "
+    "keyed by the dimension key — a 100 TB change feed shuffles once "
+    "and never sorts globally. Ties on the same date break "
+    "deterministically by o_orderkey.",
+)
+def ingest_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_p", F.lag("o_orderpriority").over(w))
+        .where(
+            F.col("prev_p").isNull()
+            | (F.col("prev_p") != F.col("o_orderpriority"))
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderkey",
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    return changes.select(
+        "o_custkey",
+        "priority",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -78,14 +78,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def jaccard_pairs(
-    docs: DataFrame, df_cap: int = DF_CAP, threshold: float = 0.2
-) -> DataFrame:
-    """Inverted-index n-gram Jaccard pairs over a documents-shaped DF.
-
-    Shingles above ``df_cap`` document frequency are dropped before
-    pair generation (skew bound: one posting list can emit at most
-    df_cap² pairs); denominators keep the uncapped per-doc sizes.
+def _shingle_pair_counts(docs: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
+    """Inverted-index shared-shingle counts: (doc_a, doc_b, na, nb, inter)
+    for every document pair sharing ≥1 shingle whose document frequency
+    is ≤ ``df_cap``. The shared core of Jaccard and containment dedup.
     """
     d = with_shingles(docs)
     # sizes come from the array BEFORE exploding — no per-doc aggregate.
@@ -116,11 +112,23 @@ def jaccard_pairs(
             ),
         )
     )
-    pairs = (
+    return (
         lists.select(F.explode(pair_structs).alias("p"))
         .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+
+
+def jaccard_pairs(
+    docs: DataFrame, df_cap: int = DF_CAP, threshold: float = 0.2
+) -> DataFrame:
+    """Inverted-index n-gram Jaccard pairs over a documents-shaped DF.
+
+    Shingles above ``df_cap`` document frequency are dropped before
+    pair generation (skew bound: one posting list can emit at most
+    df_cap² pairs); denominators keep the uncapped per-doc sizes.
+    """
+    pairs = _shingle_pair_counts(docs, df_cap)
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return pairs.where(jac >= threshold).select(
         "doc_a", "doc_b", jac.alias("jaccard")
@@ -859,4 +867,140 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ed.alias("edit_dist"),
             (ed.cast("double") / mx).alias("edit_ratio"),
         )
+    )
+
+
+# ------------------------------------------------ containment near-dup
+
+
+CONTAIN_TAU = 0.6
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         LEN({_SQL_SHINGLES}) AS n,
+         unnest(list_transform({_SQL_SHINGLES},
+                               s -> {sql_md5_hash60('s')})) AS s
+  FROM documents
+), keep AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {DF_CAP}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN keep k ON k.s = a.s
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / LEAST(na, nb) AS containment
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / LEAST(na, nb) >= {CONTAIN_TAU}
+""",
+    doc="Shingle containment near-dup: |A∩B| / min(|A|,|B|) ≥ τ flags a "
+    "document mostly CONTAINED in another — the quote/excerpt/superset "
+    "case Jaccard misses by construction (a short doc inside a long one "
+    "has tiny |A∩B|/|A∪B| but containment ≈ 1). Shares the inverted "
+    "posting-list core and stop-shingle DF cap with dedup_ngram_jaccard "
+    "— same single shuffle, different final measure, so running both "
+    "costs one extra aggregate, not a second index build.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _shingle_pair_counts(load(spark, sf_dir, "documents"))
+    cont = F.col("inter").cast("double") / F.least("na", "nb")
+    return pairs.where(cont >= CONTAIN_TAU).select(
+        "doc_a", "doc_b", cont.alias("containment")
+    )
+
+
+# -------------------------------------------- exact-substring near-dup
+#
+# Character-level exact duplicate spans (the "exact substring dedup" of
+# LLM-corpus curation, done at suffix-array scale in the literature):
+# two docs share a duplicated span iff they share K consecutive chars,
+# i.e. at least one K-gram. The Spark shape is winnowed rolling K-grams
+# → 60-bit hashes → posting lists: MOD-sampling keeps 1/WINNOW_MOD of
+# grams (deterministic in the gram CONTENT, so the same span is sampled
+# identically in every doc containing it — no cross-doc miss), the
+# DF_CAP bounds boilerplate posting lists exactly like the shingle path,
+# and shuffle keys are 8-byte longs, never the substrings themselves.
+
+K_GRAM = 32
+WINNOW_MOD = 4
+MIN_SHARED_GRAMS = 4
+
+
+@register(
+    "dedup_substring_exact",
+    oracle=f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id,
+           {sql_md5_hash60(f"substr(text, CAST(p AS INTEGER), {K_GRAM})")} AS h
+    FROM documents,
+         UNNEST(range(1, GREATEST(LENGTH(text) - {K_GRAM} + 2, 1))) AS t(p)
+  ) WHERE h % {WINNOW_MOD} = 0
+), keep AS (
+  SELECT h FROM g GROUP BY h HAVING COUNT(*) <= {DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+JOIN keep k ON k.h = a.h
+GROUP BY 1, 2
+HAVING COUNT(*) >= {MIN_SHARED_GRAMS}
+""",
+    doc=f"Exact-substring duplicate spans: docs sharing ≥{MIN_SHARED_GRAMS} "
+    f"winnowed {K_GRAM}-char grams (≈ a duplicated span of "
+    f"{K_GRAM + (MIN_SHARED_GRAMS - 1) * WINNOW_MOD}+ chars) — the "
+    "character-level dedup that catches copy-paste and boilerplate "
+    "reuse word-shingles miss. Rolling K-grams are generated JVM-side "
+    "(sequence + substring, no Python), hashed to 60-bit longs, and "
+    f"MOD-sampled 1/{WINNOW_MOD} BY CONTENT so identical spans sample "
+    "identically in every document (no cross-doc miss, unlike random "
+    "sampling); posting lists above the stop-gram DF cap are dropped "
+    "(license headers), bounding any single gram's pair fan-out at "
+    f"{DF_CAP}². At 100 TB this is the winnowing/suffix-dedup shape: "
+    "index size is chars/WINNOW_MOD 8-byte keys, pairs are equi-join "
+    "bucketed, and no substring ever crosses an exchange.",
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import spread
+
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("text") >= K_GRAM,
+                F.expr(
+                    f"transform(sequence(1, length(text) - {K_GRAM} + 1), "
+                    f"p -> substring(text, p, {K_GRAM}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    hashed = grams.select(
+        "doc_id", md5_hash60(F.col("g")).alias("h")
+    ).where(F.col("h") % WINNOW_MOD == 0)
+    lists = (
+        hashed.groupBy("h")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .where((F.size("ds") > 1) & (F.size("ds") <= F.lit(DF_CAP)))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        lists.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= MIN_SHARED_GRAMS)
     )

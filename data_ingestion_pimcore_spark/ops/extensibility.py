@@ -294,6 +294,45 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
 
 
+@register(
+    "sink_orc_roundtrip",
+    oracle=f"""
+SELECT l_linestatus, COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice', 'sum_price')},
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    doc="ORC sink round-trip over lineitem: Spark's second columnar "
+    "format (native vectorized ORC reader/writer, predicate pushdown "
+    "and column pruning like parquet). Write splits across executors, "
+    "read back, aggregate per linestatus; counts, exact decimal price "
+    "sums, and integer quantity sums matching the ORIGINAL parquet "
+    "prove the cross-format round-trip is lossless. At 100 TB the "
+    "choice between ORC and parquet is a layout decision, not a "
+    "semantics one — this query pins that.",
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_orc_"), "lineitem")
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_linestatus"
+    )
+    try:
+        src.write.mode("overwrite").orc(out)
+        return (
+            spark.read.orc(out)
+            .groupBy("l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum("l_extendedprice", "sum_price"),
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
 def quant_scales_batch(b: "pa.RecordBatch") -> "pa.RecordBatch":
     """Per-vector quantization-scale kernel over one Arrow batch.
 

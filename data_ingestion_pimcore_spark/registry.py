@@ -113,6 +113,7 @@ def _load_ops() -> None:
     if _LOADED:
         return
     from .ops import (  # noqa: F401
+        analytics,
         curation,
         dedup,
         extensibility,
