@@ -71,6 +71,14 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "agg_distinct_hashsampled",
     "join_lateral_topk",
+    # round-3 third wave: statistical/graph analytics, SCD2, and
+    # character-level dedup
+    "stats_regression_by_group",
+    "stats_histogram",
+    "graph_triangle_count",
+    "ingest_scd2_history",
+    "dedup_substring_exact",
+    "dedup_containment",
 ]
 
 

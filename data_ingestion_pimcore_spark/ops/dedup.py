@@ -969,25 +969,37 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import spread
 
     d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    grams = d.select(
+    return substring_pairs(d)
+
+
+def substring_pairs(
+    docs: DataFrame,
+    k: int = K_GRAM,
+    winnow_mod: int = WINNOW_MOD,
+    df_cap: int = DF_CAP,
+    min_shared: int = MIN_SHARED_GRAMS,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared) for docs sharing ≥ ``min_shared``
+    winnowed exact ``k``-grams. See ``dedup_substring_exact``."""
+    grams = docs.select(
         "doc_id",
         F.explode(
             F.when(
-                F.length("text") >= K_GRAM,
+                F.length("text") >= k,
                 F.expr(
-                    f"transform(sequence(1, length(text) - {K_GRAM} + 1), "
-                    f"p -> substring(text, p, {K_GRAM}))"
+                    f"transform(sequence(1, length(text) - {k} + 1), "
+                    f"p -> substring(text, p, {k}))"
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     )
     hashed = grams.select(
         "doc_id", md5_hash60(F.col("g")).alias("h")
-    ).where(F.col("h") % WINNOW_MOD == 0)
+    ).where(F.col("h") % winnow_mod == 0)
     lists = (
         hashed.groupBy("h")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
-        .where((F.size("ds") > 1) & (F.size("ds") <= F.lit(DF_CAP)))
+        .where((F.size("ds") > 1) & (F.size("ds") <= F.lit(df_cap)))
     )
     pair_structs = F.flatten(
         F.transform(
@@ -1002,5 +1014,5 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         lists.select(F.explode(pair_structs).alias("p"))
         .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= MIN_SHARED_GRAMS)
+        .where(F.col("n_shared") >= min_shared)
     )

@@ -744,3 +744,130 @@ def ts_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
     )
     return spark.table(_drain(spark, agg, "stream_static", "complete"))
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+WITH bounds AS (
+  SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS lo,
+         time_bucket(INTERVAL '1 hour', MAX(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket_hour
+  FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), actual AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_hour, event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+           AS avg_value
+  FROM events GROUP BY 1, 2
+), dense AS (
+  SELECT s.bucket_hour, t.event_type, a.avg_value,
+         epoch(s.bucket_hour) AS ep
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN actual a
+    ON a.bucket_hour = s.bucket_hour AND a.event_type = t.event_type
+), nb AS (
+  SELECT bucket_hour, event_type, avg_value, ep,
+         LAST_VALUE(avg_value IGNORE NULLS) OVER wp AS pv,
+         LAST_VALUE(CASE WHEN avg_value IS NOT NULL THEN ep END IGNORE NULLS)
+           OVER wp AS pt,
+         FIRST_VALUE(avg_value IGNORE NULLS) OVER wn AS nv,
+         FIRST_VALUE(CASE WHEN avg_value IS NOT NULL THEN ep END IGNORE NULLS)
+           OVER wn AS nt
+  FROM dense
+  WINDOW wp AS (PARTITION BY event_type ORDER BY ep
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY event_type ORDER BY ep
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT bucket_hour, event_type,
+       CASE
+         WHEN avg_value IS NOT NULL THEN 0
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 1
+         ELSE NULL
+       END AS interpolated,
+       ROUND(CASE
+         WHEN avg_value IS NOT NULL THEN avg_value
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           pv + (nv - pv) * (CAST(ep - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+         ELSE NULL
+       END, 6) AS value_filled
+FROM nb
+""",
+    doc="Linear gap interpolation over the dense hourly spine: holes in "
+    "per-type hourly averages fill with the straight line between the "
+    "nearest observed neighbors (leading/trailing holes stay NULL, "
+    "flagged by `interpolated`). The neighbor lookup is two one-sided "
+    "unbounded window frames (last/first IGNORE NULLS) over the SAME "
+    "per-type sort — no self-join, no as-of join, one exchange on "
+    "event_type shared by both frames. The spine is O(hours × types) "
+    "regardless of event volume, so at 100 TB the heavy side is one "
+    "hash aggregate; interpolation itself touches only the tiny dense "
+    "grid. Division mirrored verbatim + ROUND(.,6) keeps the filled "
+    "values cross-engine-deterministic.",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "bucket_hour"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+         / F.count("value")).alias("avg_value")
+    )
+    dense = (
+        spine.crossJoin(types)
+        .join(actual, ["bucket_hour", "event_type"], "left")
+        .withColumn("ep", F.unix_timestamp("bucket_hour"))
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("ep")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("ep")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked_ep = F.when(F.col("avg_value").isNotNull(), F.col("ep"))
+    nb = dense.select(
+        "bucket_hour",
+        "event_type",
+        "avg_value",
+        "ep",
+        F.last("avg_value", ignorenulls=True).over(wp).alias("pv"),
+        F.last(marked_ep, ignorenulls=True).over(wp).alias("pt"),
+        F.first("avg_value", ignorenulls=True).over(wn).alias("nv"),
+        F.first(marked_ep, ignorenulls=True).over(wn).alias("nt"),
+    )
+    have_both = F.col("pv").isNotNull() & F.col("nv").isNotNull()
+    frac = (F.col("ep") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    return nb.select(
+        "bucket_hour",
+        "event_type",
+        F.when(F.col("avg_value").isNotNull(), F.lit(0))
+        .when(have_both, F.lit(1))
+        .alias("interpolated"),
+        F.round(
+            F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).when(
+                have_both,
+                F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+            ),
+            6,
+        ).alias("value_filled"),
+    )

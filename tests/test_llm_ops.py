@@ -495,3 +495,47 @@ def test_hashsampled_distinct_tracks_exact(spark):
     }
     for k, n in exact.items():
         assert abs(est[k] - n) <= max(0.3 * n, 64), (k, est[k], n)
+
+
+def test_substring_dedup_planted_span(spark):
+    """A 200-char span planted in two docs must be detected (169 rolling
+    32-grams share content, so their winnowed samples coincide exactly
+    in both docs — content-keyed sampling can't miss one side); docs
+    with no shared 32-char run must produce no pair."""
+    from data_ingestion_pimcore_spark.ops.dedup import substring_pairs
+
+    span = "".join(f"tok{i:03d} " for i in range(29))  # 203 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one " + span + " suffix alpha"),
+            (2, "other lead-in text " + span + " different tail"),
+            (3, "completely unrelated document body with its own words"),
+            (4, "another distinct body sharing nothing thirty-two long"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in substring_pairs(docs, min_shared=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 4
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_substring_dedup_df_cap_bounds_skew(spark):
+    """Adversarial boilerplate: one 64-char header in every doc. With
+    the DF cap the header grams' posting lists are dropped → no
+    quadratic pair set; without it the same corpus yields n(n-1)/2
+    pairs. Mirrors the shingle-path skew bound at character level."""
+    from data_ingestion_pimcore_spark.ops.dedup import substring_pairs
+
+    n = 60
+    header = "COMMON LICENSE HEADER " * 3  # 66 chars, identical everywhere
+    docs = spark.createDataFrame(
+        [(i, header + f" unique body {i} " + f"filler{i} " * 6) for i in range(n)],
+        "doc_id long, text string",
+    )
+    capped = substring_pairs(docs, df_cap=10, min_shared=1)
+    assert capped.count() == 0
+    uncapped = substring_pairs(docs, df_cap=10_000, min_shared=1)
+    assert uncapped.count() == n * (n - 1) // 2
