@@ -748,3 +748,72 @@ def ingest_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "ingest_cdc_diff",
+    oracle="""
+WITH prev AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+), curr AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 101 <> 0
+)
+SELECT COALESCE(c.o_orderkey, p.o_orderkey) AS o_orderkey,
+       CASE WHEN p.o_orderkey IS NULL THEN 'I'
+            WHEN c.o_orderkey IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       p.o_totalprice AS old_price,
+       c.o_totalprice AS new_price
+FROM prev p FULL OUTER JOIN curr c ON p.o_orderkey = c.o_orderkey
+WHERE p.o_orderkey IS NULL OR c.o_orderkey IS NULL
+   OR p.o_totalprice <> c.o_totalprice
+   OR p.o_orderstatus <> c.o_orderstatus
+""",
+    doc="Change-data-capture snapshot diff: full-outer-join two table "
+    "snapshots on the key and classify every row as Insert / Update / "
+    "Delete, dropping unchanged rows (the overwhelming majority) before "
+    "anything downstream sees them. The synthetic previous snapshot is "
+    "derived deterministically from orders (key-mod filters simulate "
+    "inserts/deletes, a price perturbation simulates updates) so the "
+    "oracle reproduces it exactly. At 100 TB both snapshots shuffle "
+    "once on the key (or zero times if stored bucketed by it — the "
+    "join_bucketed_colocated layout), change detection is a row-local "
+    "comparison, and the emitted delta is |changes|, not |table|. This "
+    "is the batch CDC primitive behind incremental downstream refresh.",
+)
+def ingest_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    prev = o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    curr = o.where(F.col("o_orderkey") % 101 != 0)
+    p, c = prev.alias("p"), curr.alias("c")
+    joined = p.join(c, F.col("p.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+    changed = (
+        F.col("p.o_orderkey").isNull()
+        | F.col("c.o_orderkey").isNull()
+        | (F.col("p.o_totalprice") != F.col("c.o_totalprice"))
+        | (F.col("p.o_orderstatus") != F.col("c.o_orderstatus"))
+    )
+    return joined.where(changed).select(
+        F.coalesce(F.col("c.o_orderkey"), F.col("p.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("p.o_orderkey").isNull(), F.lit("I"))
+        .when(F.col("c.o_orderkey").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("p.o_totalprice").alias("old_price"),
+        F.col("c.o_totalprice").alias("new_price"),
+    )

@@ -871,3 +871,84 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("value_filled"),
     )
+
+
+@register(
+    "ts_funnel_pattern",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), s1 AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.view_ts
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
+  GROUP BY e.user_id
+)
+SELECT u.user_id, s1.view_ts, s2.click_ts, s3.purchase_ts,
+       CASE WHEN s3.user_id IS NOT NULL THEN 3
+            WHEN s2.user_id IS NOT NULL THEN 2
+            WHEN s1.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS reached_stage
+FROM u
+LEFT JOIN s1 ON s1.user_id = u.user_id
+LEFT JOIN s2 ON s2.user_id = u.user_id
+LEFT JOIN s3 ON s3.user_id = u.user_id
+""",
+    doc="Ordered funnel analysis (view → click → purchase, strictly "
+    "increasing event time): stage k's entry timestamp is the earliest "
+    "qualifying event AFTER stage k-1's, the standard sequential-funnel "
+    "semantics. Each stage is one filtered aggregate joined back on "
+    "user_id, so every exchange in the plan hashes on the same key and "
+    "Catalyst reuses the clustering — at 100 TB this is K passes over "
+    "a pre-bucketed events table with no sort and no per-user state "
+    "larger than one timestamp. (A single-pass min_by cascade can't "
+    "express the AFTER-dependency; a per-user sort + UDF could, at the "
+    "cost of Python in the hot path — the join formulation stays "
+    "entirely in codegen.)",
+)
+def ts_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u = ev.select("user_id").distinct()
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        u.join(s1, "user_id", "left")
+        .join(s2.select("user_id", "click_ts"), "user_id", "left")
+        .join(s3.select("user_id", "purchase_ts"), "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            F.when(F.col("purchase_ts").isNotNull(), F.lit(3))
+            .when(F.col("click_ts").isNotNull(), F.lit(2))
+            .when(F.col("view_ts").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("reached_stage"),
+        )
+    )
