@@ -817,3 +817,93 @@ def ingest_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.o_totalprice").alias("old_price"),
         F.col("c.o_totalprice").alias("new_price"),
     )
+
+
+@register(
+    "ingest_incremental_agg",
+    oracle="""
+WITH curr AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 101 <> 0
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM curr
+GROUP BY o_orderstatus
+""",
+    doc="Incremental view maintenance: refresh a per-status aggregate "
+    "from the PREVIOUS snapshot's aggregate plus the CDC delta (insert "
+    "adds, delete subtracts, update subtracts old and adds new) instead "
+    "of rescanning the table. The oracle aggregates the current "
+    "snapshot directly — equality proves the incremental path computes "
+    "the same answer. All sums stay exact DECIMAL until one final cast, "
+    "so +/- contributions cancel exactly (double arithmetic would "
+    "drift). At 100 TB this turns a full-table rescan into work "
+    "proportional to |changes|: the base aggregate is tiny (one row "
+    "per group), the delta shuffles once on the group key, and the "
+    "merge is a broadcast-sized outer join.",
+)
+def ingest_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    prev = o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    curr = o.where(F.col("o_orderkey") % 101 != 0)
+    # Base aggregate over the previous snapshot (in production: the
+    # stored materialized view). Sums stay DECIMAL.
+    base = prev.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("base_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("base_sum"),
+    )
+    # CDC delta rows with signed contributions: I -> +new, D -> -old,
+    # U -> -old +new (status can change too: contributions are keyed by
+    # each side's own status, so a status flip moves the row between
+    # groups correctly).
+    p, c = prev.alias("p"), curr.alias("c")
+    joined = p.join(
+        c, F.col("p.o_orderkey") == F.col("c.o_orderkey"), "full_outer"
+    )
+    changed = (
+        F.col("p.o_orderkey").isNull()
+        | F.col("c.o_orderkey").isNull()
+        | (F.col("p.o_totalprice") != F.col("c.o_totalprice"))
+        | (F.col("p.o_orderstatus") != F.col("c.o_orderstatus"))
+    )
+    delta_rows = joined.where(changed)
+    minus = delta_rows.where(F.col("p.o_orderkey").isNotNull()).select(
+        F.col("p.o_orderstatus").alias("o_orderstatus"),
+        F.lit(-1).alias("dn"),
+        (-F.col("p.o_totalprice").cast("decimal(18,6)")).alias("dsum"),
+    )
+    plus = delta_rows.where(F.col("c.o_orderkey").isNotNull()).select(
+        F.col("c.o_orderstatus").alias("o_orderstatus"),
+        F.lit(1).alias("dn"),
+        F.col("c.o_totalprice").cast("decimal(18,6)").alias("dsum"),
+    )
+    delta = (
+        minus.unionAll(plus)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("dn").alias("delta_n"), F.sum("dsum").alias("delta_sum"))
+    )
+    merged = base.join(delta, "o_orderstatus", "full_outer").select(
+        "o_orderstatus",
+        (
+            F.coalesce(F.col("base_n"), F.lit(0))
+            + F.coalesce(F.col("delta_n"), F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("base_sum"), F.lit(0).cast("decimal(18,6)"))
+            + F.coalesce(F.col("delta_sum"), F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("sum_price"),
+    )
+    return merged.where(F.col("n_orders") > 0)

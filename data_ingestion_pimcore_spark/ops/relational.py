@@ -1625,3 +1625,43 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "scalar_try_funcs",
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE o_totalprice / (o_orderkey % 3) END AS safe_div,
+       CAST(TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE)
+            AS VARCHAR) AS date_roundtrip,
+       CAST(TRY_CAST(o_orderpriority AS DATE) AS VARCHAR) AS bad_date
+FROM orders
+WHERE o_orderkey <= 2000
+""",
+    doc="Error-tolerant scalar surface: try_cast / try_divide return "
+    "NULL instead of failing the job — the ingestion posture for dirty "
+    "data (a malformed value quarantines as NULL; one bad row cannot "
+    "kill a 100 TB scan the way ANSI-strict casts can). Exercises a "
+    "failing string->int cast, a succeeding prefix cast, divide-by-zero "
+    "suppression, and date casts both valid (round-tripped through a "
+    "string, emitted as string per the cross-engine DATE gotcha) and "
+    "malformed.",
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("bad_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("double")
+        ).alias("safe_div"),
+        F.date_format("o_orderdate", "yyyy-MM-dd")
+        .try_cast("date")
+        .cast("string")
+        .alias("date_roundtrip"),
+        F.col("o_orderpriority").try_cast("date").cast("string").alias("bad_date"),
+    )
