@@ -1665,3 +1665,45 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("date_roundtrip"),
         F.col("o_orderpriority").try_cast("date").cast("string").alias("bad_date"),
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(quantile_cont(o_totalprice, 0.5) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ), 6) AS median_5,
+       COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ) AS n_in_frame
+FROM orders
+WHERE o_custkey % 10 = 0
+""",
+    doc="Rolling median over a 5-row frame per customer: an exact "
+    "order-statistic as a WINDOW aggregate (Spark `percentile` / DuckDB "
+    "`quantile_cont`), the robust-trend primitive dashboards want where "
+    "a rolling mean is outlier-sensitive. Same single exchange + sort "
+    "as any window; the frame re-rank is O(frame) per row, so cost is "
+    "rows x frame — at 100 TB keep frames bounded (ROWS k PRECEDING, "
+    "never an unbounded percentile frame). Both engines interpolate the "
+    "even-count midpoint; ROUND(.,6) absorbs the one-ulp "
+    "interpolation-order difference.",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.expr("percentile(o_totalprice, 0.5)").over(w), 6).alias(
+            "median_5"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
