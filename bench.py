@@ -79,6 +79,13 @@ HEADLINE = [
     "ingest_scd2_history",
     "dedup_substring_exact",
     "dedup_containment",
+    # round-3 fourth wave: interpolation, funnel, CDC + incremental
+    # view maintenance, rolling order statistics
+    "ts_interpolate_linear",
+    "ts_funnel_pattern",
+    "ingest_cdc_diff",
+    "ingest_incremental_agg",
+    "window_rolling_median",
 ]
 
 

@@ -1707,3 +1707,47 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w).alias("n_in_frame"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+WITH counts AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+), ranked AS (
+  SELECT o_orderpriority, o_orderstatus, cnt,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cnt DESC, o_orderstatus) AS rn
+  FROM counts
+)
+SELECT o_orderpriority,
+       o_orderstatus AS modal_status,
+       cnt AS modal_count
+FROM ranked WHERE rn = 1
+""",
+    doc="Deterministic mode (most frequent value) per group: count pairs, "
+    "then rank (count DESC, value ASC) and keep the top row — explicit "
+    "tie-breaking where the built-in `mode` aggregate leaves ties "
+    "engine-defined (Spark and DuckDB would disagree silently). Two "
+    "hash aggregates + a window over the tiny counts table; the heavy "
+    "input reduces map-side in the first aggregate, so the window sees "
+    "|groups x values| rows, not |input|.",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cnt").desc(), F.col("o_orderstatus")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("modal_status"),
+            F.col("cnt").alias("modal_count"),
+        )
+    )
