@@ -351,3 +351,65 @@ def ingest_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+# ------------------------------------------- two-pass exact median
+
+MEDIAN_BINS = 1024
+
+
+@register(
+    "agg_median_twopass",
+    oracle="""
+SELECT l_extendedprice AS median_price,
+       (SELECT COUNT(*) FROM lineitem) AS n_rows
+FROM lineitem
+ORDER BY l_extendedprice
+LIMIT 1 OFFSET (SELECT (COUNT(*) + 1) // 2 - 1 FROM lineitem)
+""",
+    doc="Exact global median WITHOUT a global sort — the two-pass "
+    "binning algorithm every scale-out engine uses when 'exact' and "
+    "'100 TB' must coexist: pass 1 histograms values into "
+    f"{MEDIAN_BINS} closed-form bins (one map-side-combined aggregate, "
+    "driver sees bin counts only); the driver locates the bin holding "
+    "the k-th value from the cumulative counts; pass 2 top-k's ONLY "
+    "inside that bin (expected n/bins rows → TakeOrderedAndProject, "
+    "never a full sort). Defined as the lower median (k = ceil(n/2)-th "
+    "smallest) so no interpolation arithmetic exists to drift between "
+    "engines. Contrast: ORDER BY + OFFSET (the oracle) is a single-node "
+    "total sort; percentile() materializes per-group value buffers. "
+    "Driver state is O(bins), executor state is O(bin rows).",
+)
+def agg_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    lo_hi = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lo, hi, n = lo_hi["lo"], lo_hi["hi"], lo_hi["n"]
+    k = (n + 1) // 2  # lower median: k-th smallest, 1-based
+    width = (hi - lo) / MEDIAN_BINS or 1.0
+    bin_col = F.least(
+        F.floor((F.col("l_extendedprice") - F.lit(lo)) / F.lit(width)),
+        F.lit(MEDIAN_BINS - 1),
+    ).cast("int")
+    counts = dict(
+        li.groupBy(bin_col.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    acc = 0
+    for b in range(MEDIAN_BINS):
+        c = counts.get(b, 0)
+        if acc + c >= k:
+            target_bin, k_in_bin = b, k - acc
+            break
+        acc += c
+    in_bin = li.where(bin_col == F.lit(target_bin))
+    median = (
+        in_bin.orderBy("l_extendedprice")
+        .limit(int(k_in_bin))
+        .agg(F.max("l_extendedprice").alias("median_price"))
+    )
+    return median.select(
+        "median_price", F.lit(int(n)).cast("long").alias("n_rows")
+    )
