@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-VALID_FILE_TYPES = ("json", "excel", "parquet", "csv", "jsonl")
+VALID_FILE_TYPES = ("json", "excel", "parquet", "csv", "jsonl", "xml")
 
 MAX_CHUNK_RECORDS = 4000  # request_model.py:22 (ge=1, le=4000)
 

@@ -12,6 +12,8 @@ checksums.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -907,3 +909,88 @@ def ingest_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_price"),
     )
     return merged.where(F.col("n_orders") > 0)
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderkey <= 5000
+GROUP BY o_orderpriority
+""",
+    doc="XML source round-trip via Spark 4's native XML reader/writer "
+    "(the spark-xml package merged upstream): write an orders subset as "
+    "row-tagged XML split across executor part-files, read it back with "
+    "schema inference, aggregate. Counts, exact decimal sums, and key "
+    "ranges matching the ORIGINAL parquet prove the XML path is "
+    "lossless. file_type='xml' also dispatches through the ingestion "
+    "pipeline (pipeline.load_source), extending the reference's "
+    "json/excel surface with the third enterprise interchange format.",
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(prefix="src_xml_"), "orders_xml")
+    src = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 5000).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    try:
+        src.write.format("xml").option("rowTag", "row").mode("overwrite").save(out)
+        back = spark.read.format("xml").option("rowTag", "row").load(out)
+        return (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_total"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "source_gzip_jsonl",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+""",
+    doc="Compressed-text transparency: JSONL written with gzip codec, "
+    "read back by extension with no reader changes, aggregated — counts "
+    "and exact sums vs the original prove losslessness through the "
+    "codec. Scale note: gzip is NOT splittable, so one .gz file = one "
+    "scan task regardless of size; at 100 TB either write MANY gzip "
+    "part-files (this query's layout — each executor writes its own, "
+    "preserving scan parallelism) or prefer a splittable codec "
+    "(bzip2) / columnar formats with internal compression.",
+)
+def source_gzip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(prefix="src_gz_"), "docs_gz")
+    try:
+        load(spark, sf_dir, "documents").write.mode("overwrite").option(
+            "compression", "gzip"
+        ).json(out)
+        return (
+            spark.read.json(out)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)

@@ -327,6 +327,13 @@ def load_source(spark: SparkSession, request: IngestRequest) -> DataFrame:
         return spark.read.json(request.file_path)
     if ft == "csv":
         return spark.read.option("header", "true").csv(request.file_path)
+    if ft == "xml":
+        # Spark 4 native XML source (the spark-xml package merged
+        # upstream); rowTag follows the reference's record-per-element
+        # JSON-array convention.
+        return spark.read.format("xml").option("rowTag", "row").load(
+            request.file_path
+        )
     return spark.read.parquet(request.file_path)
 
 

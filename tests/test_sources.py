@@ -265,3 +265,31 @@ def test_json_dir_glob(spark, tmp_path):
     assert sorted(r["v"] for r in df.collect()) == [1, 2, 3]
     sdf = read_json_array_streaming(spark, str(tmp_path))
     assert sdf.count() == 3
+
+
+def test_xml_ingest_end_to_end(spark, tmp_path):
+    """file_type='xml' dispatches through load_source (Spark 4 native
+    XML) and runs the full chunked ACK-gated pipeline to completion."""
+    from data_ingestion_pimcore_spark.config import IngestRequest
+    from data_ingestion_pimcore_spark.pipeline import run_ingestion
+    from data_ingestion_pimcore_spark.sink import ChunkValidator
+    from data_ingestion_pimcore_spark.state import IngestionStateStore
+
+    path = tmp_path / "items.xml"
+    rows = "".join(
+        f"<row><pid>{i}</pid><name>item{i}</name></row>" for i in range(1, 26)
+    )
+    path.write_text(f"<rows>{rows}</rows>")
+    req = IngestRequest(
+        file_path=str(path),
+        file_type="xml",
+        chunk_size_by_records=10,
+        order_cols=("pid",),
+    )
+    v = ChunkValidator()
+    summary = run_ingestion(
+        spark, req, IngestionStateStore(str(tmp_path / "state.parquet")), v
+    )
+    assert summary.status == "COMPLETED"
+    assert summary.total_records == 25
+    assert [r["pid"] for r in v.received_records[0]] == list(range(1, 11))
