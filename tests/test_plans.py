@@ -447,3 +447,82 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in tree, tree
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_regression_single_shuffle_partial_agg(spark):
+    """Grouped OLS: the six sufficient statistics reduce through ONE
+    exchange with a map-side partial aggregate; no sort, no join."""
+    tree = tree_of(spark, "stats_regression_by_group")
+    assert tree.count("Exchange") == 1
+    assert tree.count("HashAggregate") == 2  # partial + final
+    assert "Sort" not in tree and "Join" not in tree
+
+
+def test_histogram_single_aggregate(spark):
+    """Closed-form binning: one partial+final aggregate, no sort, no
+    window, output cardinality decoupled from input size."""
+    tree = tree_of(spark, "stats_histogram")
+    assert tree.count("Exchange") == 1
+    assert "Sort" not in tree and "Window" not in tree
+
+
+def test_substring_dedup_no_cartesian_hashed_keys(spark):
+    """Winnowed substring dedup: pair generation must stay inside
+    posting lists (no cartesian/SMJ of the corpus against itself), and
+    the posting-list key must be the 60-bit hash, never the raw gram."""
+    plan = plan_of(spark, "dedup_substring_exact")
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    tree = tree_of(spark, "dedup_substring_exact")
+    # explode grams -> explode pairs: exactly two generators
+    assert tree.count("Generate") == 2
+
+
+def test_triangle_close_broadcasts_adjacency(spark):
+    """The triangle close must attach adjacency via broadcast joins
+    (array-carrying rows never shuffle) and never materialize wedges
+    through a shuffle join."""
+    plan = plan_of(spark, "graph_triangle_count")
+    tree = tree_of(spark, "graph_triangle_count")
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # the only nested-loop joins allowed are the three scalar 1-row
+    # aggregates cross-joined for the final (n_nodes, n_edges,
+    # n_triangles) row — never a data-sized cartesian
+    assert tree.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_interpolate_single_window_exchange(spark):
+    """Both neighbor-lookup frames must share one partition+order: a
+    single exchange on event_type feeds all window computation."""
+    tree = tree_of(spark, "ts_interpolate_linear")
+    assert "Window" in tree
+    # the event-volume side contributes exactly one partial+final agg
+    # pair; the window sort happens once (two Window ops may share it)
+    assert tree.count("Sort") <= 2
+
+
+def test_funnel_reuses_user_clustering(spark):
+    """Funnel stages all hash on user_id; no sort anywhere, and no
+    cartesian/broadcast-nested-loop fallback."""
+    plan = plan_of(spark, "ts_funnel_pattern")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no window, no global sort — stage entry times are plain aggregates
+    assert "Window" not in tree_of(spark, "ts_funnel_pattern")
+
+
+def test_cdc_diff_single_key_join(spark):
+    """CDC diff is one full-outer join on the key plus row-local
+    classification — no second join, no window, no sort beyond the
+    join's own."""
+    tree = tree_of(spark, "ingest_cdc_diff")
+    assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") == 1
+    assert "Window" not in tree
+
+
+def test_scd2_one_exchange_two_windows(spark):
+    """SCD2: both window passes and the change filter ride ONE hash
+    exchange on the dimension key (Catalyst reuses the clustering)."""
+    tree = tree_of(spark, "ingest_scd2_history")
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 2
