@@ -101,3 +101,83 @@ def test_median_twopass_matches_sorted_kth(spark):
         data = sorted(v.l_extendedprice for v in vals.collect())
         expect = data[(len(data) + 1) // 2 - 1]
     assert row.median_price == expect
+
+
+def test_scd2_invariants_random_feeds(spark):
+    """SCD2 on random change feeds: per key the intervals must (1) chain
+    exactly — each valid_to equals the next valid_from, (2) end with
+    exactly one open (is_current) row, (3) never hold two consecutive
+    equal priorities, and (4) start at the key's first observation."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_ingestion_pimcore_spark.ops.analytics import ingest_scd2_history
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(1, 4),     # custkey
+                st.integers(0, 60),    # day offset
+                st.sampled_from(["A", "B", "C"]),  # priority
+            ),
+            min_size=1,
+            max_size=40,
+            # one observation per (key, day): valid_from is then a total
+            # order per key, so interval sorting in the checker is
+            # unambiguous (same-day multi-change ordering is pinned by
+            # o_orderkey in the operator, which the output doesn't carry)
+            unique_by=lambda t: (t[0], t[1]),
+        )
+    )
+    def run(feed):
+        rows = [
+            (i + 1, ck, p, datetime.date(2024, 1, 1) + datetime.timedelta(days=d))
+            for i, (ck, d, p) in enumerate(feed)
+        ]
+        with tempfile.TemporaryDirectory() as tmp:
+            spark.createDataFrame(
+                rows,
+                "o_orderkey long, o_custkey long, o_orderpriority string, "
+                "o_orderdate date",
+            ).write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
+            out = ingest_scd2_history(spark, tmp).collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r.o_custkey, []).append(r)
+        for ck, ivs in by_key.items():
+            ivs.sort(key=lambda r: r.valid_from)
+            assert sum(r.is_current for r in ivs) == 1
+            for a, b in zip(ivs, ivs[1:]):
+                assert a.valid_to == b.valid_from
+                assert a.priority != b.priority
+            assert ivs[-1].valid_to is None
+
+    run()
+
+
+def test_containment_detects_subset_doc(spark):
+    """A short doc whose shingles are a strict subset of a long doc must
+    reach containment 1.0 while its Jaccard stays below the near-dup
+    threshold — the case the containment measure exists for."""
+    from data_ingestion_pimcore_spark.ops.dedup import (
+        _shingle_pair_counts,
+        jaccard_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    quote = "alpha beta gamma delta epsilon"
+    long_doc = (
+        quote
+        + " "
+        + " ".join(f"body{i} filler{i} words{i}" for i in range(30))
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id long, text string"
+    )
+    pairs = _shingle_pair_counts(docs).collect()
+    assert len(pairs) == 1
+    (p,) = pairs
+    containment = p.inter / min(p.na, p.nb)
+    jaccard = p.inter / (p.na + p.nb - p.inter)
+    assert containment == 1.0
+    assert jaccard < 0.2
