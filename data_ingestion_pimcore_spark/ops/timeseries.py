@@ -952,3 +952,47 @@ def ts_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reached_stage"),
         )
     )
+
+
+@register(
+    "ts_stream_sliding",
+    oracle=f"""
+WITH starts AS (
+  SELECT event_id, event_type, value,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS window_start
+  FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM starts
+GROUP BY window_start, event_type
+""",
+    doc="GENUINE streaming sliding window (readStream + watermark, "
+    "1 h length / 30 min slide, drained AvailableNow): each event "
+    "expands into its 2 overlapping windows inside the streaming "
+    "aggregate's state store. Unlike the tumbling case, sliding "
+    "windows multiply state by length/slide — the watermark bounds "
+    "that state's lifetime, which is what makes a sliding aggregate "
+    "survivable on an unbounded 100 TB/day stream. Oracle mirrors the "
+    "expansion with explicit bucket arithmetic; the batch twin "
+    "(ts_sliding_window) pins the same semantics without the state "
+    "machinery.",
+)
+def ts_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return spark.table(_drain(spark, agg, "stream_sliding", "complete"))
