@@ -205,7 +205,9 @@ def bench_ingest_10x(sf_dir: str) -> float | None:
             [sys.executable, "-c", script],
             capture_output=True,
             text=True,
-            timeout=540,
+            # co-tenant bursts have stretched the probe past 540 s;
+            # losing the metric costs more than the extra wait
+            timeout=900,
         )
         for line in reversed(out.stdout.splitlines()):
             if line.startswith("{"):

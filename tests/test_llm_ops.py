@@ -539,3 +539,23 @@ def test_substring_dedup_df_cap_bounds_skew(spark):
     assert capped.count() == 0
     uncapped = substring_pairs(docs, df_cap=10_000, min_shared=1)
     assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_sim_knn_pq_recall_vs_bruteforce(spark):
+    """PQ compresses 256-byte vectors to 8 bytes; the ADC shortlist plus
+    exact re-rank must clear a recall floor on isotropic vectors, and
+    every returned cosine must be the TRUE cosine (the re-rank stage
+    recomputes exactly — PQ error can only cost recall, never scores)."""
+    from data_ingestion_pimcore_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.all_queries()
+    bf = qs["sim_knn_bruteforce"].fn(spark, sf).toPandas()
+    pq = qs["sim_knn_pq"].fn(spark, sf).toPandas()
+    truth = {(r.query_id, r.neighbor_id): r.cosine for r in bf.itertuples()}
+    got = {(r.query_id, r.neighbor_id): r.cosine for r in pq.itertuples()}
+    assert len(got) > 0
+    hits = set(got) & set(truth)
+    assert len(hits) / len(truth) >= 0.3
+    for k in hits:
+        assert abs(got[k] - truth[k]) < 1e-9
