@@ -994,3 +994,62 @@ def source_gzip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "ingest_backfill_partition",
+    oracle="""
+WITH final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderpriority = '3-MEDIUM'
+              THEN o_totalprice * 2.0 ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey <= 20000
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM final
+GROUP BY o_orderpriority
+""",
+    doc="Dynamic partition-overwrite backfill: a partitioned table has "
+    "ONE partition's data corrected and rewritten in place "
+    "(partitionOverwriteMode=dynamic), while sibling partitions' files "
+    "are untouched — the everyday fix-one-day-of-data operation that a "
+    "full-table overwrite would turn into a 100 TB rewrite. The oracle "
+    "computes the expected post-backfill state analytically; matching "
+    "counts and exact sums across ALL partitions prove both that the "
+    "target partition was replaced and that no other partition was "
+    "disturbed.",
+)
+def ingest_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(prefix="backfill_"), "orders_part")
+    src = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 20000).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    try:
+        src.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+        fixed = (
+            src.where(F.col("o_orderpriority") == "3-MEDIUM")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        )
+        (
+            fixed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("o_orderpriority")
+            .parquet(out)
+        )
+        return (
+            spark.read.parquet(out)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
