@@ -86,6 +86,8 @@ HEADLINE = [
     "ingest_cdc_diff",
     "ingest_incremental_agg",
     "window_rolling_median",
+    "sim_knn_pq",
+    "agg_median_twopass",
 ]
 
 
