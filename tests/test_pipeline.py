@@ -240,7 +240,7 @@ def test_request_validation():
     with pytest.raises(InvalidRequest):
         _request(chunk_size_by_records=4001)  # over reference cap
     with pytest.raises(InvalidRequest):
-        _request(file_type="xml")
+        _request(file_type="avro")  # not a supported connector
     assert _request(chunk_size_by_records=None, chunk_size_by_memory=1).chunk_size_by_memory == 1
 
 
