@@ -996,3 +996,50 @@ def ts_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return spark.table(_drain(spark, agg, "stream_sliding", "complete"))
+
+
+@register(
+    "ts_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, time_bucket(INTERVAL '1 day', MIN(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id,
+         f.cohort_day,
+         date_diff('day', f.cohort_day, time_bucket(INTERVAL '1 day', e.ts))
+           AS day_offset
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_active_users
+FROM activity
+GROUP BY cohort_day, day_offset
+""",
+    doc="Cohort retention matrix: users cohort by first-seen day, and "
+    "each (cohort, day-offset) cell counts distinct users active that "
+    "many days later — THE product-analytics staple. Plan shape: one "
+    "aggregate finds cohort assignments (tiny: one row per user), "
+    "joined back onto events hashing the same user_id key, then a "
+    "distinct + count whose output is O(cohorts x horizon) regardless "
+    "of event volume. At 100 TB the cohort map is broadcastable "
+    "(users << events) and the heavy side shuffles once.",
+)
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
