@@ -413,3 +413,98 @@ def agg_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return median.select(
         "median_price", F.lit(int(n)).cast("long").alias("n_rows")
     )
+
+
+# --------------------------------------------------- higher moments
+
+_MOM_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))
+                  * CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,1))
+                  * CAST(l_quantity AS DECIMAL(12,1))
+                  * CAST(l_quantity AS DECIMAL(12,1))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(10,1))
+                  * CAST(l_quantity AS DECIMAL(10,1))
+                  * CAST(l_quantity AS DECIMAL(10,1))
+                  * CAST(l_quantity AS DECIMAL(10,1))) AS DOUBLE) AS s4
+  FROM lineitem
+  GROUP BY l_returnflag
+), m AS (
+  SELECT l_returnflag, n,
+         s1 / CAST(n AS DOUBLE) AS m1,
+         s2 / CAST(n AS DOUBLE) AS m2,
+         s3 / CAST(n AS DOUBLE) AS m3,
+         s4 / CAST(n AS DOUBLE) AS m4
+  FROM s
+)
+SELECT l_returnflag, n,
+       ROUND(m2 - m1 * m1, 9) AS variance_pop,
+       ROUND((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
+             / POW(SQRT(m2 - m1 * m1), 3.0), 9) AS skewness,
+       ROUND((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+              - 3.0 * m1 * m1 * m1 * m1)
+             / POW(m2 - m1 * m1, 2.0) - 3.0, 9) AS kurtosis_excess
+FROM m
+"""
+
+
+@register(
+    "stats_skew_kurtosis",
+    oracle=_MOM_SQL,
+    doc="Grouped skewness and excess kurtosis from the first four raw "
+    "moments — like the regression operator, ONE hash aggregate with "
+    "map-side partials carries everything (no centered second pass, no "
+    "sort). Power sums are computed as exact decimal products "
+    "(l_quantity is integer-valued ≤ 10^4, so x³/x⁴ fit comfortably), "
+    "the moment formulas evaluate in double with the expression tree "
+    "mirrored verbatim in the oracle, and outputs round to scales where "
+    "ROUND is exact in both engines. The numerically-careful caveat is "
+    "documented: raw-moment subtraction loses digits when mean >> "
+    "stddev, where a production path switches to streaming centered "
+    "updates (Welford/Chan) — the one-pass shuffle shape is identical.",
+)
+def stats_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    x1 = x.cast("decimal(18,6)")
+    x2 = x.cast("decimal(15,2)")
+    x3 = x.cast("decimal(12,1)")
+    x4 = x.cast("decimal(10,1)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2 * x2).cast("double").alias("s2"),
+        F.sum(x3 * x3 * x3).cast("double").alias("s3"),
+        F.sum(x4 * x4 * x4 * x4).cast("double").alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1") / nd
+    m2 = F.col("s2") / nd
+    m3 = F.col("s3") / nd
+    m4 = F.col("s4") / nd
+    var = m2 - m1 * m1
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(var, 9).alias("variance_pop"),
+        F.round(
+            (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1)
+            / F.pow(F.sqrt(var), F.lit(3.0)),
+            9,
+        ).alias("skewness"),
+        F.round(
+            (
+                m4
+                - F.lit(4.0) * m1 * m3
+                + F.lit(6.0) * m1 * m1 * m2
+                - F.lit(3.0) * m1 * m1 * m1 * m1
+            )
+            / F.pow(var, F.lit(2.0))
+            - F.lit(3.0),
+            9,
+        ).alias("kurtosis_excess"),
+    )
