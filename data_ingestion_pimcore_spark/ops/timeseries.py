@@ -1043,3 +1043,76 @@ def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+ANOM_Z = 2.0
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle=f"""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_hour, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT bucket_hour, event_type, n_events,
+         COUNT(*) OVER w AS w_n,
+         CAST(SUM(n_events) OVER w AS DOUBLE) AS w_sum,
+         CAST(SUM(n_events * n_events) OVER w AS DOUBLE) AS w_sum2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT bucket_hour, event_type, n_events,
+       ROUND((CAST(n_events AS DOUBLE) - w_sum / CAST(w_n AS DOUBLE))
+             / SQRT(w_sum2 / CAST(w_n AS DOUBLE)
+                    - (w_sum / CAST(w_n AS DOUBLE))
+                      * (w_sum / CAST(w_n AS DOUBLE))), 9) AS zscore
+FROM scored
+WHERE w_n >= 12
+  AND w_sum2 / CAST(w_n AS DOUBLE)
+      - (w_sum / CAST(w_n AS DOUBLE)) * (w_sum / CAST(w_n AS DOUBLE)) > 0
+  AND ABS((CAST(n_events AS DOUBLE) - w_sum / CAST(w_n AS DOUBLE))
+          / SQRT(w_sum2 / CAST(w_n AS DOUBLE)
+                 - (w_sum / CAST(w_n AS DOUBLE))
+                   * (w_sum / CAST(w_n AS DOUBLE)))) >= {ANOM_Z}
+""",
+    doc="Trailing-window z-score anomaly detection on hourly event "
+    "volumes: each (type, hour) scores against the PRECEDING 24 hours "
+    "only (frame ends at 1 PRECEDING — the current value never "
+    "contaminates its own baseline), flagging |z| ≥ 2 after a 12-hour "
+    "warm-up. Integer counts make the window sums exact, the z formula "
+    "is mirrored verbatim, and everything after the hourly rollup "
+    "operates on O(hours × types) rows — detection cost is decoupled "
+    "from raw event volume, the property that lets this run on every "
+    "ingest batch at 100 TB/day.",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(-24, -1)
+    )
+    ne = F.col("n_events")
+    scored = hourly.select(
+        "bucket_hour",
+        "event_type",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.sum(ne).over(w).cast("double").alias("w_sum"),
+        F.sum(ne * ne).over(w).cast("double").alias("w_sum2"),
+    )
+    wn = F.col("w_n").cast("double")
+    mean = F.col("w_sum") / wn
+    var = F.col("w_sum2") / wn - mean * mean
+    z = (ne.cast("double") - mean) / F.sqrt(var)
+    return scored.where(
+        (F.col("w_n") >= 12) & (var > 0) & (F.abs(z) >= ANOM_Z)
+    ).select(
+        "bucket_hour", "event_type", "n_events", F.round(z, 9).alias("zscore")
+    )
