@@ -1751,3 +1751,56 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("modal_count"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 50 END AS k,
+         o_totalprice
+  FROM orders WHERE o_orderkey <= 4000
+), r AS (
+  SELECT CASE WHEN ck % 5 = 0 THEN NULL ELSE ck END AS k,
+         ck AS bucket_id
+  FROM (SELECT UNNEST(range(0, 50)) AS ck)
+)
+SELECT l.o_orderkey, r.bucket_id,
+       CAST(SUM(CAST(l.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+GROUP BY l.o_orderkey, r.bucket_id
+""",
+    doc="Null-safe equality join (Spark `<=>` / SQL IS NOT DISTINCT "
+    "FROM): NULL keys MATCH each other instead of silently dropping — "
+    "the semantics dimension-join pipelines need when 'unknown' is a "
+    "real bucket. Null-safe equality is still hashable, so this stays "
+    "an equi-join (broadcast here; hash-partitionable at scale) rather "
+    "than degrading to a nested-loop theta join — but every NULL "
+    "hashes to ONE key, so a null-heavy fact side is exactly the "
+    "skew-join case (salt the null bucket or split it out).",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 4000)
+    l = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderkey") % 50
+        ).alias("k"),
+        "o_totalprice",
+    )
+    r = spark.range(50).select(
+        F.when(F.col("id") % 5 == 0, F.lit(None)).otherwise(F.col("id")).alias("rk"),
+        F.col("id").alias("bucket_id"),
+    )
+    return (
+        l.join(F.broadcast(r), F.col("k").eqNullSafe(F.col("rk")))
+        .groupBy("o_orderkey", "bucket_id")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
