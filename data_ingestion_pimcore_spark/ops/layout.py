@@ -106,3 +106,60 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         sx.cast("long").alias("sx"),
         morton_col(px, sx).cast("long").alias("zval"),
     )
+
+
+TARGET_FILE_ROWS = 50_000  # compaction target (stands in for 128 MB)
+
+
+@register(
+    "layout_compact_small_files",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Small-file compaction: a table fragmented into hundreds of "
+    "tiny files (every streaming/per-batch writer produces this) is "
+    "rewritten into row-count-targeted files via repartition, and the "
+    "aggregate over the compacted copy must match the oracle over the "
+    "ORIGINAL — compaction may only change layout, never content. The "
+    "small-files problem is THE silent 100 TB killer: each file costs "
+    "a namenode/listing entry, a scan task, and a footer read, so a "
+    "million 100 KB files can make planning slower than scanning. "
+    "Production cadence: compact when file count per partition exceeds "
+    "a threshold, target spark.sql.files.maxPartitionBytes-sized "
+    "outputs; the file-count collapse itself is pinned by pytest "
+    "(tests/test_plans.py::test_compaction_reduces_file_count).",
+)
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="compact_")
+    frag, packed = os.path.join(base, "frag"), os.path.join(base, "packed")
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    try:
+        # fragment: the pathological many-tiny-files layout
+        src.repartition(64).write.mode("overwrite").parquet(frag)
+        fragged = spark.read.parquet(frag)
+        n = fragged.count()
+        n_out = max(1, math.ceil(n / TARGET_FILE_ROWS))
+        fragged.repartition(n_out).write.mode("overwrite").parquet(packed)
+        return (
+            spark.read.parquet(packed)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

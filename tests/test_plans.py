@@ -526,3 +526,33 @@ def test_scd2_one_exchange_two_windows(spark):
     tree = tree_of(spark, "ingest_scd2_history")
     assert tree.count("Exchange") == 1
     assert tree.count("Window") == 2
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    """Compaction must collapse a fragmented layout to the row-count
+    target and preserve content exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pimcore_spark.ops.layout import TARGET_FILE_ROWS
+
+    src = spark.range(120_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    frag = str(tmp_path / "frag")
+    packed = str(tmp_path / "packed")
+    src.repartition(64).write.parquet(frag)
+    fragged = spark.read.parquet(frag)
+    n = fragged.count()
+    n_out = max(1, math.ceil(n / TARGET_FILE_ROWS))
+    fragged.repartition(n_out).write.parquet(packed)
+    out = spark.read.parquet(packed)
+    n_files_frag = len([f for f in fragged.inputFiles()])
+    n_files_packed = len([f for f in out.inputFiles()])
+    assert n_files_frag == 64
+    assert n_files_packed == n_out == 3
+    # content identical: same count, same checksum-style aggregate
+    a = src.agg(F.sum("id"), F.sum("k"), F.count("*")).collect()
+    b = out.agg(F.sum("id"), F.sum("k"), F.count("*")).collect()
+    assert a == b
