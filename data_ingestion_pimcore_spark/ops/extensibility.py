@@ -403,3 +403,56 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(scales, schema="vec_id long, dim long, scale_micro long")
+
+
+@register(
+    "pipeline_observe_metrics",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+       CAST(COUNT(CASE WHEN o_totalprice > 400000 THEN 1 END) AS BIGINT)
+         AS n_large,
+       CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT)
+         AS n_urgent
+FROM orders
+""",
+    doc="In-flight pipeline metrics via df.observe(): row counts, sums, "
+    "and data-quality counters ride the SAME job as the real work — no "
+    "second pass over the data, which at 100 TB is the difference "
+    "between free observability and doubling the bill. The observed "
+    "plan here is a pass-through write-side scan (consumed by a count "
+    "action); the metrics come back through the Observation handle and "
+    "are emitted as a 1-row DataFrame the oracle recomputes directly. "
+    "This is how the ingestion pipeline would report per-batch "
+    "validation counters (nulls, out-of-range, quarantined) without a "
+    "dedicated metrics job.",
+)
+def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    o = load(spark, sf_dir, "orders")
+    obs = Observation("ingest_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count(F.when(F.col("o_totalprice") > 400000, 1)).alias("n_large"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias(
+            "n_urgent"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "real" job
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(m["sum_price"]),
+                int(m["n_large"]),
+                int(m["n_urgent"]),
+            )
+        ],
+        "n_rows long, sum_price double, n_large long, n_urgent long",
+    )
