@@ -88,6 +88,9 @@ HEADLINE = [
     "window_rolling_median",
     "sim_knn_pq",
     "agg_median_twopass",
+    "ts_retention_cohorts",
+    "ts_anomaly_zscore",
+    "stats_skew_kurtosis",
 ]
 
 
