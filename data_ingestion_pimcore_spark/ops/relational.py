@@ -1804,3 +1804,38 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "scalar_regex_funcs",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       LEN(regexp_extract_all(p_type, '[A-Z]+')) AS n_upper_runs,
+       CASE WHEN regexp_matches(p_brand, '^Brand#[0-9]+$')
+            THEN 1 ELSE 0 END AS brand_wellformed
+FROM part
+WHERE p_partkey <= 2000
+""",
+    doc="Regular-expression scalar surface: extract (group capture), "
+    "global replace, extract-all counting, and full-match predicates — "
+    "the text-wrangling quartet every ingest cleanup uses. Patterns "
+    "stay in the POSIX-class subset identical between Java regex "
+    "(Spark) and RE2 (DuckDB); all JVM codegen, no UDF. At scale the "
+    "only caveat is catastrophic backtracking in Java regex — RE2-safe "
+    "patterns (no nested quantifiers) keep per-row cost linear.",
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 2000)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.size(F.expr(r"regexp_extract_all(p_type, '[A-Z]+', 0)")).alias(
+            "n_upper_runs"
+        ),
+        F.when(
+            F.col("p_brand").rlike(r"^Brand#[0-9]+$"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("brand_wellformed"),
+    )
