@@ -181,3 +181,94 @@ def test_containment_detects_subset_doc(spark):
     jaccard = p.inter / (p.na + p.nb - p.inter)
     assert containment == 1.0
     assert jaccard < 0.2
+
+
+def test_ivm_exact_under_random_churn(spark):
+    """The incremental-view-maintenance identity (base aggregate plus
+    signed delta contributions equals the direct aggregate of the new
+    snapshot) must hold EXACTLY for arbitrary insert/update/delete
+    churn, because every sum stays in DECIMAL until one final cast —
+    double arithmetic would drift under cancellation."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(1, 60),                    # key
+                st.sampled_from(["A", "B", "C"]),      # group
+                st.integers(1, 10_000_000),            # price in cents
+                st.sampled_from(["keep", "update", "delete", "insert"]),
+            ),
+            min_size=1,
+            max_size=50,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def run(rows):
+        prev_rows = [
+            (k, g, c / 100.0) for k, g, c, op in rows if op != "insert"
+        ]
+        curr_rows = [
+            (k, g, (c + 37) / 100.0 if op == "update" else c / 100.0)
+            for k, g, c, op in rows
+            if op != "delete"
+        ]
+        if not prev_rows or not curr_rows:
+            return
+        dec = "decimal(18,6)"
+        prev = spark.createDataFrame(prev_rows, "k long, g string, price double")
+        curr = spark.createDataFrame(curr_rows, "k long, g string, price double")
+        base = prev.groupBy("g").agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum(F.col("price").cast(dec)).alias("bs"),
+        )
+        p, c = prev.alias("p"), curr.alias("c")
+        j = p.join(c, F.col("p.k") == F.col("c.k"), "full_outer").where(
+            F.col("p.k").isNull()
+            | F.col("c.k").isNull()
+            | (F.col("p.price") != F.col("c.price"))
+            | (F.col("p.g") != F.col("c.g"))
+        )
+        minus = j.where(F.col("p.k").isNotNull()).select(
+            F.col("p.g").alias("g"),
+            F.lit(-1).alias("dn"),
+            (-F.col("p.price").cast(dec)).alias("ds"),
+        )
+        plus = j.where(F.col("c.k").isNotNull()).select(
+            F.col("c.g").alias("g"),
+            F.lit(1).alias("dn"),
+            F.col("c.price").cast(dec).alias("ds"),
+        )
+        delta = minus.unionAll(plus).groupBy("g").agg(
+            F.sum("dn").alias("dn"), F.sum("ds").alias("ds")
+        )
+        merged = {
+            r.g: (r.n, r.s)
+            for r in base.join(delta, "g", "full_outer")
+            .select(
+                "g",
+                (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+                (
+                    F.coalesce(F.col("bs"), F.lit(0).cast(dec))
+                    + F.coalesce(F.col("ds"), F.lit(0).cast(dec))
+                )
+                .cast("double")
+                .alias("s"),
+            )
+            .collect()
+            if r.n > 0
+        }
+        direct = {
+            r.g: (r.n, r.s)
+            for r in curr.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("price").cast(dec)).cast("double").alias("s"),
+            )
+            .collect()
+        }
+        assert merged == direct
+
+    run()
