@@ -1839,3 +1839,93 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand").rlike(r"^Brand#[0-9]+$"), F.lit(1)
         ).otherwise(F.lit(0)).alias("brand_wellformed"),
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))
+                * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+         AS wavg_price,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_weight
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Weighted mean (quantity-weighted unit price): Σwx/Σw from two "
+    "exact-decimal sums in one map-side-combined aggregate — the "
+    "correct way to average ratios at any scale (a plain AVG of "
+    "per-row prices answers a different question). One shuffle; the "
+    "single final division is the only double operation.",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("decimal(15,2)")
+    x = F.col("l_extendedprice").cast("decimal(15,2)")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.sum(w * x).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+        ).alias("wavg_price"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_weight"),
+    )
+
+
+@register(
+    "window_pct_of_total",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       ROUND(CAST(o_totalprice AS DOUBLE)
+             / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    OVER (PARTITION BY o_orderpriority) AS DOUBLE) * 100.0,
+             9) AS pct_of_priority
+FROM orders
+WHERE o_orderkey <= 4000
+""",
+    doc="Percent-of-total (share within group): each row against its "
+    "partition's unbounded sum — the BI contribution metric. The "
+    "whole-partition frame needs no ORDER BY, so the window is one "
+    "exchange + no sort (Spark plans an unordered WindowExec); the "
+    "denominator is the exact-decimal sum cast once, and the share "
+    "rounds at a cross-engine-exact scale.",
+)
+def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 4000)
+    w = Window.partitionBy("o_orderpriority")
+    denom = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast(
+        "double"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(
+            F.col("o_totalprice").cast("double") / denom * 100.0, 9
+        ).alias("pct_of_priority"),
+    )
+
+
+@register(
+    "agg_topk_array",
+    oracle="""
+SELECT o_orderpriority,
+       list_slice(list_sort(list(o_totalprice), 'DESC'), 1, 3) AS top3_prices
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Top-k VALUES as an array aggregate: collect, sort descending, "
+    "slice — the compact per-group leaderboard shape (contrast with "
+    "window_topk_per_group, which keeps whole rows via WindowGroupLimit "
+    "and is the right choice when k rows must survive). Scale caveat is "
+    "explicit: collect_list materializes each group in one executor, so "
+    "this form is for bounded-cardinality groups; unbounded groups "
+    "should pre-prune with the windowed top-k first and only then "
+    "collect k values.",
+)
+def agg_topk_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.slice(
+            F.reverse(F.array_sort(F.collect_list("o_totalprice"))), 1, 3
+        ).alias("top3_prices")
+    )
