@@ -456,3 +456,62 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, sum_price double, n_large long, n_urgent long",
     )
+
+
+@register(
+    "pipeline_cached_fanout",
+    oracle="""
+WITH enriched AS (
+  SELECT l.l_extendedprice * (1 - l.l_discount) AS net, o.o_orderpriority
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= DATE '1995-01-01'
+), by_prio AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(net AS DECIMAL(18,6))) AS DOUBLE) AS prio_net,
+         COUNT(*) AS prio_rows
+  FROM enriched GROUP BY o_orderpriority
+), total AS (
+  SELECT CAST(SUM(CAST(net AS DECIMAL(18,6))) AS DOUBLE) AS total_net,
+         COUNT(*) AS total_rows
+  FROM enriched
+)
+SELECT p.o_orderpriority, p.prio_net, p.prio_rows, t.total_net, t.total_rows
+FROM by_prio p CROSS JOIN total t
+""",
+    doc="Cache-and-fan-out: an expensive enriched intermediate (join + "
+    "filter + net-price projection) is persisted ONCE and consumed by "
+    "two independent aggregates — without persist() Spark recomputes "
+    "the join per consumer, exactly the recompute trap the triangle "
+    "counter's localCheckpoint also guards against. persist() (lazy, "
+    "lineage kept, memory-and-disk) is the right tool when consumers "
+    "run in the same job graph; localCheckpoint (eager, lineage cut) "
+    "when re-planning cost or lineage depth is the problem. The plan "
+    "test pins InMemoryTableScan appearing for both consumers. At "
+    "100 TB the same decision appears as: materialize the intermediate "
+    "to a table when many jobs share it; cache when one job fans out.",
+)
+def pipeline_cached_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1995-01-01")
+    )
+    enriched = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+            "o_orderpriority",
+        )
+        .persist()
+    )
+    dec_net = F.col("net").cast("decimal(18,6)")
+    by_prio = enriched.groupBy("o_orderpriority").agg(
+        F.sum(dec_net).cast("double").alias("prio_net"),
+        F.count(F.lit(1)).alias("prio_rows"),
+    )
+    total = enriched.agg(
+        F.sum(dec_net).cast("double").alias("total_net"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+    out = by_prio.crossJoin(total).localCheckpoint()
+    enriched.unpersist()
+    return out

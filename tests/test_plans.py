@@ -556,3 +556,46 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     a = src.agg(F.sum("id"), F.sum("k"), F.count("*")).collect()
     b = out.agg(F.sum("id"), F.sum("k"), F.count("*")).collect()
     assert a == b
+
+
+def test_cached_fanout_reuses_inmemory_scan(spark):
+    """Both fan-out consumers must read the persisted intermediate
+    (InMemoryTableScan), not re-run the join per consumer."""
+    from data_ingestion_pimcore_spark.ops.extensibility import (
+        pipeline_cached_fanout,
+    )
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet").where(
+        F.col("o_orderdate") >= F.lit("1995-01-01")
+    )
+    enriched = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+            "o_orderpriority",
+        )
+        .persist()
+    )
+    try:
+        dec_net = F.col("net").cast("decimal(18,6)")
+        by_prio = enriched.groupBy("o_orderpriority").agg(
+            F.sum(dec_net).cast("double").alias("prio_net")
+        )
+        total = enriched.agg(F.sum(dec_net).cast("double").alias("total_net"))
+        combined = by_prio.crossJoin(total)
+        plan = combined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        tree = plan.split("\n\n(1)")[0]
+        assert tree.count("InMemoryTableScan") == 2, tree
+        assert "SortMergeJoin" not in tree.replace(
+            "InMemoryTableScan", ""
+        )  # the enrichment join is NOT re-planned per consumer
+    finally:
+        enriched.unpersist()
+    # the registered query itself runs green end-to-end
+    assert pipeline_cached_fanout(spark, SF).count() == 5
