@@ -1929,3 +1929,65 @@ def agg_topk_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.reverse(F.array_sort(F.collect_list("o_totalprice"))), 1, 3
         ).alias("top3_prices")
     )
+
+
+@register(
+    "agg_hll_union",
+    oracle=None,  # sketch estimates are impl-specific; tolerance pytest
+    doc="Mergeable HLL sketches (Apache DataSketches): per-priority "
+    "customer sketches built with hll_sketch_agg, then UNIONED with "
+    "hll_union_agg into a global estimate — the property that makes "
+    "sketches the 100 TB answer for distinct counts: partial sketches "
+    "from every partition/day/segment merge losslessly without "
+    "re-touching data, unlike exact COUNT(DISTINCT) whose partials "
+    "are full key sets. Output carries per-group estimates, the "
+    "union-of-groups estimate, and the exact global count to expose "
+    "the error (tolerance-tested; no SQL oracle because sketch "
+    "internals are implementation-specific).",
+)
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    sketches = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+    )
+    unioned = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+    )
+    per_group = sketches.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("est_custs"),
+    )
+    exact = o.agg(F.count_distinct("o_custkey").alias("exact_union"))
+    return per_group.crossJoin(unioned).crossJoin(exact)
+
+
+@register(
+    "sql_api_parameterized",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_totalprice < 150000.0 AND o_orderpriority <> '5-LOW'
+GROUP BY o_orderpriority
+""",
+    doc="Parameterized SQL (spark.sql named args): the injection-safe "
+    "templating surface — parameters bind as typed literals in the "
+    "parsed plan, so constant folding and predicate pushdown see real "
+    "constants (identical plan to inlined literals, unlike string "
+    "concatenation which risks both injection and cache misses). The "
+    "oracle runs the equivalent inlined text.",
+)
+def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_price
+        FROM orders_v
+        WHERE o_totalprice < :cap AND o_orderpriority <> :excl
+        GROUP BY o_orderpriority
+        """,
+        args={"cap": 150000.0, "excl": "5-LOW"},
+    )

@@ -559,3 +559,18 @@ def test_sim_knn_pq_recall_vs_bruteforce(spark):
     assert len(hits) / len(truth) >= 0.3
     for k in hits:
         assert abs(got[k] - truth[k]) < 1e-9
+
+
+def test_hll_union_tracks_exact(spark):
+    """Sketch mergeability: the union-of-group-sketches estimate must
+    track the exact global distinct count within HLL tolerance, and
+    per-group estimates must track approx_count_distinct's own view."""
+    from data_ingestion_pimcore_spark import registry
+
+    df = registry.all_queries()["agg_hll_union"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    exact = df["exact_union"].iloc[0]
+    est = df["est_union"].iloc[0]
+    assert abs(est - exact) / exact < 0.05
+    assert (df["est_custs"] > 0).all()
