@@ -1991,3 +1991,38 @@ def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cap": 150000.0, "excl": "5-LOW"},
     )
+
+
+@register(
+    "agg_salted_twophase",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Skew-safe two-phase aggregation: phase 1 groups by (key, "
+    "salt) — a hot key's rows spread over 16 salt buckets instead of "
+    "one reducer — phase 2 re-aggregates the 16 partials per key. "
+    "Oracle-identical to the direct aggregate because count/sum are "
+    "algebraic (partials compose); this is the manual fallback when a "
+    "LOW-CARDINALITY group-by key concentrates on few reducers and "
+    "map-side partial aggregation alone can't help (e.g. high-entropy "
+    "rows per group defeat the in-memory partial map). Exact-decimal "
+    "sums keep the two-phase result bit-identical to one-phase.",
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn("__salt", F.spark_partition_id() % 16)
+    phase1 = salted.groupBy("l_returnflag", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_quantity").cast("long")).alias("pq"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("pp"),
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pq").alias("sum_qty"),
+        F.sum("pp").cast("double").alias("sum_price"),
+    )
