@@ -2026,3 +2026,40 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pq").alias("sum_qty"),
         F.sum("pp").cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "agg_grouping_id_flags",
+    oracle="""
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="GROUPING()/grouping-id flags over a rollup: the only reliable "
+    "way to tell a real NULL group value from a rollup subtotal row — "
+    "COALESCE placeholders alone are ambiguous the moment the data "
+    "contains the placeholder. Same single Expand-based aggregate as "
+    "any rollup; the flags are free metadata columns, not extra "
+    "compute.",
+)
+def agg_grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+        )
+    )
