@@ -2063,3 +2063,48 @@ def agg_grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "window_longest_streak",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS d
+  FROM events
+), grouped AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) * INTERVAL '1 day' AS anchor
+  FROM days
+), streaks AS (
+  SELECT user_id, anchor, COUNT(*) AS len
+  FROM grouped GROUP BY user_id, anchor
+)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM streaks GROUP BY user_id
+""",
+    doc="Longest consecutive-day activity streak per user — the classic "
+    "gaps-and-islands reduction: distinct active days, row_number along "
+    "the per-user day sequence, and (day − rn) is CONSTANT exactly "
+    "within a consecutive run, so one groupBy on that anchor measures "
+    "every streak and a max finishes it. One window over one "
+    "partition-local sort plus two hash aggregates on the tiny "
+    "distinct-days table; raw event volume only touches the initial "
+    "DISTINCT.",
+)
+def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "anchor",
+        F.col("d") - F.make_dt_interval(days=F.row_number().over(w)),
+    )
+    streaks = grouped.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak")
+    )
