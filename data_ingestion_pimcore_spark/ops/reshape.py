@@ -312,3 +312,36 @@ def reshape_mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_kept"),
     )
+
+
+ONE_HOT_LANGS = ("en", "de", "es", "fr", "zh")
+
+
+@register(
+    "reshape_one_hot",
+    oracle=f"""
+SELECT doc_id,
+       {", ".join(f"CASE WHEN lang = '{l}' THEN 1 ELSE 0 END AS is_{l}" for l in ONE_HOT_LANGS)},
+       CASE WHEN lang NOT IN ({", ".join(f"'{l}'" for l in ONE_HOT_LANGS)})
+            THEN 1 ELSE 0 END AS is_other
+FROM documents
+""",
+    doc="One-hot encoding with an EXPLICIT category list (plus an "
+    "is_other catch-all): the feature-prep step before training-data "
+    "export. A fixed list keeps this a pure map-side projection — "
+    "deriving categories from the data would need a distinct pre-pass "
+    "AND make the output schema data-dependent, which breaks "
+    "downstream consumers when a new category appears; the catch-all "
+    "column is where schema stability comes from. Zero shuffles, "
+    "codegen only.",
+)
+def reshape_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cols = [
+        F.when(F.col("lang") == l, 1).otherwise(0).alias(f"is_{l}")
+        for l in ONE_HOT_LANGS
+    ]
+    other = (
+        F.when(~F.col("lang").isin(*ONE_HOT_LANGS), 1).otherwise(0).alias("is_other")
+    )
+    return d.select("doc_id", *cols, other)
