@@ -1116,3 +1116,50 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "bucket_hour", "event_type", "n_events", F.round(z, 9).alias("zscore")
     )
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_hour,
+       event_type,
+       arg_min(value, CAST(epoch(ts) AS BIGINT) * 1000000000 + event_id)
+         AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, CAST(epoch(ts) AS BIGINT) * 1000000000 + event_id)
+         AS close,
+       COUNT(*) AS n_ticks
+FROM events
+GROUP BY 1, 2
+""",
+    doc="OHLC (open/high/low/close) resampling per hour and type — the "
+    "financial/telemetry downsample. Open/close are selector "
+    "aggregates (min_by/max_by) keyed on a composite (epoch-seconds, "
+    "event_id) BIGINT so ordering is total and ties break "
+    "deterministically on both engines; high/low are plain min/max. "
+    "ONE hash aggregate with map-side partials — selector aggregates "
+    "compose, so no window, no sort, and output is O(buckets × types) "
+    "regardless of tick volume.",
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # epoch-seconds x 1e9 + event_id: total order that fits int64
+    # (micros x 1e6 overflows); within-second order is by event_id,
+    # identically defined in both engines.
+    k = (
+        F.unix_timestamp(F.col("ts").cast("timestamp")) * F.lit(1_000_000_000)
+        + F.col("event_id")
+    )
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_hour"), "event_type"
+        )
+        .agg(
+            F.min_by("value", k).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", k).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
