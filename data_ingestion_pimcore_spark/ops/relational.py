@@ -2108,3 +2108,43 @@ def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaks.groupBy("user_id").agg(
         F.max("len").alias("longest_streak")
     )
+
+
+@register(
+    "scalar_date_arith",
+    oracle="""
+SELECT o_orderkey,
+       STRFTIME(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d') AS due_45d,
+       STRFTIME(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+       STRFTIME(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch95,
+       (YEAR(o_orderdate) - 1995) * 12 + MONTH(o_orderdate) - 1
+         AS months_since_epoch95
+FROM orders
+WHERE o_orderkey <= 1000
+""",
+    doc="Date ARITHMETIC surface (the extraction twin covers parts): "
+    "day/month interval addition, end-of-month, and integer day/month "
+    "differences — the due-date/aging/cohort-bucketing primitives. "
+    "Month arithmetic follows the clamped-end-of-month convention both "
+    "engines share (Jan 31 + 1 month = Feb 28); month DIFFERENCE is "
+    "computed as the mirrored integer formula because Spark's "
+    "months_between returns engine-specific fractions. Dates emit as "
+    "formatted strings per the cross-engine DATE round-trip gotcha. "
+    "All codegen projections — zero shuffles.",
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 45), "yyyy-MM-dd").alias("due_45d"),
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("next_month"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch95"),
+        ((F.year(d) - 1995) * 12 + F.month(d) - 1)
+        .cast("long")
+        .alias("months_since_epoch95"),
+    )
