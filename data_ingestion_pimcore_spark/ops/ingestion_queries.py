@@ -1053,3 +1053,42 @@ def ingest_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "ingest_compact_latest",
+    oracle="""
+SELECT user_id,
+       arg_max(event_type,
+               CAST(epoch(ts) AS BIGINT) * 1000000000 + event_id)
+         AS last_event_type,
+       arg_max(value,
+               CAST(epoch(ts) AS BIGINT) * 1000000000 + event_id)
+         AS last_value,
+       COUNT(*) AS n_superseded
+FROM events
+GROUP BY user_id
+""",
+    doc="Log compaction (keep-latest per key): a change log collapses to "
+    "each key's most recent record via selector aggregates on a total-"
+    "order (epoch-seconds, event_id) key — the Kafka-compaction / "
+    "CDC-materialization primitive. ONE hash aggregate with map-side "
+    "partials; the window-function formulation (row_number DESC = 1) "
+    "answers the same question but pays a per-key sort and carries "
+    "whole rows through the exchange — selector aggregates carry only "
+    "the selected columns and compose, which is what you want when "
+    "compacting a 100 TB log down to its live set.",
+)
+def ingest_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    k = (
+        F.unix_timestamp(F.col("ts").cast("timestamp")) * F.lit(1_000_000_000)
+        + F.col("event_id")
+    )
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", k).alias("last_event_type"),
+        F.max_by("value", k).alias("last_value"),
+        F.count(F.lit(1)).alias("n_superseded"),
+    )
