@@ -599,3 +599,52 @@ def test_cached_fanout_reuses_inmemory_scan(spark):
         enriched.unpersist()
     # the registered query itself runs green end-to-end
     assert pipeline_cached_fanout(spark, SF).count() == 5
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime row-level filtering: a selective dimension side
+    causes Catalyst to build a bloom filter from the dim keys and
+    inject might_contain() into the FACT scan's filter — rows that
+    cannot join die before the shuffle. At 100 TB (where the fact side
+    exceeds the application-side threshold this test lowers) this is
+    free join pruning on top of AQE; with broadcast joins disabled it
+    is the difference between shuffling the whole fact table and
+    shuffling the matching slice."""
+    conf = spark.conf
+    saved_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_totalprice") > 450000
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+        # and the filtered join still computes the right answer
+        direct = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        )
+        assert direct == sum(r["count"] for r in j.collect())
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "10GB",
+        )
