@@ -1092,3 +1092,46 @@ def ingest_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", k).alias("last_value"),
         F.count(F.lit(1)).alias("n_superseded"),
     )
+
+
+@register(
+    "ingest_surrogate_keys",
+    oracle="""
+SELECT o_orderkey,
+       substr(md5('ok:' || CAST(o_orderkey AS VARCHAR)), 1, 8) || '-' ||
+       substr(md5('ok:' || CAST(o_orderkey AS VARCHAR)), 9, 4) || '-' ||
+       substr(md5('ok:' || CAST(o_orderkey AS VARCHAR)), 13, 4) || '-' ||
+       substr(md5('ok:' || CAST(o_orderkey AS VARCHAR)), 17, 4) || '-' ||
+       substr(md5('ok:' || CAST(o_orderkey AS VARCHAR)), 21, 12)
+         AS surrogate_uuid,
+       CAST('0x' || substr(md5('ok:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+            AS BIGINT) AS surrogate_int
+FROM orders
+WHERE o_orderkey <= 2000
+""",
+    doc="Deterministic surrogate keys: UUID-formatted and 60-bit integer "
+    "keys derived from a salted content hash — reproducible across "
+    "runs, partitionings, and engines, which is what dimension-key "
+    "generation in a restartable pipeline REQUIRES. The tempting "
+    "alternatives are both wrong at scale: monotonically_increasing_id "
+    "changes with partitioning (a resume or repartition silently "
+    "re-keys everything), and uuid()/rand() differ per execution. "
+    "Hash-keying is also join-friendly: both sides of a later join "
+    "derive the same key independently, no key-lookup table needed.",
+)
+def ingest_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    h = F.md5(F.concat(F.lit("ok:"), F.col("o_orderkey").cast("string")))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return o.select(
+        "o_orderkey",
+        uuid.alias("surrogate_uuid"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("surrogate_int"),
+    )
