@@ -2148,3 +2148,31 @@ def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("months_since_epoch95"),
     )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderdate) AS n_days,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Multiple DISTINCT aggregates in one GROUP BY: Spark plans this "
+    "via Expand (each row replicated once per distinct column with the "
+    "others nulled) so ONE aggregate pipeline computes all distincts — "
+    "no self-join of the table per distinct column, which is what "
+    "naive rewrites do. The cost model to know at 100 TB: Expand "
+    "multiplies shuffled rows by the number of distinct columns, so "
+    "many distinct aggregates on a wide fact table may be cheaper as "
+    "separate sketches (agg_hll_union) merged afterwards.",
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct("o_orderdate").alias("n_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
