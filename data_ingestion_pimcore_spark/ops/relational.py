@@ -2176,3 +2176,48 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderdate").alias("n_days"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "window_repurchase_gaps",
+    oracle="""
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT CAST(LEAST(FLOOR(gap_days / 30.0), 12) AS INTEGER) AS gap_bucket_30d,
+       COUNT(*) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap
+FROM gaps
+WHERE gap_days IS NOT NULL
+GROUP BY 1
+""",
+    doc="Repurchase-gap distribution: per-customer consecutive-order "
+    "day gaps (window lag over one partition-local sort, deterministic "
+    "(date, orderkey) tie-break) binned into 30-day buckets with a "
+    "closed-form clamped bin key — the repurchase-cycle histogram "
+    "behind retention and replenishment models. One exchange for the "
+    "window + one for the tiny bucket aggregate; output cardinality is "
+    "the bucket count at any scale.",
+)
+def window_repurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    bucket = F.least(
+        F.floor(F.col("gap_days") / 30.0), F.lit(12)
+    ).cast("int")
+    return gaps.groupBy(bucket.alias("gap_bucket_30d")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap"),
+        F.max("gap_days").cast("long").alias("max_gap"),
+    )
