@@ -386,3 +386,79 @@ def curation_keep_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+@register(
+    "curation_funnel_report",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), flags AS (
+  SELECT doc_id, text,
+         doc_id % {_EVAL_MOD} = 0 AS is_eval,
+         CAST(LEN(list_filter(w, t -> t IN ({_SQL_STOPLIST}))) AS DOUBLE)
+           / LEN(w) >= {_LANG_TAU} AS pass_lang,
+         0.5 * LEAST(CAST(LEN(w) AS DOUBLE) / 100.0, 1.0)
+           + 0.5 * (CAST(LEN(list_distinct(w)) AS DOUBLE) / LEN(w))
+           >= {_QUALITY_TAU} AS pass_quality,
+         LEN(w) < 2 OR
+         CAST(list_max(list_transform(
+                list_distinct(list_transform(range(1, LEN(w)),
+                                             i -> w[i] || ' ' || w[i+1])),
+                x -> LEN(list_filter(list_transform(range(1, LEN(w)),
+                                                    i -> w[i] || ' ' || w[i+1]),
+                                     y -> y = x)))) AS DOUBLE)
+           / (LEN(w) - 1) <= {_REP_TAU} AS pass_repetition
+  FROM base
+), canon AS (
+  SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+  FROM base
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform({_SQL_SHINGLES},
+                               s -> {sql_md5_hash60('s')})) AS s
+  FROM documents
+), contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % {_EVAL_MOD} != 0) t
+  JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % {_EVAL_MOD} = 0) e ON t.s = e.s
+), audited AS (
+  SELECT f.doc_id, f.is_eval, f.pass_lang, f.pass_quality, f.pass_repetition,
+         c.is_canonical,
+         f.doc_id IN (SELECT doc_id FROM contaminated) AS is_contaminated,
+         NOT f.is_eval AND f.pass_lang AND f.pass_quality AND f.pass_repetition
+           AND c.is_canonical
+           AND f.doc_id NOT IN (SELECT doc_id FROM contaminated) AS keep
+  FROM flags f JOIN canon c ON f.doc_id = c.doc_id
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(COUNT(CASE WHEN is_eval THEN 1 END) AS BIGINT) AS n_eval_held_out,
+       CAST(COUNT(CASE WHEN NOT pass_lang THEN 1 END) AS BIGINT) AS drop_lang,
+       CAST(COUNT(CASE WHEN NOT pass_quality THEN 1 END) AS BIGINT) AS drop_quality,
+       CAST(COUNT(CASE WHEN NOT pass_repetition THEN 1 END) AS BIGINT) AS drop_repetition,
+       CAST(COUNT(CASE WHEN NOT is_canonical THEN 1 END) AS BIGINT) AS drop_dup,
+       CAST(COUNT(CASE WHEN is_contaminated THEN 1 END) AS BIGINT) AS drop_contaminated,
+       CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept
+FROM audited
+""",
+    doc="The curation funnel REPORT: per-stage drop accounting and the "
+    "final kept count — exactly the table a data-quality review reads. "
+    "One aggregate over curation_pipeline's per-doc audit columns (the "
+    "flags are non-exclusive, so the per-stage numbers are independent "
+    "failure counts, not a partition); re-registers the funnel output "
+    "as the deliverable instead of leaving report-building to the "
+    "consumer. Same three-slim-shuffle plan plus one global aggregate.",
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = curation_pipeline(spark, sf_dir)
+    c = F.count
+    return per_doc.agg(
+        c(F.lit(1)).alias("n_docs"),
+        c(F.when(F.col("is_eval"), 1)).alias("n_eval_held_out"),
+        c(F.when(~F.col("pass_lang"), 1)).alias("drop_lang"),
+        c(F.when(~F.col("pass_quality"), 1)).alias("drop_quality"),
+        c(F.when(~F.col("pass_repetition"), 1)).alias("drop_repetition"),
+        c(F.when(~F.col("is_canonical"), 1)).alias("drop_dup"),
+        c(F.when(F.col("is_contaminated"), 1)).alias("drop_contaminated"),
+        c(F.when(F.col("keep"), 1)).alias("n_kept"),
+    )
