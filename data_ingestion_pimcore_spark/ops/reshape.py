@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import load
 from ._det import dsum, sql_dsum
+from .textops import sql_md5_hash60
 
 _STATUSES = ("F", "O", "P")
 
@@ -345,3 +346,43 @@ def reshape_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~F.col("lang").isin(*ONE_HOT_LANGS), 1).otherwise(0).alias("is_other")
     )
     return d.select("doc_id", *cols, other)
+
+
+N_FOLDS = 5
+
+
+@register(
+    "reshape_kfold",
+    oracle=f"""
+WITH folds AS (
+  SELECT doc_id,
+         CAST({sql_md5_hash60("CAST(doc_id AS VARCHAR)")} % {N_FOLDS}
+              AS INTEGER) AS fold
+  FROM documents
+)
+SELECT fold, COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM folds GROUP BY fold
+""",
+    doc=f"Deterministic {N_FOLDS}-fold cross-validation assignment via "
+    "a hash of the key (fold = H(doc_id) mod k): every document lands "
+    "in exactly one fold, assignments survive re-runs, repartitioning, "
+    "and corpus growth (a doc never changes folds), and any fold's "
+    "train set is a pushable `fold != i` predicate — no materialized "
+    "fold tables, no randomSplit drift. Map-side only; the report "
+    "aggregates fold sizes to expose balance.",
+)
+def reshape_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import md5_hash60
+
+    d = load(spark, sf_dir, "documents")
+    fold = (md5_hash60(F.col("doc_id").cast("string")) % N_FOLDS).cast("int")
+    return (
+        d.select("doc_id", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
