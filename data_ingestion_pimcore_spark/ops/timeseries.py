@@ -1163,3 +1163,69 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+@register(
+    "ts_bounce_rate",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM marked
+), sessions AS (
+  SELECT user_id, session_no, COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, session_no
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS n_bounces,
+       ROUND(CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+             / COUNT(*), 9) AS bounce_rate
+FROM sessions
+""",
+    doc="Bounce rate over gap-sessionized activity (30-min timeout): "
+    "single-event sessions over all sessions — the engagement KPI "
+    "downstream of sessionization. Rides the same one-exchange "
+    "gaps-and-islands machinery as window_session_gap (lag marks, "
+    "running-sum numbers, per-session rollup) plus one global "
+    "aggregate whose input is session counts, not events.",
+)
+def ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.withColumn("session_no", F.sum("is_new").over(wrun))
+    sessions = numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounces = F.count(F.when(F.col("n_events") == 1, 1))
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounces.alias("n_bounces"),
+        F.round(bounces.cast("double") / F.count(F.lit(1)), 9).alias(
+            "bounce_rate"
+        ),
+    )
