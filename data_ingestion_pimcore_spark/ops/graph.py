@@ -1,0 +1,194 @@
+"""Iterative graph operators over a customer↔supplier trade graph:
+fixed-iteration PageRank and multi-source BFS min-hop distances.
+
+The graph: one undirected edge per distinct (customer, supplier) pair
+that traded (orders ⋈ lineitem), encoded as directed edges both ways.
+Node ids are disjoint integers (customer → 2k, supplier → 2k+1) so the
+oracle can rebuild the identical graph in pure SQL.
+
+Scale design (SURVEY §2.3 extension surface):
+
+* Both algorithms are rounds of *equi-joins on the edge key* — the
+  canonical Pregel-as-join shape. Each round shuffles edges once on
+  ``src``; no crossJoin, no driver-side adjacency. At 100 TB the edge
+  table is pre-bucketed on ``src`` so every round reuses one exchange.
+* ``localCheckpoint(eager=False)`` truncates the lineage each round so
+  the plan stays O(1) instead of O(rounds) (same pattern as
+  ``dedup_connected_components``, ops/dedup.py).
+* PageRank contributions ``rank/outdeg`` are IEEE-divided in double
+  (bit-identical across engines), then summed EXACTLY as
+  DECIMAL(25,15) per `_det`'s order-insensitivity rule, so the result
+  is bit-identical to the unrolled-CTE DuckDB oracle regardless of
+  partitioning.
+* BFS keeps only the frontier per round (anti-join against visited):
+  traffic is O(frontier edges), not O(all pairs); 4 rounds bound the
+  work like the reference bounds retries — explicit, not data-driven.
+
+Reference parity: the reference has no graph surface (SURVEY §2.2 —
+"Joins: No"); these extend the engine's beyond-reference inventory
+alongside triangle counting (analytics.py) and connected components
+(dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+_N_ITER = 3
+_MAX_HOPS = 4
+
+# Shared SQL fragments: the bidirected trade graph and its out-degrees.
+_SQL_GRAPH = """
+edges AS (
+    SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+bi AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT dst AS src, src AS dst FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM bi GROUP BY src)
+"""
+
+
+def _trade_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(bidirected edge DataFrame, out-degree DataFrame)."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = bi.groupBy("src").agg(F.count("*").alias("outdeg"))
+    return bi, deg
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank round (DuckDB CTE body)."""
+    return f"""
+{out} AS (
+    SELECT b.dst AS node,
+           CAST(0.15 AS DOUBLE)
+             + CAST(0.85 AS DOUBLE)
+               * CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(25,15)))
+                      AS DOUBLE) AS rank
+    FROM bi b
+    JOIN {prev} r ON b.src = r.node
+    JOIN deg d ON b.src = d.src
+    GROUP BY b.dst
+)"""
+
+
+_PAGERANK_SQL = (
+    "WITH "
+    + _SQL_GRAPH
+    + ", r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),"
+    + ",".join(_pagerank_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_N_ITER))
+    + f"""
+SELECT node, ROUND(rank, 12) AS rank
+FROM r{_N_ITER}
+"""
+)
+
+
+@register(
+    "graph_pagerank",
+    oracle=_PAGERANK_SQL,
+    doc=f"PageRank ({_N_ITER} synchronous rounds, damping 0.85) on the "
+    "bidirected customer↔supplier trade graph. Each round is one "
+    "shuffle-join of the edge table with the current rank vector plus "
+    "a hash aggregate on dst — the Pregel-as-join shape that scales "
+    "linearly in edges. Contributions divide in IEEE double and sum "
+    "as DECIMAL(25,15), so three rounds stay bit-identical to the "
+    "unrolled-CTE oracle. Lineage truncated per round via "
+    "localCheckpoint. Beyond-reference surface (SURVEY §2.2 has no "
+    "graph ops).",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bi, deg = _trade_graph(spark, sf_dir)
+    contrib_src = bi.join(deg, "src")
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    for _ in range(_N_ITER):
+        ranks = (
+            contrib_src.join(ranks, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(0.15)
+                    + F.lit(0.85)
+                    * F.sum(
+                        (F.col("rank") / F.col("outdeg")).cast("decimal(25,15)")
+                    ).cast("double")
+                ).alias("rank")
+            )
+            .select(F.col("dst").alias("node"), "rank")
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("rank", 12).alias("rank"))
+
+
+_BFS_SQL = (
+    "WITH RECURSIVE "
+    + _SQL_GRAPH
+    + f""",
+seeds AS (
+    SELECT DISTINCT c_custkey * 2 AS node FROM customer WHERE c_nationkey = 1
+),
+walk(node, hop) AS (
+    SELECT node, 0 FROM seeds
+    UNION
+    SELECT b.dst, w.hop + 1
+    FROM walk w JOIN bi b ON b.src = w.node
+    WHERE w.hop < {_MAX_HOPS}
+)
+SELECT node, CAST(MIN(hop) AS INTEGER) AS hops
+FROM walk
+GROUP BY node
+"""
+)
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=_BFS_SQL,
+    doc=f"Multi-source BFS: min-hop distance (≤{_MAX_HOPS}) from every "
+    "nation-1 customer over the trade graph. Frontier expansion is a "
+    "join + distinct + anti-join-against-visited per round, so each "
+    "round's shuffle is O(frontier edges) — the standard distributed "
+    "BFS; visited/frontier are localCheckpointed so lineage stays "
+    "O(1). Oracle is a recursive CTE with min-hop aggregation.",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bi, _ = _trade_graph(spark, sf_dir)
+    customer = load(spark, sf_dir, "customer")
+    seeds = (
+        customer.where(F.col("c_nationkey") == 1)
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .distinct()
+    )
+    visited = seeds.withColumn("hops", F.lit(0)).localCheckpoint(eager=False)
+    frontier = visited.select("node")
+    for k in range(1, _MAX_HOPS + 1):
+        nxt = (
+            frontier.join(bi, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(k))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited.select("node", F.col("hops").cast("int").alias("hops"))

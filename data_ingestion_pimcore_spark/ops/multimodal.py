@@ -41,6 +41,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as PW
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -592,4 +593,68 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, sr_in int, sr_out int, n_samples_in long, "
             "n_samples_out long, sum_abs long, peak int"
         ),
+    )
+
+
+# ------------------------------------------------------ perceptual dedup
+
+
+@register(
+    "mm_image_ahash",
+    oracle=f"""
+WITH dims AS (
+    SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+    FROM documents WHERE doc_id < 500
+),
+xs AS (SELECT UNNEST(range(0, {RESIZE_W})) AS x),
+ys AS (SELECT UNNEST(range(0, {RESIZE_H})) AS y),
+px AS (
+    SELECT doc_id, y, x,
+           (doc_id * 31 + ((x * w) // {RESIZE_W}) * 7
+            + ((y * h) // {RESIZE_H}) * 13) % 256 AS v
+    FROM dims, xs, ys
+),
+tots AS (SELECT doc_id, SUM(v) AS total FROM px GROUP BY doc_id),
+hashes AS (
+    SELECT p.doc_id,
+           string_agg(
+               CASE WHEN p.v * {RESIZE_W * RESIZE_H} >= t.total
+                    THEN '1' ELSE '0' END,
+               '' ORDER BY p.y, p.x) AS ahash
+    FROM px p JOIN tots t USING (doc_id)
+    GROUP BY p.doc_id
+)
+SELECT doc_id, ahash,
+       CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS cluster_n
+FROM hashes
+""",
+    doc=f"Perceptual near-dup detection for images: real BMP decode → "
+    f"{RESIZE_W}x{RESIZE_H} nearest-neighbor downsample → average-hash "
+    "(each cell compared to the downsampled mean, integer-exact via "
+    "v*64 >= total) → cluster sizes per hash. This is the standard "
+    "aHash image-dedup pipeline for multimodal training data: decode "
+    "and hash are embarrassingly parallel (mapInPandas, blobs never "
+    "shuffle), and the only exchange is a groupBy on the 64-bit hash — "
+    "the same single-hash-aggregate shape as dedup_exact, so it scales "
+    "to 100 TB of frames. Oracle recomputes the hash analytically from "
+    "the synthesis + NN-resize rules; a codec or resample bug breaks "
+    "the match.",
+)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_bmp(bytes(buf))
+                small = resize_nearest(px, RESIZE_W, RESIZE_H).astype(np.int64)
+                bits = (small * small.size >= small.sum()).astype(np.uint8)
+                out.append((int(doc_id), "".join("1" if b else "0" for b in bits.ravel())))
+            yield pd.DataFrame(out, columns=["doc_id", "ahash"])
+
+    hashes = attach_image_payload(d).mapInPandas(run, schema="doc_id long, ahash string")
+    w = PW.partitionBy("ahash")
+    return hashes.select(
+        "doc_id", "ahash", F.count("*").over(w).cast("bigint").alias("cluster_n")
     )

@@ -2221,3 +2221,43 @@ def window_repurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("long").alias("min_gap"),
         F.max("gap_days").cast("long").alias("max_gap"),
     )
+
+
+@register(
+    "scalar_url_funcs",
+    oracle="""
+SELECT c_custkey,
+       LOWER(c_mktsegment) || '.example.com' AS host,
+       '/cust/' || CAST(c_custkey AS VARCHAR) AS path,
+       CAST(c_nationkey AS VARCHAR) AS nat_param,
+       REPLACE(c_name, '#', '%23') AS name_encoded,
+       c_name AS name_roundtrip
+FROM customer
+""",
+    doc="URL scalar family (web-crawl curation surface): build a URL "
+    "JVM-side, then recover host/path/query-param with parse_url and "
+    "round-trip the percent-encoded name with url_encode/url_decode. "
+    "The oracle predicts every output analytically from the "
+    "construction rule, so a parse_url or codec deviation breaks the "
+    "hash match. Pure codegen expressions — no UDF, no shuffle.",
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower("c_mktsegment"),
+        F.lit(".example.com/cust/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?nat="),
+        F.col("c_nationkey").cast("string"),
+        F.lit("&name="),
+        F.url_encode("c_name"),
+    )
+    return c.select(
+        "c_custkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("nat")).alias("nat_param"),
+        F.url_encode("c_name").alias("name_encoded"),
+        F.url_decode(F.url_encode("c_name")).alias("name_roundtrip"),
+    )

@@ -550,3 +550,57 @@ def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ------------------------------------------------- unigram LM scoring
+
+
+@register(
+    "text_unigram_lm_score",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(CAST(cnt AS DOUBLE) / n AS DECIMAL(18,12)))
+            AS DOUBLE) / COUNT(*) AS mean_token_p,
+       CAST(COUNT(*) FILTER (WHERE cnt * 256 < n) AS DOUBLE)
+           / COUNT(*) AS rare_ratio
+FROM tok JOIN vocab USING (token) CROSS JOIN tot
+GROUP BY doc_id
+""",
+    doc="Unigram language-model quality score (the CCNet-style 'how "
+    "typical of the corpus is this document' filter): train the LM on "
+    "the corpus itself (token → corpus probability), then score each "
+    "document by mean token probability and rare-token ratio "
+    "(p < 1/256, integer-exact compare). Two hash aggregates + one "
+    "broadcast join of the O(vocab) model against the token stream — "
+    "the model table is millions of rows at 100 TB while the stream is "
+    "trillions, exactly the asymmetric join broadcast is for. "
+    "Per-token probabilities are single IEEE divisions; the per-doc "
+    "mean uses the exact-decimal sum rule, so the score is "
+    "bit-identical to the oracle.",
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n")
+    rare = F.when(F.col("cnt") * 256 < F.col("n"), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(p.cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_token_p"),
+            (F.sum(rare).cast("double") / F.count(F.lit(1))).alias("rare_ratio"),
+        )
+    )

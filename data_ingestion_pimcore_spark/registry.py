@@ -117,6 +117,7 @@ def _load_ops() -> None:
         curation,
         dedup,
         extensibility,
+        graph,
         ingestion_queries,
         layout,
         multimodal,
