@@ -648,3 +648,28 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
             "applicationSideScanSizeThreshold",
             "10GB",
         )
+
+
+def test_unigram_lm_broadcasts_vocab_model(spark):
+    # the O(vocab) model must broadcast against the token stream; the
+    # 1-row total joins as BroadcastNestedLoop (a degenerate broadcast,
+    # fine) — what must NOT appear is a shuffle join or cartesian.
+    plan = plan_of(spark, "text_unigram_lm_score")
+    tree = tree_of(spark, "text_unigram_lm_score")
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_graph_rounds_are_equijoins_no_cartesian(spark):
+    for name in ("graph_pagerank", "graph_bfs_hops"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_image_ahash_single_exchange_on_hash(spark):
+    # decode+hash are map-side (mapInPandas); the only exchange is the
+    # window partition on the 64-bit hash — same shape as dedup_exact.
+    tree = tree_of(spark, "mm_image_ahash")
+    assert tree.count("Exchange") == 1, tree
