@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
-from ._det import dsum, sql_dsum
+from ._det import DEC, dsum, sql_dsum
 
 
 @register(
@@ -515,3 +515,65 @@ def pipeline_cached_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = by_prio.crossJoin(total).localCheckpoint()
     enriched.unpersist()
     return out
+
+
+@register(
+    "sink_wap_publish",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       {sql_dsum('o_totalprice', 'sum_price')},
+       TRUE AS audit_passed
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+    doc="Write-Audit-Publish: stage the open-orders snapshot to an "
+    "unpublished directory, audit the STAGED bytes (read-back count + "
+    "exact-decimal sum vs the same aggregate on the source plan), and "
+    "only then publish with one atomic directory rename — readers never "
+    "see a partial or failed write, the invariant WAP exists for. The "
+    "audit re-reads what was actually written (catching codec/layout "
+    "corruption, not just plan bugs); a mismatch raises before publish "
+    "so the failure mode is 'nothing published', never 'bad data "
+    "published'. Per-partition audit totals come from one hash "
+    "aggregate each; rename cost is O(1) regardless of data size — the "
+    "same contract as the reference's ACK-before-commit (K2: no false "
+    "progress, SURVEY §2.1).",
+)
+def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="wap_")
+    stage = os.path.join(root, "_staging", "orders_open")
+    final = os.path.join(root, "published", "orders_open")
+    try:
+        src = (
+            load(spark, sf_dir, "orders")
+            .where(F.col("o_orderstatus") == "O")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        )
+        src.write.mode("errorifexists").parquet(stage)
+
+        audit_cols = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("s"),
+        ]
+        expect = src.agg(*audit_cols).collect()[0]
+        staged = spark.read.parquet(stage)
+        got = staged.agg(*audit_cols).collect()[0]
+        if (expect["n"], expect["s"]) != (got["n"], got["s"]):
+            raise RuntimeError(f"WAP audit failed: {expect} != {got}")
+
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.rename(stage, final)  # the atomic publish
+
+        return (
+            spark.read.parquet(final)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("o_totalprice", "sum_price"),
+                F.lit(True).alias("audit_passed"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -386,3 +386,68 @@ def reshape_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@register(
+    "profile_dq_rules",
+    oracle="""
+SELECT 'null_custkey' AS rule,
+       COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'nonpositive_totalprice',
+       COUNT(*) FILTER (WHERE o_totalprice <= 0)
+FROM orders
+UNION ALL
+SELECT 'bad_status_domain',
+       COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+FROM orders
+UNION ALL
+SELECT 'date_before_1995',
+       COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1995-01-01')
+FROM orders
+UNION ALL
+SELECT 'dup_orderkey', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'fk_orphan_customer', COUNT(*)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+""",
+    doc="Declarative data-quality gate (the audit step a WAP publish or "
+    "ingestion contract runs): null checks, range checks, domain "
+    "checks, duplicate-key and FK-orphan counts as one report of "
+    "(rule, n_violations). All scalar rules ride ONE scan of the fact "
+    "(conditional aggregates in a single wide aggregate row — adding a "
+    "rule is free); only the referential check needs a join, and it "
+    "broadcasts the dimension side's keys. The oracle recomputes every "
+    "rule independently, so a silently-miscounting rule fails the "
+    "hash match — the DQ gate is itself quality-gated.",
+)
+def profile_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def n(cond):
+        return F.count(F.when(cond, 1))
+
+    scalar = o.agg(
+        n(F.col("o_custkey").isNull()).alias("null_custkey"),
+        n(F.col("o_totalprice") <= 0).alias("nonpositive_totalprice"),
+        n(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status_domain"),
+        n(F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp")).alias(
+            "date_before_1995"
+        ),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dup_orderkey"),
+    )
+    # one row in, five out: unpivot the wide aggregate into the report
+    report = scalar.unpivot([], scalar.columns, "rule", "n_violations")
+    orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("fk_orphan_customer").alias("rule"), "n_violations")
+    )
+    return report.unionByName(orphans)
