@@ -91,6 +91,14 @@ HEADLINE = [
     "ts_retention_cohorts",
     "ts_anomaly_zscore",
     "stats_skew_kurtosis",
+    # round-3 fifth wave: iterative graph ops, perceptual image dedup,
+    # corpus-LM scoring, bitmap exact-distinct, data-quality gate
+    "graph_pagerank",
+    "graph_bfs_hops",
+    "mm_image_ahash",
+    "text_unigram_lm_score",
+    "agg_bitmap_distinct",
+    "profile_dq_rules",
 ]
 
 
