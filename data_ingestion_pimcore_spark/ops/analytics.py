@@ -508,3 +508,94 @@ def stats_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("kurtosis_excess"),
     )
+
+
+@register(
+    "ingest_scd2_pit_lookup",
+    oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         LAG(o_orderpriority) OVER w AS prev_p
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+changes AS (
+  SELECT o_custkey, o_orderpriority AS priority,
+         o_orderdate AS valid_from, o_orderkey
+  FROM ordered
+  WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+),
+versions AS (
+  SELECT o_custkey, priority, valid_from,
+         LEAD(valid_from) OVER w AS valid_to
+  FROM changes
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)
+),
+probes AS (
+  SELECT o_orderkey, o_custkey,
+         o_orderdate + INTERVAL 15 DAY AS probe_ts
+  FROM orders
+)
+SELECT p.o_orderkey, p.o_custkey, p.probe_ts, v.priority AS priority_at_probe
+FROM probes p JOIN versions v
+  ON v.o_custkey = p.o_custkey
+ AND v.valid_from <= p.probe_ts
+ AND (v.valid_to IS NULL OR p.probe_ts < v.valid_to)
+""",
+    doc="Point-in-time (as-of) lookup against SCD2 history — the "
+    "feature-store primitive that prevents training-time leakage: each "
+    "probe (order date + 15 days) must see exactly the dimension "
+    "version valid at that instant. Implemented as the union-sort-"
+    "window PIT join: versions (typ 0) and probes (typ 1) union into "
+    "one stream, ONE window partitioned by the key and ordered by "
+    "(ts, typ, version key) carries the last-seen version attribute "
+    "forward onto every probe — one shuffle, one partition-local sort, "
+    "no interval join blowup, at any history/probe volume. The oracle "
+    "is the declarative interval join (valid_from <= t < valid_to); "
+    "equality proves the window formulation implements interval "
+    "semantics, including same-instant version supersession (empty "
+    "[t,t) intervals lose to the later version key).",
+)
+def ingest_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    wchg = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select(
+            "o_custkey",
+            "o_orderpriority",
+            "o_orderdate",
+            "o_orderkey",
+            F.lag("o_orderpriority").over(wchg).alias("prev_p"),
+        )
+        .where(F.col("prev_p").isNull() | (F.col("prev_p") != F.col("o_orderpriority")))
+    )
+    versions = changes.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("typ"),
+        F.col("o_orderkey").alias("tiebreak"),
+        F.col("o_orderpriority").alias("v_priority"),
+        F.lit(None).cast("long").alias("p_orderkey"),
+    )
+    probes = o.select(
+        "o_custkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 15 DAYS")).alias("ts"),
+        F.lit(1).alias("typ"),
+        F.col("o_orderkey").alias("tiebreak"),
+        F.lit(None).cast("string").alias("v_priority"),
+        F.col("o_orderkey").alias("p_orderkey"),
+    )
+    wpit = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts", "typ", "tiebreak")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = versions.unionByName(probes).withColumn(
+        "priority_at_probe", F.last("v_priority", ignorenulls=True).over(wpit)
+    )
+    return merged.where(F.col("typ") == 1).select(
+        F.col("p_orderkey").alias("o_orderkey"),
+        "o_custkey",
+        F.col("ts").alias("probe_ts"),
+        "priority_at_probe",
+    )

@@ -525,3 +525,66 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+N_MAXSIM_QTOKENS = 64  # vec_id < 64 form the multi-vector query
+
+
+@register(
+    "sim_maxsim_late_interaction",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_MAXSIM_QTOKENS}
+), scored AS (
+  SELECT e.label, q.qid,
+         ROUND(list_cosine_similarity(q.qv, e.v), 9) AS c
+  FROM q, e
+), per_q AS (
+  SELECT label, qid, MAX(c) AS mx FROM scored GROUP BY label, qid
+)
+SELECT label,
+       COUNT(*) AS n_query_tokens,
+       CAST(SUM(CAST(mx AS DECIMAL(18,9))) AS DOUBLE) AS maxsim
+FROM per_q
+GROUP BY label
+""",
+    doc="Late-interaction (ColBERT-style MaxSim) retrieval scoring: "
+    "treat each label's vectors as one multi-vector document and the "
+    f"first {N_MAXSIM_QTOKENS} vectors as one multi-vector query; "
+    "score(doc) = Σ_qtoken max_docvec cosine. The query token matrix "
+    "broadcasts (it is small by construction — a query is tens of "
+    "tokens); corpus token vectors stream map-side through the "
+    "codegen'd cosine, and MAX is partially aggregated before the "
+    "only exchange, which carries O(docs × q_tokens) rows — never the "
+    "corpus. The same skeleton as sim_knn_bruteforce, lifted from "
+    "single- to multi-vector; per-token maxima round to 9 decimals "
+    "then sum exactly in DECIMAL so the score is bit-identical to the "
+    "oracle.",
+)
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    docs = e.select(
+        "label",
+        F.col("embedding").alias("dv"),
+        nsq_col(F.col("embedding")).alias("dn"),
+    )
+    q = e.where(F.col("vec_id") < N_MAXSIM_QTOKENS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        nsq_col(F.col("embedding")).alias("qn"),
+    )
+    cos = F.round(
+        cosine_col(F.col("qv"), F.col("dv"), F.col("qn"), F.col("dn")), 9
+    )
+    return (
+        docs.join(F.broadcast(q))
+        .groupBy("label", "qid")
+        .agg(F.max(cos).alias("mx"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_query_tokens"),
+            F.sum(F.col("mx").cast("decimal(18,9)")).cast("double").alias("maxsim"),
+        )
+    )

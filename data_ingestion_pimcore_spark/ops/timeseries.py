@@ -1229,3 +1229,154 @@ def ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bounce_rate"
         ),
     )
+
+
+@register(
+    "ts_stream_foreachbatch_upsert",
+    oracle="""
+SELECT user_id,
+       arg_max(event_type,
+               CAST(epoch(ts) AS BIGINT) * 1000000000 + event_id)
+         AS last_event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+    doc="GENUINE streaming foreachBatch upsert sink — the exactly-once "
+    "materialized-view pattern: the event stream (4 files, "
+    "maxFilesPerTrigger=1 → 4 real micro-batches) MERGEs each batch's "
+    "per-user delta (selector-aggregate latest + additive count) into "
+    "a keyed store, guarded by batchId so a replayed batch is a no-op "
+    "— at-least-once delivery + idempotent merge = exactly-once state, "
+    "the same contract as the reference's CV1 duplicate-chunk ACK "
+    "(SURVEY §2.1). The replay is exercised: batch 0 is re-delivered "
+    "after the drain and must not change the result (the oracle match "
+    "proves it). Per-batch deltas are O(users-in-batch) aggregates — "
+    "at 100 TB the dict becomes a MERGE INTO a keyed table; merge "
+    "operands are commutative (max-by total-order key, additive "
+    "counts) so file-arrival order cannot change the result.",
+)
+def ts_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..tables import load as _load
+
+    root = tempfile.mkdtemp(prefix="fb_upsert_")
+    src = os.path.join(root, "events")
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="ckpt_fb_upsert_", dir=ckpt_root)
+    try:
+        ev = _load(spark, sf_dir, "events").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type",
+        )
+        ev.repartitionByRange(4, "event_id").write.parquet(src)
+
+        okey = (
+            F.unix_timestamp("ts") * F.lit(1_000_000_000) + F.col("event_id")
+        )
+        state: dict[int, list] = {}  # user_id -> [okey, last_type, n]
+        applied: set[int] = set()
+
+        def upsert(batch_df, batch_id: int) -> None:
+            if batch_id in applied:  # idempotent replay guard (CV1)
+                return
+            delta = (
+                batch_df.groupBy("user_id")
+                .agg(
+                    F.max(okey).alias("k"),
+                    F.max_by("event_type", okey).alias("t"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            for r in delta:
+                cur = state.get(r["user_id"])
+                if cur is None:
+                    state[r["user_id"]] = [r["k"], r["t"], r["n"]]
+                else:
+                    if r["k"] > cur[0]:
+                        cur[0], cur[1] = r["k"], r["t"]
+                    cur[2] += r["n"]
+            applied.add(batch_id)
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # re-deliver the first batch: the guard must make it a no-op
+        # (the oracle comparison would catch any double-count).
+        first = spark.read.parquet(
+            sorted(p for p in os.listdir(src) if p.endswith(".parquet"))
+            and os.path.join(
+                src,
+                sorted(p for p in os.listdir(src) if p.endswith(".parquet"))[0],
+            )
+        )
+        upsert(first, 0)
+
+        rows = [
+            (uid, t, n) for uid, (_, t, n) in sorted(state.items())
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, last_event_type string, n_events bigint"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "ts_sliding_distinct_users",
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+    FROM events
+),
+spine AS (SELECT DISTINCT d FROM du)
+SELECT strftime(s.d, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT u.user_id) AS users_7d
+FROM spine s JOIN du u ON u.d BETWEEN s.d - 6 AND s.d
+GROUP BY s.d
+""",
+    doc="Trailing-7-day distinct users per day — the rolling-uniques "
+    "metric COUNT(DISTINCT) OVER (RANGE ...) cannot express (no engine "
+    "supports distinct aggregates over sliding frames). The scalable "
+    "shape: collapse events to distinct (user, day) FIRST (O(users x "
+    "days), typically 1000x smaller than events), explode each such "
+    "row to the ≤7 window-days it serves, and run one two-phase "
+    "distinct aggregate — shuffle is 7x the collapsed table, never 7x "
+    "the raw events. The oracle computes the same windows via a "
+    "spine range-join.",
+)
+def ts_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("d")
+    ).distinct()
+    spine = du.select("d").distinct()
+    exploded = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("wday"),
+    )
+    return (
+        exploded.join(
+            F.broadcast(spine), exploded["wday"] == spine["d"], "left_semi"
+        )
+        .groupBy("wday")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(F.date_format("wday", "yyyy-MM-dd").alias("day"), "users_7d")
+    )
