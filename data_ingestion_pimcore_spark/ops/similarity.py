@@ -588,3 +588,123 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("mx").cast("decimal(18,9)")).cast("double").alias("maxsim"),
         )
     )
+
+
+# ---------------------------------------------- cosine-LSH embedding dedup
+
+LSH_BITS = 32
+LSH_BANDS = 4  # 8 bits per band
+_LSH_DIM = 64
+
+
+def _hyperplane_sign_sql(d: str, b: str) -> str:
+    """Deterministic ±1 hyperplane weight, identical in both engines."""
+    return f"CASE WHEN ({d} * 1103515245 + {b} * 12345) % 97 < 48 THEN 1 ELSE -1 END"
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bs AS (SELECT UNNEST(range(0, {LSH_BITS})) AS b),
+ds AS (SELECT UNNEST(range(0, {_LSH_DIM})) AS d),
+bits AS (
+  SELECT vec_id, b,
+         CASE WHEN SUM(CAST(v[d + 1] AS DECIMAL(18,9))
+                       * {_hyperplane_sign_sql('d', 'b')}) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM e, bs, ds
+  GROUP BY vec_id, b
+),
+codes AS (
+  SELECT vec_id, b // 8 AS band,
+         CAST(SUM(bit << (b % 8)) AS BIGINT) AS code
+  FROM bits GROUP BY vec_id, b // 8
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM codes a JOIN codes c
+    ON a.band = c.band AND a.code = c.code AND a.vec_id < c.vec_id
+)
+SELECT p.vec_a, p.vec_b,
+       ROUND(list_cosine_similarity(x.v, y.v), 9) AS cosine
+FROM cand p
+JOIN e x ON x.vec_id = p.vec_a
+JOIN e y ON y.vec_id = p.vec_b
+WHERE ROUND(list_cosine_similarity(x.v, y.v), 9) >= {PAIR_THRESHOLD}
+""",
+    doc="Embedding near-dup via random-hyperplane (cosine) LSH — the "
+    "vector-space twin of MinHash banding: 32 sign bits from "
+    "deterministic ±1 hyperplanes, packed into 4 bands of 8 bits; "
+    "vectors agreeing on any band become candidates via an equi-join "
+    "on (band, code); candidates verify against the exact cosine. "
+    "Signature computation is ONE map-side pass (codegen'd decimal "
+    "dot products, no shuffle); the candidate join touches O(collisions), "
+    "never O(n²) — the sub-quadratic shape that survives 100 TB where "
+    "dedup_embedding_cosine's exact formulation is the bounded-subset "
+    "baseline. Hyperplanes use an integer LCG rule both engines "
+    "compute identically, and bit sums are exact DECIMAL, so the "
+    "signatures — and therefore the candidate set — are bit-identical "
+    "to the oracle.",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def bit_col(b: int) -> Column:
+        s = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.lit(_LSH_DIM - 1)),
+                lambda x, d: x.cast("double").cast("decimal(18,9)")
+                * F.when(
+                    (d.cast("bigint") * 1103515245 + F.lit(b * 12345)) % 97 < 48, 1
+                ).otherwise(-1),
+            ),
+            F.lit(0).cast("decimal(28,9)"),
+            # re-cast: decimal addition widens the result type and the
+            # accumulator type must stay fixed (|sum| ≤ 64, loss-free)
+            lambda acc, y: (acc + y).cast("decimal(28,9)"),
+        )
+        return F.when(s >= 0, 1).otherwise(0)
+
+    band_codes = [
+        sum(
+            (bit_col(band * 8 + i) * F.lit(1 << i) for i in range(1, 8)),
+            bit_col(band * 8),
+        ).cast("bigint")
+        for band in range(LSH_BANDS)
+    ]
+    codes = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(band).alias("band"), c.alias("code"))
+                    for band, c in enumerate(band_codes)
+                ]
+            )
+        ).alias("bc"),
+    ).select("vec_id", "bc.band", "bc.code")
+
+    a, c = codes.alias("a"), codes.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.code") == F.col("c.code"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ex = e.select(F.col("vec_id").alias("x_id"), F.col("embedding").alias("xv"))
+    ey = e.select(F.col("vec_id").alias("y_id"), F.col("embedding").alias("yv"))
+    cos = F.round(cosine_col(F.col("xv"), F.col("yv")), 9)
+    return (
+        cand.join(ex, F.col("vec_a") == F.col("x_id"))
+        .join(ey, F.col("vec_b") == F.col("y_id"))
+        .where(cos >= PAIR_THRESHOLD)
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+    )
