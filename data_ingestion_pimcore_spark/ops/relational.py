@@ -2318,3 +2318,49 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers_even"
         ),
     )
+
+
+@register(
+    "join_dpp_pruned",
+    oracle=f"""
+WITH dim AS (
+    SELECT DISTINCT o_orderpriority AS pr FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+)
+SELECT o_orderpriority, COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_price')}
+FROM orders JOIN dim ON o_orderpriority = pr
+GROUP BY o_orderpriority
+""",
+    doc="Dynamic partition pruning: the fact table is laid out "
+    "partitioned by o_orderpriority; the join's dim side (a filtered "
+    "derived table, unknowable at plan time) broadcasts, and Spark "
+    "injects its key set into the fact scan's PartitionFilters at "
+    "RUNTIME — pruned partitions are never read. At 100 TB this is "
+    "the date-dim ⋈ fact pattern: a predicate on the dim alone skips "
+    "whole fact partitions without the user restating it on the fact. "
+    "The plan test asserts `dynamicpruning` reaches the scan; the "
+    "oracle computes the same join declaratively.",
+)
+def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "orders_part")
+    o = load(spark, sf_dir, "orders")
+    try:
+        o.write.partitionBy("o_orderpriority").parquet(out)
+        fact = spark.read.parquet(out)
+        dim = (
+            o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .select(F.col("o_orderpriority").alias("pr"))
+            .distinct()
+        )
+        return (
+            fact.join(F.broadcast(dim), F.col("o_orderpriority") == F.col("pr"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)

@@ -673,3 +673,30 @@ def test_image_ahash_single_exchange_on_hash(spark):
     # window partition on the 64-bit hash — same shape as dedup_exact.
     tree = tree_of(spark, "mm_image_ahash")
     assert tree.count("Exchange") == 1, tree
+
+
+def test_dpp_injects_runtime_partition_filter(spark, tmp_path):
+    # join_dpp_pruned returns a localCheckpoint (its temp layout is
+    # deleted on return), so pin the plan on the same construction.
+    from data_ingestion_pimcore_spark.tables import load
+
+    out = str(tmp_path / "orders_part")
+    o = load(spark, SF, "orders")
+    o.write.partitionBy("o_orderpriority").parquet(out)
+    dim = (
+        o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(F.col("o_orderpriority").alias("pr"))
+        .distinct()
+    )
+    res = (
+        spark.read.parquet(out)
+        .join(F.broadcast(dim), F.col("o_orderpriority") == F.col("pr"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the dim's runtime key set must reach the fact scan's partition
+    # filters — whole partitions are pruned before being read
+    assert "dynamicpruningexpression" in plan, plan
