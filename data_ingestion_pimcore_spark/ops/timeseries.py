@@ -1380,3 +1380,104 @@ def ts_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("users_7d"))
         .select(F.date_format("wday", "yyyy-MM-dd").alias("day"), "users_7d")
     )
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas speaks protobuf to the JVM state
+    server; the module is not shipped in this container. Gate the
+    query (import-try, like the ffmpeg-gated codecs) instead of
+    registering one that can only crash the Python runner."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _register_if(cond: bool, *args, **kwargs):
+    if cond:
+        return register(*args, **kwargs)
+    return lambda fn: fn
+
+
+@_register_if(
+    _has_protobuf(),
+    "ts_stream_tws_running_counts",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events_total,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+""",
+    doc="Arbitrary stateful streaming via the Spark 4 "
+    "transformWithStateInPandas API (StatefulProcessor + typed "
+    "ValueState on the RocksDB state store) — the successor to "
+    "applyInPandasWithState that ts_stream_stateful_counts uses: "
+    "per-key running count and max-event-id survive across "
+    "micro-batches and restarts through the checkpoint. Both state "
+    "updates are commutative/monotone, so batch order cannot change "
+    "the final answer, which must equal the batch aggregate (the "
+    "oracle). State is O(distinct keys); RocksDB keeps it off-heap "
+    "and spillable — the store you'd run at 100 TB key cardinality.",
+)
+def ts_stream_tws_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState("totals", "total long, max_id long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, max_id = 0, -1
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    max_id = max(max_id, int(pdf["event_id"].max()))
+            prev = self.totals.get()
+            total = (prev[0] if prev else 0) + n
+            max_id = max(max_id, prev[1] if prev else -1)
+            self.totals.update((total, max_id))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events_total": [total],
+                    "max_event_id": [max_id],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = _events_stream(spark, sf_dir).select("event_type", "event_id")
+    counts = stream.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=RunningCounts(),
+        outputStructType="event_type string, n_events_total long, max_event_id long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, rocks)
+    try:
+        name = _drain(spark, counts, "stream_tws", "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    # updates are monotone per key: the final state is the row-wise max
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.max("n_events_total").alias("n_events_total"),
+            F.max("max_event_id").alias("max_event_id"),
+        )
+    )

@@ -293,3 +293,35 @@ def test_events_stream_both_ts_generations(spark, tmp_path, unit):
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(got) == 9  # 3 hours x 3 event types, one event per cell
     assert {r["n_events"] for r in got} == {1}
+
+
+def test_tws_query_gated_on_protobuf(spark):
+    """transformWithStateInPandas needs google.protobuf (absent in this
+    container): the query must register exactly when the dependency
+    imports, and run oracle-equal to the batch aggregate when it does."""
+    from data_ingestion_pimcore_spark import registry
+    from data_ingestion_pimcore_spark.ops.timeseries import _has_protobuf
+
+    registered = "ts_stream_tws_running_counts" in registry.all_queries()
+    assert registered == _has_protobuf()
+    if not registered:
+        import pytest
+
+        pytest.skip("google.protobuf not installed — gate verified")
+    q = registry.all_queries()["ts_stream_tws_running_counts"]
+    got = {
+        r["event_type"]: (r["n_events_total"], r["max_event_id"])
+        for r in q.fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    import pyspark.sql.functions as F
+
+    from data_ingestion_pimcore_spark.tables import load
+
+    exp = {
+        r["event_type"]: (r["n"], r["m"])
+        for r in load(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("event_id").alias("m"))
+        .collect()
+    }
+    assert got == exp
