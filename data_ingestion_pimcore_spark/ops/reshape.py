@@ -19,7 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -451,3 +451,57 @@ def profile_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("fk_orphan_customer").alias("rule"), "n_violations")
     )
     return report.unionByName(orphans)
+
+
+@register(
+    "reshape_balance_oversample",
+    oracle="""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MAX(n) AS m FROM c),
+d AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM documents
+),
+x AS (
+    SELECT d.doc_id, d.lang,
+           (m.m // c.n) + CASE WHEN d.rn <= m.m % c.n THEN 1 ELSE 0 END
+               AS copies
+    FROM d JOIN c USING (lang) CROSS JOIN m
+)
+SELECT doc_id, lang, CAST(UNNEST(range(0, copies)) AS BIGINT) AS copy_idx
+FROM x
+""",
+    doc="Deterministic class rebalancing by oversampling: every language "
+    "is replicated up to EXACTLY the majority class's count — each doc "
+    "gets floor(max/n) copies and the first max%n docs (by doc_id rank) "
+    "one more, so per-class totals are equal by construction, "
+    "reproducibly (no RNG — re-running the pipeline yields the same "
+    "epoch mix, the property samplers with seeds only approximate). "
+    "Plan: one tiny per-class count (broadcast back), one window rank, "
+    "one generator explode — the multiplier table is O(classes) and "
+    "rows are emitted map-side, so cost is O(output), never a shuffle "
+    "of replicated data.",
+)
+def reshape_balance_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.max("n").alias("m"))
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
+    copies = (
+        F.floor(F.col("m") / F.col("n"))
+        + F.when(F.col("rn") <= F.col("m") % F.col("n"), 1).otherwise(0)
+    ).alias("copies")
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", rn)
+        .join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(m))
+        .select("doc_id", "lang", copies)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.col("copies") - 1)).alias("copy_idx"),
+        )
+        .withColumn("copy_idx", F.col("copy_idx").cast("bigint"))
+    )
