@@ -2364,3 +2364,80 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+_SUBQ_MIXED_SQL = """
+SELECT n_name,
+       (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey)
+           AS n_customers,
+       (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey)
+           AS n_suppliers
+FROM nation
+WHERE n_nationkey IN (SELECT c_nationkey FROM customer
+                      WHERE c_acctbal > 9000)
+  AND EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_nationkey = n_nationkey AND s_acctbal < -900)
+"""
+
+
+@register(
+    "subquery_mixed_forms",
+    oracle=_SUBQ_MIXED_SQL,
+    doc="The full subquery surface in one statement: two correlated "
+    "scalar subqueries, an IN predicate, EXISTS, and NOT EXISTS. "
+    "Catalyst decorrelates every form into joins — scalar counts "
+    "become grouped aggregates joined back, IN/EXISTS become "
+    "left-semi, NOT EXISTS becomes left-anti — so nothing re-executes "
+    "per outer row (the naive evaluation would be five passes over "
+    "the inner tables PER nation). The identical ANSI text runs "
+    "verbatim as the DuckDB oracle.",
+)
+def subquery_mixed_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("nation", "customer", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SUBQ_MIXED_SQL)
+
+
+@register(
+    "sql_api_registered_udf",
+    oracle="""
+SELECT c_custkey,
+       ((CAST(floor(c_acctbal) AS BIGINT) % 97) + 97) % 97 AS bal_bucket,
+       UPPER(c_mktsegment) || ':' || CAST(c_nationkey AS VARCHAR) AS seg_tag
+FROM customer
+""",
+    doc="User extension through the SQL entry path: an Arrow-batched "
+    "pandas UDF registered with spark.udf.register and called from "
+    "SQL text beside built-ins — the surface that lets SQL-only "
+    "users consume Python extensions. The UDF computes the same "
+    "integer bucket the oracle derives arithmetically, so "
+    "registration, Arrow transfer, and null handling are all "
+    "hash-checked. Arrow batching keeps the Python boundary "
+    "vectorized (~10-100x over row-at-a-time UDFs in the hot path).",
+)
+def sql_api_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _bal_bucket(bal):
+        return bal.apply(lambda v: int(math.floor(v)) % 97)
+
+    # explicit annotations (local import means string hints would not
+    # resolve from module globals during pandas_udf inference)
+    _bal_bucket.__annotations__ = {"bal": pd.Series, "return": pd.Series}
+    bal_bucket = pandas_udf(_bal_bucket, "long")
+
+    spark.udf.register("bal_bucket", bal_bucket)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               bal_bucket(c_acctbal) AS bal_bucket,
+               UPPER(c_mktsegment) || ':' || CAST(c_nationkey AS STRING)
+                   AS seg_tag
+        FROM customer
+        """
+    )
