@@ -658,3 +658,75 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashes.select(
         "doc_id", "ahash", F.count("*").over(w).cast("bigint").alias("cluster_n")
     )
+
+
+# ------------------------------------------------- cross-modal scoring
+
+CLIP_DIM = 64
+CLIP_KEEP_THRESHOLD = 0.0
+
+
+@register(
+    "mm_clip_score_filter",
+    oracle=f"""
+WITH dims AS (
+    SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+    FROM documents WHERE doc_id < 500
+),
+idx AS (SELECT UNNEST(range(0, {CLIP_DIM})) AS i),
+pvec AS (
+    SELECT doc_id,
+           list(CASE WHEN i < w * h
+                     THEN CAST((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256
+                          AS DOUBLE)
+                     ELSE 0.0 END ORDER BY i) AS pv
+    FROM dims, idx
+    GROUP BY doc_id
+)
+SELECT p.doc_id,
+       ROUND(list_cosine_similarity(p.pv, e.embedding::DOUBLE[]), 9)
+           AS clip_score,
+       ROUND(list_cosine_similarity(p.pv, e.embedding::DOUBLE[]), 9)
+           >= {CLIP_KEEP_THRESHOLD} AS keep
+FROM pvec p JOIN embeddings e ON e.vec_id = p.doc_id
+""",
+    doc="Cross-modal alignment scoring (the CLIP-score filter of "
+    "LAION-style multimodal curation): each image's pixel vector "
+    "(REAL BMP decode, row-major first 64 values, zero-padded) is "
+    "cosine-scored against the document's text embedding and "
+    "thresholded into a keep flag. Decode runs in mapInPandas (blobs "
+    "never shuffle; output is a 64-float vector per doc), the cosine "
+    "is the JVM codegen'd left-to-right double fold shared with the "
+    "similarity ops, and the only exchange is the doc_id ⋈ vec_id "
+    "equi-join. The oracle rebuilds the pixel vector analytically "
+    "from the synthesis rule — a codec, ordering, or padding bug "
+    "breaks the hash match.",
+)
+def mm_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import cosine_col
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_bmp(bytes(buf)).astype(np.float64).ravel()  # row-major
+                v = np.zeros(CLIP_DIM)
+                v[: min(CLIP_DIM, px.size)] = px[:CLIP_DIM]
+                out.append((int(doc_id), v.tolist()))
+            yield pd.DataFrame(out, columns=["doc_id", "pv"])
+
+    pvec = attach_image_payload(d).mapInPandas(
+        run, schema="doc_id long, pv array<double>"
+    )
+    e = load(spark, sf_dir, "embeddings")
+    score = F.round(cosine_col(F.col("pv"), F.col("embedding")), 9)
+    return (
+        pvec.join(e, F.col("vec_id") == F.col("doc_id"))
+        .select(
+            "doc_id",
+            score.alias("clip_score"),
+            (score >= CLIP_KEEP_THRESHOLD).alias("keep"),
+        )
+    )
