@@ -313,10 +313,14 @@ def assign_chunks_by_bytes(
     stats_out: dict | None = None,
     rn_col: str | None = None,
     size_expr: Column | None = None,
+    max_records: int | None = None,
 ) -> DataFrame:
     """Greedy byte-budget chunking (reference byte-mode C1, strict
     pre-append check): a chunk is flushed *before* a record that would
-    push it past ``byte_budget``.
+    push it past ``byte_budget``. ``max_records`` optionally caps the
+    chunk's record count as well (adaptive mode: flush on whichever
+    limit trips first — a beyond-reference extension; the reference
+    validates the two sizings as mutually exclusive).
 
     ``size_expr`` names a custom per-record size expression computed
     LATE (post-exchange, at shuffle parallelism) under the name
@@ -354,6 +358,7 @@ def assign_chunks_by_bytes(
         epoch_rows,
         stats_out,
         size_expr,
+        max_records,
     )
     epoch = F.floor((F.col(_RN) - 1) / F.lit(int(epoch_rows))).cast("long")
     starts_df = (
@@ -383,6 +388,7 @@ def _byte_chunk_bounds(
     epoch_rows: int,
     stats_out: dict | None,
     size_expr: Column | None,
+    max_records: int | None = None,
 ):
     """Shared pass 1 of byte-budget chunking: global row numbers, then
     the per-epoch greedy chase over the slim (epoch, rn, bytes)
@@ -435,6 +441,8 @@ def _byte_chunk_bounds(
             j = int(np.searchsorted(csum, prev + budget, side="right"))
             if j <= i:
                 j = i + 1
+            if max_records is not None:  # adaptive: count cap too
+                j = min(j, i + max_records)
             starts.append(i)
             i = j
         rns = pdf[_RN].to_numpy(dtype="int64")
@@ -484,6 +492,7 @@ def byte_chunk_stats(
     epoch_rows: int = DEFAULT_EPOCH_ROWS,
     stats_out: dict | None = None,
     size_expr: Column | None = None,
+    max_records: int | None = None,
 ) -> DataFrame:
     """Per-chunk statistics of byte-budget chunking — (chunk_number,
     n_records, chunk_bytes, max_record_bytes) — in ONE pass over the
@@ -503,6 +512,7 @@ def byte_chunk_stats(
         epoch_rows,
         stats_out,
         size_expr,
+        max_records,
     )
     w = Window.partitionBy(_PID).orderBy("__start_rn")
     return (

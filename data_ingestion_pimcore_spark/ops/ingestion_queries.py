@@ -282,7 +282,11 @@ _EPOCH_ROWS = 8192
 
 
 def _sql_greedy_chunks(
-    source_sql: str, budget: int, epoch_rows: int, select: str
+    source_sql: str,
+    budget: int,
+    epoch_rows: int,
+    select: str,
+    max_records: int | None = None,
 ) -> str:
     """DuckDB mirror of the epoch'd greedy byte chunker.
 
@@ -294,6 +298,12 @@ def _sql_greedy_chunks(
     recursive CTE walks one CHUNK per step — #chunks iterations, not
     #rows.
     """
+    byte_end = "GREATEST(COALESCE(b.rn, a.rn), a.rn)"
+    next_end = (
+        byte_end
+        if max_records is None
+        else f"LEAST({byte_end}, a.rn + {max_records} - 1)"
+    )
     return f"""
 WITH RECURSIVE
 li AS ({source_sql}),
@@ -309,7 +319,7 @@ ep AS (SELECT epoch, MIN(rn) AS first_rn, MAX(rn) AS last_rn
        FROM p GROUP BY epoch),
 nexts AS (
   SELECT a.rn, a.epoch, e.last_rn,
-         GREATEST(COALESCE(b.rn, a.rn), a.rn) + 1 AS next_start
+         {next_end} + 1 AS next_start
   FROM p a
   JOIN ep e ON e.epoch = a.epoch
   ASOF LEFT JOIN p b
@@ -1134,4 +1144,54 @@ def ingest_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         uuid.alias("surrogate_uuid"),
         F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("surrogate_int"),
+    )
+
+
+_ADAPTIVE_MAX_RECORDS = 40
+
+
+@register(
+    "ingest_chunk_adaptive",
+    oracle=_sql_greedy_chunks(
+        f"""
+  SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn,
+         CAST(STRLEN({_CANON_SQL}) AS BIGINT) AS record_bytes
+  FROM lineitem
+""",
+        _BYTE_BUDGET,
+        _EPOCH_ROWS,
+        f"""
+SELECT chunk_number,
+       COUNT(*) AS n_records,
+       CAST(SUM(record_bytes) AS BIGINT) AS chunk_bytes,
+       COUNT(*) <= {_ADAPTIVE_MAX_RECORDS} AS count_ok
+FROM assigned GROUP BY chunk_number
+""",
+        max_records=_ADAPTIVE_MAX_RECORDS,
+    ),
+    doc="Adaptive chunker (beyond-reference C1 extension): flush on "
+    f"whichever limit trips first — {_BYTE_BUDGET}-byte budget OR "
+    f"{_ADAPTIVE_MAX_RECORDS} records. The reference validates the two "
+    "sizings as mutually exclusive (request_model.py:54-66); real "
+    "consumers usually want both bounds at once (payload caps AND "
+    "row-count caps). Same epoch'd greedy machinery — the record cap "
+    "is one extra clamp in the per-epoch chase, and the oracle's "
+    "pointer chain clamps identically — so membership stays a pure "
+    "function of data+order and both engines replay it bit-for-bit.",
+)
+def ingest_chunk_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        byte_chunk_stats(
+            li,
+            _LI_ORDER,
+            byte_budget=_BYTE_BUDGET,
+            size_col="record_bytes",
+            size_expr=F.octet_length(canonical_string_col(li)).cast("long"),
+            epoch_rows=_EPOCH_ROWS,
+            max_records=_ADAPTIVE_MAX_RECORDS,
+        )
+        .withColumn("count_ok", F.col("n_records") <= _ADAPTIVE_MAX_RECORDS)
+        .select("chunk_number", "n_records", "chunk_bytes", "count_ok")
+        .orderBy("chunk_number")
     )

@@ -193,3 +193,37 @@ def test_byte_chunks_invariant_to_partitioning(spark):
             ref = got
         else:
             assert got == ref, f"partitioning {parts} changed chunk ids"
+
+
+def test_adaptive_chunker_respects_both_limits(spark):
+    budget = 16 * 1024
+    cap = 25
+    li = load(spark, SF, "lineitem")
+    chunked = assign_chunks_by_bytes(
+        li, ORDER, budget, num_partitions=5, max_records=cap
+    )
+    stats = (
+        chunked.groupBy("chunk_number")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("record_bytes").alias("bytes"))
+        .collect()
+    )
+    ids = sorted(r["chunk_number"] for r in stats)
+    assert ids == list(range(len(ids)))
+    for r in stats:
+        assert 0 < r["n"] <= cap  # count cap strict
+        assert r["bytes"] <= budget or r["n"] == 1  # byte budget strict
+
+    # with a never-binding cap, membership must equal plain byte mode
+    plain = assign_chunks_by_bytes(li, ORDER, budget, num_partitions=5)
+    wide = assign_chunks_by_bytes(
+        li, ORDER, budget, num_partitions=5, max_records=10**9
+    )
+    a = {
+        (r["l_orderkey"], r["l_linenumber"]): r["chunk_number"]
+        for r in plain.select("l_orderkey", "l_linenumber", "chunk_number").collect()
+    }
+    b = {
+        (r["l_orderkey"], r["l_linenumber"]): r["chunk_number"]
+        for r in wide.select("l_orderkey", "l_linenumber", "chunk_number").collect()
+    }
+    assert a == b
