@@ -2441,3 +2441,34 @@ def sql_api_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
         """
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       string_agg(DISTINCT CAST(n_nationkey % 5 AS VARCHAR), '|'
+                  ORDER BY CAST(n_nationkey % 5 AS VARCHAR)) AS key_mods
+FROM nation
+GROUP BY n_regionkey
+""",
+    doc="Ordered string aggregation (LISTAGG ... WITHIN GROUP): "
+    "per-region nation roster plus a DISTINCT ordered variant — the "
+    "reporting concatenation every warehouse dialect grew. The "
+    "WITHIN-GROUP sort is per group inside the aggregate (no global "
+    "sort), and because the output is order-DEFINED it is "
+    "hash-stable across partitionings — unlike a bare collect_list, "
+    "whose order is execution-dependent and would flake the oracle.",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+            "nations"
+        ),
+        F.expr(
+            "listagg(DISTINCT CAST(n_nationkey % 5 AS STRING), '|') "
+            "WITHIN GROUP (ORDER BY CAST(n_nationkey % 5 AS STRING))"
+        ).alias("key_mods"),
+    )
