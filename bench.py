@@ -297,25 +297,38 @@ def main() -> None:
             if _pass:
                 print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
-    total = round(
-        sum(
-            v
-            for k, v in timings.items()
-            if k
-            not in (
-                "ingest_records_per_sec",
-                "ingest_records_per_sec_10x",
-                "ingest_e2e_cold",
-            )
-        ),
-        3,
+    _NON_TIMING = (
+        "ingest_records_per_sec",
+        "ingest_records_per_sec_10x",
+        "ingest_e2e_cold",
     )
+    total = round(
+        sum(v for k, v in timings.items() if k not in _NON_TIMING), 3
+    )
+    # Round-over-round comparability: the headline set grows every
+    # round, which inflates headline_total_sec. core_total_sec sums
+    # the FIXED round-1 query set only, so it is the number to compare
+    # across BENCH_r{N}.json files.
+    _CORE = {
+        "ingest_e2e", "q1_pricing_summary", "q3_shipping_priority",
+        "q5_regional_revenue", "join_shuffle_hash", "join_broadcast_dim",
+        "window_topk_per_group", "top10_orders", "agg_rollup",
+        "ingest_chunk_manifest", "dedup_exact", "dedup_minhash_signatures",
+        "dedup_ngram_jaccard", "sim_knn_bruteforce", "sim_knn_blocked",
+        "text_stats", "text_fingerprint", "ts_session_window",
+        "ts_asof_join", "ts_tumbling_window", "ts_stream_tumbling",
+        "q17_small_quantity_revenue", "q18_large_orders",
+        "join_salted_skew", "sim_knn_ivf", "text_chunk_udtf",
+        "dedup_embedding_cosine", "q7_nation_volume", "q21_waiting_suppliers",
+    }
+    core = round(sum(v for k, v in timings.items() if k in _CORE), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
+                "core_total_sec": core,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
