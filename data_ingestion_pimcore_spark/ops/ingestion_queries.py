@@ -1195,3 +1195,77 @@ def ingest_chunk_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("chunk_number", "n_records", "chunk_bytes", "count_ok")
         .orderBy("chunk_number")
     )
+
+
+@register(
+    "source_excel_multisheet",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       'Sheet' || CAST(n_nationkey % 3 + 1 AS VARCHAR) AS sheet
+FROM nation
+""",
+    doc="Multi-sheet workbook scan (beyond-reference: the reference "
+    "reads only wb.active, excel_reader.py:40): nation is split across "
+    "three worksheets of ONE real .xlsx, the engine lists the sheet "
+    "inventory from workbook metadata (the wb.sheetnames surface), and "
+    "reads every sheet with the SAME header/padding/empty-row loop as "
+    "the active-sheet path, tagging rows with their sheet of origin. "
+    "Parallelism unit = one task per sheet (mapInPandas over the sheet "
+    "list) — the right granularity since a single worksheet stream is "
+    "unsplittable; at scale many workbooks x many sheets fan out "
+    "across executors. Matching the oracle on the original parquet "
+    "proves sheet routing and per-sheet parsing are lossless.",
+)
+def source_excel_multisheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.excel_source import iter_excel_records, sheet_names_and_paths
+    from ..sources.xlsx_writer import write_xlsx
+
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    header = ["n_nationkey", "n_name", "n_regionkey"]
+    sheets: list[list[list] | None] = [
+        [list(header)] for _ in range(3)
+    ]
+    for r in sorted(nat.collect(), key=lambda r: r["n_nationkey"]):
+        sheets[r["n_nationkey"] % 3].append(
+            [r["n_nationkey"], r["n_name"], r["n_regionkey"]]
+        )
+    d = tempfile.mkdtemp(prefix="src_xlsx_ms_")
+    try:
+        path = write_xlsx(f"{d}/nation.xlsx", sheets[0], more_sheets=sheets[1:])
+        inventory = spark.createDataFrame(
+            sheet_names_and_paths(path), "sheet string, sheet_path string"
+        ).repartition(3)
+
+        def read_sheets(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = []
+                for sheet, sheet_path in zip(pdf["sheet"], pdf["sheet_path"]):
+                    for rec in iter_excel_records(path, sheet_path):
+                        out.append(
+                            (
+                                int(rec["n_nationkey"]),
+                                str(rec["n_name"]),
+                                int(rec["n_regionkey"]),
+                                sheet,
+                            )
+                        )
+                yield pd.DataFrame(
+                    out,
+                    columns=["n_nationkey", "n_name", "n_regionkey", "sheet"],
+                )
+
+        return inventory.mapInPandas(
+            read_sheets,
+            schema="n_nationkey long, n_name string, n_regionkey long, sheet string",
+        ).localCheckpoint()  # materialize before the temp dir is removed
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

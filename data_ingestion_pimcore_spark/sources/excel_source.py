@@ -143,16 +143,42 @@ def _excel_serial_to_iso(serial: float, date1904: bool) -> str:
     return dt.replace(microsecond=round(dt.microsecond, -3) % 1_000_000).isoformat()
 
 
-def _iter_raw_rows(path: str) -> Iterator[list[Any]]:
+def sheet_names_and_paths(path: str) -> list[tuple[str, str]]:
+    """All worksheets of a workbook as (name, archive path), in
+    workbook order — the ``wb.sheetnames`` surface (the reference only
+    ever reads ``wb.active``; multi-sheet is a beyond-reference
+    extension; parallelism unit at scale = one task per sheet, since a
+    single worksheet stream is unsplittable)."""
+    with zipfile.ZipFile(path) as zf:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        sheets = wb.find(f"{_NS}sheets")
+        if sheets is None or len(sheets) == 0:
+            raise ValueError("workbook has no sheets")
+        rels = {
+            rel.get("Id"): rel.get("Target")
+            for rel in ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        }
+        out = []
+        for el in sheets:
+            target = rels.get(el.get(_REL_NS), "worksheets/sheet1.xml")
+            if not target.startswith("xl/"):
+                target = f"xl/{target}"
+            out.append((el.get("name") or "", target))
+        return out
+
+
+def _iter_raw_rows(path: str, sheet_path: str | None = None) -> Iterator[list[Any]]:
     """Yield rows as lists of native values (None gaps preserved),
-    streaming: O(row) memory via iterparse, like openpyxl read_only."""
+    streaming: O(row) memory via iterparse, like openpyxl read_only.
+    ``sheet_path`` selects a worksheet by archive path (default: the
+    active sheet, reference semantics)."""
     with zipfile.ZipFile(path) as zf:
         shared = _parse_shared_strings(zf)
         date_styles = _parse_date_styles(zf)
         wb = ET.fromstring(zf.read("xl/workbook.xml"))
         pr = wb.find(f"{_NS}workbookPr")
         date1904 = pr is not None and pr.get("date1904") in ("1", "true")
-        with zf.open(_active_sheet_path(zf)) as sheet:
+        with zf.open(sheet_path or _active_sheet_path(zf)) as sheet:
             for _event, el in ET.iterparse(sheet):
                 if el.tag != f"{_NS}row":
                     continue
@@ -208,15 +234,18 @@ def headers_from_row(first_row: list[Any]) -> list[str]:
     ]
 
 
-def iter_excel_records(path: str) -> Iterator[dict[str, Any]]:
+def iter_excel_records(
+    path: str, sheet_path: str | None = None
+) -> Iterator[dict[str, Any]]:
     """Stream one workbook as header-projected records.
 
     Reproduces the reference row loop (`excel_reader.py:45-74`):
     header → schema, empty-row filter (``not any(row)`` — note a row of
     all ``0``/``""`` is also dropped, replicated deliberately), null
     padding for short rows, extra trailing cells ignored.
+    ``sheet_path`` selects a specific worksheet (default active).
     """
-    rows = _iter_raw_rows(path)
+    rows = _iter_raw_rows(path, sheet_path)
     try:
         first = next(rows)
     except StopIteration:
