@@ -227,3 +227,25 @@ def test_adaptive_chunker_respects_both_limits(spark):
         for r in wide.select("l_orderkey", "l_linenumber", "chunk_number").collect()
     }
     assert a == b
+
+
+def test_adaptive_single_partition_matches_python_greedy(spark):
+    """With one partition, adaptive chunking must equal the sequential
+    pre-append-check fold extended with a record cap: flush before a
+    record that would exceed the byte budget OR the count cap."""
+    budget, cap = 8 * 1024, 13
+    li = load(spark, SF, "lineitem").limit(500)
+    chunked = assign_chunks_by_bytes(
+        li, ORDER, budget, num_partitions=1, max_records=cap
+    )
+    rows = chunked.orderBy(*ORDER).select("record_bytes", "chunk_number").collect()
+
+    chunk, cur, n = 0, 0, 0
+    for r in rows:
+        size = r["record_bytes"]
+        if n > 0 and (cur + size > budget or n >= cap):
+            chunk += 1
+            cur, n = 0, 0
+        cur += size
+        n += 1
+        assert r["chunk_number"] == chunk
