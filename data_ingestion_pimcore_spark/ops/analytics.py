@@ -599,3 +599,52 @@ def ingest_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("probe_ts"),
         "priority_at_probe",
     )
+
+
+_BASKET_TOP_K = 20
+
+
+@register(
+    "stats_market_basket",
+    oracle=f"""
+WITH pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {_BASKET_TOP_K}
+""",
+    doc="Market-basket co-occurrence (the frequent-pair half of "
+    "association mining): for every order, emit its part pairs and "
+    "count how many orders each pair shares; top-k by support with a "
+    "deterministic tiebreak. The pair generation is an equi-join on "
+    "the order key, so the blowup is bounded by basket width squared "
+    "(TPC-H orders hold ≤7 items → ≤21 pairs per order), NOT by "
+    "part popularity — unlike shingle posting lists, no df-cap is "
+    "needed; the data model itself bounds the quadratic term. One "
+    "shuffle on orderkey, one hash aggregate on the pair, and "
+    "TakeOrderedAndProject for the top-k (no global sort).",
+)
+def stats_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(_BASKET_TOP_K)
+    )
