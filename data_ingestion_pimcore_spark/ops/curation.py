@@ -462,3 +462,72 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         c(F.when(F.col("is_contaminated"), 1)).alias("drop_contaminated"),
         c(F.when(F.col("keep"), 1)).alias("n_kept"),
     )
+
+
+_MIX_TOKEN_BUDGET = 1_000_000
+
+
+@register(
+    "curation_token_budget_mix",
+    oracle=f"""
+WITH per_src AS (
+    SELECT source,
+           CAST(SUBSTR(source, 4) AS INTEGER) AS src_num,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY source
+),
+weighted AS (
+    SELECT *, 1 + src_num % 5 AS wnum FROM per_src
+),
+tot AS (SELECT SUM(wnum) AS tot_w FROM weighted)
+SELECT source,
+       n_docs,
+       n_tokens,
+       CAST(FLOOR({_MIX_TOKEN_BUDGET} * wnum / tot_w) AS BIGINT) AS alloc_tokens,
+       ROUND(LEAST(
+           1.0,
+           CAST(FLOOR({_MIX_TOKEN_BUDGET} * wnum / tot_w) AS DOUBLE) / n_tokens
+       ), 9) AS sampling_fraction,
+       LEAST(CAST(FLOOR({_MIX_TOKEN_BUDGET} * wnum / tot_w) AS BIGINT),
+             n_tokens) AS expected_tokens,
+       CAST(FLOOR({_MIX_TOKEN_BUDGET} * wnum / tot_w) AS BIGINT) > n_tokens
+           AS under_supplied
+FROM weighted CROSS JOIN tot
+""",
+    doc="Training-mixture planning (the Pile/DoReMi data-mixing step): "
+    "given per-source mixture weights and a global token budget, "
+    "compute each source's token allocation, the sampling fraction "
+    "that realizes it, and whether the source is under-supplied "
+    "(allocation exceeds available tokens → needs oversampling or "
+    "weight renormalization). Token counts are one hash aggregate "
+    "over the corpus; everything downstream operates on O(sources) "
+    "rows with the weight total broadcast back. Allocation arithmetic "
+    "is integer-exact (weights are integer ratios, floor of one IEEE "
+    "division), so the plan is bit-identical to the oracle.",
+)
+def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    weighted = per_src.withColumn(
+        "wnum", 1 + F.substring("source", 4, 10).cast("int") % 5
+    )
+    tot = weighted.agg(F.sum("wnum").alias("tot_w"))
+    alloc = F.floor(
+        F.lit(_MIX_TOKEN_BUDGET) * F.col("wnum") / F.col("tot_w")
+    ).cast("bigint")
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        alloc.alias("alloc_tokens"),
+        F.round(
+            F.least(F.lit(1.0), alloc.cast("double") / F.col("n_tokens")), 9
+        ).alias("sampling_fraction"),
+        F.least(alloc, F.col("n_tokens")).alias("expected_tokens"),
+        (alloc > F.col("n_tokens")).alias("under_supplied"),
+    )

@@ -1481,3 +1481,72 @@ def ts_stream_tws_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_event_id").alias("max_event_id"),
         )
     )
+
+
+@register(
+    "ts_seasonal_dow_residual",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS d,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+),
+keyed AS (
+    SELECT event_type, d, n,
+           CAST(date_diff('day', DATE '1990-01-01', d) % 7 AS INTEGER) AS dow
+    FROM daily
+),
+profile AS (
+    SELECT event_type, dow,
+           CAST(SUM(n) AS BIGINT) AS tot, COUNT(*) AS n_days
+    FROM keyed GROUP BY event_type, dow
+)
+SELECT k.event_type,
+       strftime(k.d, '%Y-%m-%d') AS day,
+       k.n,
+       k.dow,
+       ROUND(CAST(p.tot AS DOUBLE) / p.n_days, 9) AS expected_n,
+       ROUND(k.n - CAST(p.tot AS DOUBLE) / p.n_days, 9) AS residual
+FROM keyed k JOIN profile p USING (event_type, dow)
+""",
+    doc="Seasonal decomposition by day-of-week profile: per (type, "
+    "weekday) mean daily volume is the seasonal baseline; each day's "
+    "residual is its deviation from that baseline — the seasonal "
+    "twin of ts_anomaly_zscore's trailing-window detector (weekly "
+    "periodicity vs local trend). Events collapse to daily counts "
+    "FIRST, so the profile join runs on O(days x types) rows with "
+    "the O(7 x types) profile broadcast back; detection cost is "
+    "decoupled from event volume. Weekday comes from an epoch-day "
+    "modulus, identical in both engines (no locale-dependent "
+    "dayofweek), and the mean is a single IEEE division of exact "
+    "integers.",
+)
+def ts_seasonal_dow_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    keyed = daily.withColumn(
+        "dow", (F.datediff(F.col("d"), F.lit("1990-01-01").cast("date")) % 7).cast("int")
+    )
+    profile = keyed.groupBy("event_type", "dow").agg(
+        F.sum("n").cast("bigint").alias("tot"), F.count(F.lit(1)).alias("n_days")
+    )
+    expected = F.col("tot").cast("double") / F.col("n_days")
+    return keyed.join(F.broadcast(profile), ["event_type", "dow"]).select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        "dow",
+        F.round(expected, 9).alias("expected_n"),
+        F.round(F.col("n") - expected, 9).alias("residual"),
+    )
