@@ -648,3 +648,44 @@ def stats_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(_BASKET_TOP_K)
     )
+
+
+@register(
+    "stats_median_abs_deviation",
+    oracle="""
+WITH med AS (
+    SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS m
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       ROUND(ANY_VALUE(med.m), 9) AS median_qty,
+       ROUND(quantile_cont(ABS(l.l_quantity - med.m), 0.5), 9) AS mad_qty
+FROM lineitem l JOIN med USING (l_returnflag)
+GROUP BY l.l_returnflag
+""",
+    doc="Median absolute deviation per group — the robust dispersion "
+    "measure outliers cannot poison (stddev's breakdown point is 0%; "
+    "MAD's is 50%). Two exact-median passes: the per-group median "
+    "(O(groups) rows) broadcasts back onto the fact for the absolute "
+    "deviations, then a second exact quantile. Both engines "
+    "interpolate quantile_cont identically on doubles, rounded to 9 "
+    "to absorb formula-order bit noise. At 100 TB the exact medians "
+    "would swap for the two-pass histogram trick agg_median_twopass "
+    "demonstrates — same join topology.",
+)
+def stats_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("m")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("m"), 9).alias("median_qty"),
+            F.round(
+                F.percentile(F.abs(F.col("l_quantity") - F.col("m")), F.lit(0.5)),
+                9,
+            ).alias("mad_qty"),
+        )
+    )

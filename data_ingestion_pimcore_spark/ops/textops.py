@@ -604,3 +604,83 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rare).cast("double") / F.count(F.lit(1))).alias("rare_ratio"),
         )
     )
+
+
+# ------------------------------------------------- URL canonical dedup
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+WITH variants AS (
+    SELECT c_custkey,
+           UNNEST([
+             'https://WWW.Example.com:443/cust/' || CAST(c_custkey AS VARCHAR)
+               || '/?utm_source=mail&id=' || CAST(c_nationkey AS VARCHAR),
+             'https://www.example.com/cust/' || CAST(c_custkey AS VARCHAR)
+               || '?id=' || CAST(c_nationkey AS VARCHAR) || '&utm_campaign=x',
+             'https://www.example.com/cust/' || CAST(c_custkey AS VARCHAR)
+               || '/?id=' || CAST(c_nationkey AS VARCHAR)
+           ]) AS url
+    FROM customer
+)
+SELECT 'https://www.example.com/cust/' || CAST(c_custkey AS VARCHAR)
+           || '?id=' || CAST(c_nationkey AS VARCHAR) AS canonical_url,
+       COUNT(*) AS n_variants,
+       COUNT(DISTINCT c_custkey) AS n_pages
+FROM variants v JOIN customer c USING (c_custkey)
+GROUP BY 1
+""",
+    doc="URL canonicalization dedup — the crawl-frontier primitive that "
+    "keeps a web corpus from fetching every page N times: three "
+    "observed variants per page (uppercase host, explicit default "
+    "port, tracking params, trailing slash) collapse to ONE canonical "
+    "form via a chain of JVM regexp_replace/lower rewrites, then one "
+    "hash aggregate groups the variants. Canonicalization is pure "
+    "map-side codegen (no UDF); the oracle derives the canonical form "
+    "analytically from the construction rule, so every rewrite step "
+    "is hash-checked. Each canonical URL must count exactly 3 "
+    "variants and 1 page.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    nat = F.col("c_nationkey").cast("string")
+    variants = c.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("https://WWW.Example.com:443/cust/"), key,
+                    F.lit("/?utm_source=mail&id="), nat,
+                ),
+                F.concat(
+                    F.lit("https://www.example.com/cust/"), key,
+                    F.lit("?id="), nat, F.lit("&utm_campaign=x"),
+                ),
+                F.concat(
+                    F.lit("https://www.example.com/cust/"), key,
+                    F.lit("/?id="), nat,
+                ),
+            )
+        ).alias("url"),
+    )
+    canon = F.col("url")
+    # lowercase scheme+host (up to the first path slash), keep the path
+    canon = F.concat(
+        F.lower(F.regexp_extract(canon, r"^(https?://[^/]+)", 1)),
+        F.regexp_extract(canon, r"^https?://[^/]+(.*)$", 1),
+    )
+    canon = F.regexp_replace(canon, r":443/", "/")  # default https port
+    canon = F.regexp_replace(canon, r"(utm_[a-z]+=[^&]*&?)", "")  # tracking
+    canon = F.regexp_replace(canon, r"[?&]$", "")  # dangling separators
+    canon = F.regexp_replace(canon, r"/\?", "?")  # trailing slash pre-query
+    canon = F.regexp_replace(canon, r"\?&", "?")  # empty first param slot
+    return (
+        variants.select("c_custkey", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.count_distinct("c_custkey").alias("n_pages"),
+        )
+    )
