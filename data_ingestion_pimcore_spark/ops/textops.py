@@ -684,3 +684,93 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("c_custkey").alias("n_pages"),
         )
     )
+
+
+_COLLOC_MIN_SUPPORT = 20
+_COLLOC_TOP_K = 30
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+bigrams AS (
+    SELECT UNNEST(list_transform(
+               range(1, LEN(ts)),
+               i -> struct_pack(w1 := ts[i], w2 := ts[i + 1])
+           )) AS bg
+    FROM toks
+),
+bg AS (
+    SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS n_ab
+    FROM bigrams GROUP BY 1, 2
+),
+uni AS (
+    SELECT UNNEST(ts) AS w FROM toks
+),
+uc AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+tot AS (SELECT COUNT(*) AS n_tok FROM uni)
+SELECT bg.w1, bg.w2, bg.n_ab,
+       ROUND(CAST(bg.n_ab AS DOUBLE) * n_tok / (a.n * b.n), 9) AS lift
+FROM bg
+JOIN uc a ON a.w = bg.w1
+JOIN uc b ON b.w = bg.w2
+CROSS JOIN tot
+WHERE bg.n_ab >= {_COLLOC_MIN_SUPPORT}
+ORDER BY lift DESC, bg.w1, bg.w2
+LIMIT {_COLLOC_TOP_K}
+""",
+    doc="Collocation mining: adjacent-token bigrams scored by lift "
+    "(observed/expected co-occurrence — exp(PMI), computed log-free "
+    "so the score stays a single IEEE multiply/divide of exact "
+    "integer counts, bit-identical across engines). Bigram extraction "
+    "is a map-side generator over the token arrays; the unigram "
+    "model (O(vocab)) broadcasts onto the bigram counts exactly like "
+    "text_unigram_lm_score's model join; min-support prunes the "
+    "long tail BEFORE the joins and TakeOrderedAndProject takes "
+    "top-k without a global sort. The standard phrase-detection pass "
+    "(word2vec preprocessing, tokenizer vocab induction) at corpus "
+    "scale.",
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("ts"))
+    # sequence(0, -1) errors on single-token docs; DuckDB's range(1,1)
+    # is just empty — filter to keep the generators aligned
+    bigrams = toks.where(F.size("ts") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts) - 2), "
+                "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bg = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _COLLOC_MIN_SUPPORT)
+    )
+    uni = toks.select(F.explode("ts").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n_tok"))
+    a = uc.select(F.col("w").alias("w1"), F.col("n").alias("n_a"))
+    b = uc.select(F.col("w").alias("w2"), F.col("n").alias("n_b"))
+    return (
+        bg.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_tok")
+                / (F.col("n_a") * F.col("n_b")),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(_COLLOC_TOP_K)
+    )
