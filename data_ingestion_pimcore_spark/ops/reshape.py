@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import load
 from ._det import dsum, sql_dsum
+from .dedup import _SQL_JACCARD_EDGES
 from .textops import sql_md5_hash60
 
 _STATUSES = ("F", "O", "P")
@@ -504,4 +505,46 @@ def reshape_balance_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.col("copies") - 1)).alias("copy_idx"),
         )
         .withColumn("copy_idx", F.col("copy_idx").cast("bigint"))
+    )
+
+
+@register(
+    "reshape_split_leakage_safe",
+    oracle=f"""
+WITH RECURSIVE {_SQL_JACCARD_EDGES},
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN jedges e ON e.src = r.node
+),
+comp AS (SELECT src AS doc_id, MIN(node) AS component_id FROM reach GROUP BY src)
+SELECT doc_id, component_id,
+       CASE WHEN SUBSTR(md5(CAST(component_id AS VARCHAR)), 1, 1) <= 'b'
+            THEN 'train' ELSE 'val' END AS split
+FROM comp
+""",
+    doc="Leakage-safe train/val split: hash-split by near-dup CLUSTER, "
+    "not by document, so a near-duplicate pair can never straddle the "
+    "split and leak evaluation text into training — the step naive "
+    "per-doc splits get wrong. Composes the engine's own primitives: "
+    "n-gram-Jaccard near-dup pairs → connected components (iterative "
+    "min-label propagation) → deterministic md5 bucket on the "
+    "component representative. Every doc in a component lands on the "
+    "same side by construction; the oracle replays the full chain "
+    "(shingle index, Jaccard threshold, recursive-CTE components, "
+    "same hash rule).",
+)
+def reshape_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_connected_components
+
+    comp = dedup_connected_components(spark, sf_dir)
+    return comp.select(
+        "doc_id",
+        "component_id",
+        F.when(
+            F.substring(F.md5(F.col("component_id").cast("string")), 1, 1) <= "b",
+            "train",
+        )
+        .otherwise("val")
+        .alias("split"),
     )
