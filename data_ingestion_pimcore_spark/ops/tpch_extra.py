@@ -24,12 +24,12 @@ Scale notes (100 TB design intent) shared by all queries here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
-from ._det import dsum, sql_dsum
+from ._det import DEC, dsum, sql_dsum
 
 
 @register(
@@ -772,4 +772,158 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
         .select("s_name", "n_name")
         .orderBy("s_name")
+    )
+
+
+# ----------------------------------------------- TPC-DS-shaped extras
+
+
+@register(
+    "dsq_cumulative_share",
+    oracle="""
+WITH monthly AS (
+    SELECT o_orderpriority,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+    FROM orders
+    GROUP BY 1, 2
+)
+SELECT o_orderpriority, month, ROUND(rev, 6) AS rev,
+       ROUND(SUM(rev) OVER (PARTITION BY o_orderpriority ORDER BY month), 6)
+           AS cum_rev,
+       ROUND(rev / SUM(rev) OVER (PARTITION BY o_orderpriority), 9)
+           AS share_of_priority
+FROM monthly
+""",
+    doc="TPC-DS Q51-style cumulative analysis: monthly revenue per "
+    "priority with a running cumulative window AND a whole-partition "
+    "share — two frames over ONE exchange on the priority key (Spark "
+    "plans both windows in a single Window operator chain after one "
+    "sort). The aggregate collapses orders to O(priorities x months) "
+    "rows before any window touches them, so window state is tiny at "
+    "any fact volume. Exact-decimal monthly sums make the running "
+    "totals order-insensitive.",
+)
+def dsq_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            "o_orderpriority",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("o_orderpriority", "month")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
+    )
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        F.round("rev", 6).alias("rev"),
+        F.round(F.sum("rev").over(w_cum), 6).alias("cum_rev"),
+        F.round(F.col("rev") / F.sum("rev").over(w_all), 9).alias(
+            "share_of_priority"
+        ),
+    )
+
+
+@register(
+    "dsq_rollup_topk",
+    oracle="""
+WITH rolled AS (
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev,
+           GROUPING(o_orderstatus) AS g_status
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    HAVING GROUPING(o_orderpriority) = 0 AND GROUPING(o_orderstatus) = 0
+),
+ranked AS (
+    SELECT o_orderpriority, o_orderstatus, ROUND(rev, 6) AS rev,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY rev DESC, o_orderstatus) AS rk
+    FROM rolled
+)
+SELECT o_orderpriority, o_orderstatus, rev, rk
+FROM ranked WHERE rk <= 2
+""",
+    doc="TPC-DS Q67-style rollup + per-group top-k: aggregate the "
+    "hierarchy, then keep each priority's top-2 statuses by revenue "
+    "with a deterministic tiebreak. Spark plans the per-group limit "
+    "as WindowGroupLimit — partial top-k runs BEFORE the final "
+    "window exchange, so rows beyond k never shuffle; the rollup's "
+    "Expand feeds straight into one hash aggregate.",
+)
+def dsq_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    rolled = (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"),
+            F.grouping("o_orderpriority").alias("g_p"),
+            F.grouping("o_orderstatus").alias("g_s"),
+        )
+        .where((F.col("g_p") == 0) & (F.col("g_s") == 0))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("rev").desc(), "o_orderstatus"
+    )
+    return (
+        rolled.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.round("rev", 6).alias("rev"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 2)
+    )
+
+
+@register(
+    "dsq_hour_bands",
+    oracle="""
+SELECT COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 0 AND 5)
+           AS night,
+       COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 6 AND 11)
+           AS morning,
+       COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 12 AND 17)
+           AS afternoon,
+       COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 18 AND 23)
+           AS evening,
+       COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 8 AND 18
+                          AND event_type = 'purchase') AS business_purchases
+FROM events
+""",
+    doc="TPC-DS Q88-style multi-band report: five time-band counts in "
+    "ONE scan as conditional aggregates — where the textbook "
+    "formulation cross-joins five scalar subqueries (five scans), "
+    "this plan is a single pass with map-side partials, the rewrite "
+    "that matters when the fact is 100 TB. Hour extraction is "
+    "timezone-pinned (session UTC) so both engines band identically.",
+)
+def dsq_hour_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    h = F.hour(F.col("ts").cast("timestamp"))
+
+    def band(lo, hi, extra=None):
+        cond = (h >= lo) & (h <= hi)
+        if extra is not None:
+            cond = cond & extra
+        return F.count(F.when(cond, 1))
+
+    return ev.agg(
+        band(0, 5).alias("night"),
+        band(6, 11).alias("morning"),
+        band(12, 17).alias("afternoon"),
+        band(18, 23).alias("evening"),
+        band(8, 18, F.col("event_type") == "purchase").alias("business_purchases"),
     )
