@@ -700,3 +700,13 @@ def test_dpp_injects_runtime_partition_filter(spark, tmp_path):
     # the dim's runtime key set must reach the fact scan's partition
     # filters — whole partitions are pruned before being read
     assert "dynamicpruningexpression" in plan, plan
+
+
+def test_ds_rollup_topk_partial_window_group_limit(spark):
+    # per-group top-k must prune BEFORE the window exchange (partial
+    # WindowGroupLimit below Exchange, final above) and the rollup
+    # must compile to Expand + partial/final HashAggregate
+    tree = tree_of(spark, "dsq_rollup_topk")
+    assert tree.count("WindowGroupLimit") == 2, tree
+    assert "Expand" in tree
+    assert tree.index("Exchange") < tree.index("Expand")  # plan prints top-down
