@@ -1269,3 +1269,62 @@ def source_excel_multisheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()  # materialize before the temp dir is removed
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "ingest_integrity_chain",
+    oracle=f"""
+WITH RECURSIVE canon_t AS (
+  SELECT l_orderkey, l_linenumber, {_CANON_SQL} AS canon FROM lineitem
+), base AS (
+  SELECT canon,
+         ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, canon) AS rn
+  FROM canon_t
+), chunks AS (
+  SELECT canon, rn, CAST(FLOOR((rn - 1) / {CHUNK_SIZE}) AS BIGINT) AS chunk_number
+  FROM base
+), m AS (
+  SELECT chunk_number,
+         COUNT(*) AS n_records,
+         sha256(string_agg(canon, chr(10) ORDER BY rn)) AS checksum
+  FROM chunks GROUP BY chunk_number
+),
+chain(chunk_number, n_records, checksum, chain_hash) AS (
+  SELECT chunk_number, n_records, checksum,
+         sha256('GENESIS|' || checksum)
+  FROM m WHERE chunk_number = 0
+  UNION ALL
+  SELECT m.chunk_number, m.n_records, m.checksum,
+         sha256(c.chain_hash || '|' || m.checksum)
+  FROM chain c JOIN m ON m.chunk_number = c.chunk_number + 1
+)
+SELECT chunk_number, n_records, checksum, chain_hash FROM chain
+""",
+    doc="Tamper-evident integrity chain over the chunk manifest (the "
+    "ledger extension of I2/I3): each chunk's chain hash commits to "
+    "EVERY prior chunk (sha256(prev_chain || checksum)), so altering, "
+    "dropping, or reordering any historical chunk invalidates all "
+    "later hashes — the audit-log property plain per-chunk checksums "
+    "lack. The heavy work (canonicalization, per-chunk sha256) stays "
+    "the distributed manifest plan; only the O(#chunks) chain fold "
+    "runs driver-side — the same bounded-driver-state pattern as the "
+    "chunker's offset merge (SURVEY §4.3). Oracle replays the chain "
+    "with a recursive CTE.",
+)
+def ingest_integrity_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    li = load(spark, sf_dir, "lineitem")
+    manifest = chunk_manifest(li, _LI_ORDER, CHUNK_SIZE, _INGESTION_ID).select(
+        "chunk_number", "n_records", "checksum"
+    )
+    rows = sorted(manifest.collect(), key=lambda r: r["chunk_number"])
+    prev = None
+    out = []
+    for r in rows:
+        seed = ("GENESIS|" + r["checksum"]) if prev is None else (prev + "|" + r["checksum"])
+        prev = hashlib.sha256(seed.encode()).hexdigest()
+        out.append((r["chunk_number"], r["n_records"], r["checksum"], prev))
+    return spark.createDataFrame(
+        out, "chunk_number long, n_records bigint, checksum string, chain_hash string"
+    )
