@@ -163,3 +163,108 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ------------------------------------------------------- Hilbert curve
+
+H_BITS = 6  # 64x64 grid — keeps the unrolled expression chain compact
+
+
+def hilbert_frame(df: DataFrame, x: Column, y: Column, bits: int = H_BITS) -> DataFrame:
+    """Unrolled Hilbert xy→d transform (s-rotation variant, validated
+    bijective with unit steps in tests): adds an ``hval`` column.
+
+    Each level is materialized as real columns via ``withColumns`` —
+    building one nested Column expression instead makes the tree grow
+    ~4x per level (x and y feed four sites of the next level), which
+    put Catalyst analysis into minutes at 6 levels; as named columns
+    the per-level expressions stay O(1) and CollapseProject keeps
+    them (aliases referenced repeatedly and non-cheap are not
+    inlined). Pure integer CASE/bit codegen — no UDF, no shuffle."""
+    df = df.withColumns({"__hx": x, "__hy": y, "__hd": F.lit(0).cast("long")})
+    hx, hy, hd = F.col("__hx"), F.col("__hy"), F.col("__hd")
+    for j in range(bits - 1, -1, -1):
+        s = 1 << j
+        rx = F.shiftright(hx, j).bitwiseAND(F.lit(1))
+        ry = F.shiftright(hy, j).bitwiseAND(F.lit(1))
+        flip = (ry == 0) & (rx == 1)
+        xp = F.when(flip, F.lit(s - 1) - hx).otherwise(hx)
+        yp = F.when(flip, F.lit(s - 1) - hy).otherwise(hy)
+        df = df.withColumns(
+            {
+                "__hd": hd + F.lit(s * s) * (rx * 3).bitwiseXOR(ry),
+                "__hx": F.when(ry == 0, yp).otherwise(xp),
+                "__hy": F.when(ry == 0, xp).otherwise(yp),
+            }
+        )
+    return df.withColumnRenamed("__hd", "hval").drop("__hx", "__hy")
+
+
+def sql_hilbert_ctes(src: str, bits: int = H_BITS) -> tuple[str, str]:
+    """DuckDB CTE chain mirroring hilbert_cols level by level. ``src``
+    must yield columns (x, y) plus any passthrough columns; returns
+    (cte_sql, final_cte_name) where the final CTE carries (…, x, y, d).
+    All level expressions reference the PREVIOUS level's columns (the
+    REPLACE list evaluates against the source row), exactly like the
+    Column-chain on the Spark side."""
+    parts = [f"hin AS (SELECT *, CAST(0 AS BIGINT) AS d FROM ({src}))"]
+    prev = "hin"
+    for j in range(bits - 1, -1, -1):
+        s_ = 1 << j
+        cte = f"h{j}"
+        parts.append(
+            f"""{cte} AS (
+  SELECT * REPLACE (
+    CASE WHEN ((y >> {j}) & 1) = 0
+         THEN CASE WHEN ((x >> {j}) & 1) = 1 THEN {s_ - 1} - y ELSE y END
+         ELSE x END AS x,
+    CASE WHEN ((y >> {j}) & 1) = 0
+         THEN CASE WHEN ((x >> {j}) & 1) = 1 THEN {s_ - 1} - x ELSE x END
+         ELSE y END AS y,
+    d + {s_ * s_} * xor(((x >> {j}) & 1) * 3, (y >> {j}) & 1) AS d
+  )
+  FROM {prev}
+)"""
+        )
+        prev = cte
+    return ",\n".join(parts), prev
+
+
+_HILBERT_SRC = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_partkey % 64 AS BIGINT) AS x,
+       CAST(l_suppkey % 64 AS BIGINT) AS y
+FROM lineitem
+"""
+_H_CTES, _H_FINAL = sql_hilbert_ctes(_HILBERT_SRC)
+
+
+@register(
+    "layout_hilbert",
+    oracle=f"""
+WITH {_H_CTES}
+SELECT l_orderkey, l_linenumber, d AS hval
+FROM {_H_FINAL}
+""",
+    doc="Hilbert-curve clustering key over (l_partkey, l_suppkey) — "
+    "the locality-better alternative to Z-order: consecutive Hilbert "
+    "indices are ALWAYS grid-adjacent (unit steps, asserted by test), "
+    "where Morton codes jump across the plane at power-of-two "
+    "boundaries, so Hilbert layouts give tighter per-file min/max "
+    "envelopes for 2-D skipping (what Databricks liquid clustering "
+    "moved to). The xy→d transform is the s-rotation recurrence "
+    "unrolled into 6 levels of pure integer CASE/bit codegen — no "
+    "UDF, no shuffle; the DuckDB oracle replays the identical "
+    "level chain CTE by CTE, so the transform is pinned bit-for-bit. "
+    "zorder_layout()'s range-partition + sort write path applies "
+    "unchanged with this code as the key.",
+)
+def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber",
+                                                "l_partkey", "l_suppkey")
+    x = (F.col("l_partkey") % 64).cast("long")
+    y = (F.col("l_suppkey") % 64).cast("long")
+    return (
+        hilbert_frame(li, x, y)
+        .select("l_orderkey", "l_linenumber", F.col("hval").cast("long").alias("hval"))
+    )

@@ -272,3 +272,29 @@ def test_ivm_exact_under_random_churn(spark):
         assert merged == direct
 
     run()
+
+
+def test_hilbert_curve_bijective_unit_steps(spark):
+    """The engine's unrolled Hilbert transform must be a true Hilbert
+    curve over the full 64x64 grid: a bijection onto [0, 4096) whose
+    consecutive indices are ALWAYS grid-adjacent (|dx|+|dy| = 1) — the
+    locality property that beats Morton codes, where power-of-two
+    boundary jumps break adjacency."""
+    import pyspark.sql.functions as F
+
+    from data_ingestion_pimcore_spark.ops.layout import H_BITS, hilbert_frame
+
+    n = 1 << H_BITS
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("gx"), (F.col("id") / n).cast("long").alias("gy")
+    )
+    rows = (
+        hilbert_frame(grid, F.col("gx"), F.col("gy"))
+        .select("gx", "gy", "hval")
+        .collect()
+    )
+    pts = {r["hval"]: (r["gx"], r["gy"]) for r in rows}
+    assert sorted(pts) == list(range(n * n))  # bijection
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pts[d], pts[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pts[d], pts[d + 1])
