@@ -730,3 +730,92 @@ def mm_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score >= CLIP_KEEP_THRESHOLD).alias("keep"),
         )
     )
+
+
+# ------------------------------------------------- video scene cuts
+
+SCENE_CUT_THRESHOLD = 400  # sum-abs-diff over a 4x4 frame pair
+
+
+@register(
+    "mm_video_scene_cuts",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, GREATEST(n_chars * 10, 1) AS dur
+    FROM documents WHERE doc_id < 500
+),
+frames AS (
+    SELECT doc_id, CAST(CEIL(dur / {VIDEO_FRAME_MS}.0) AS BIGINT) AS nf
+    FROM docs
+),
+ks AS (
+    SELECT doc_id, UNNEST(range(0, nf - 1)) AS k
+    FROM frames WHERE nf > 1
+),
+xs AS (SELECT UNNEST(range(0, {VIDEO_FRAME_W})) AS x),
+ys AS (SELECT UNNEST(range(0, {VIDEO_FRAME_H})) AS y),
+pair AS (
+    SELECT doc_id, k,
+           SUM(CASE WHEN (doc_id * 31 + k * 17 + x * 7 + y * 13) % 256 < 239
+                    THEN 17 ELSE 239 END) AS motion
+    FROM ks, xs, ys
+    GROUP BY doc_id, k
+),
+agg AS (
+    SELECT doc_id,
+           COUNT(*) FILTER (WHERE motion > {SCENE_CUT_THRESHOLD}) AS n_cuts,
+           SUM(motion) AS total_motion
+    FROM pair GROUP BY doc_id
+)
+SELECT f.doc_id,
+       f.nf AS n_frames,
+       CAST(COALESCE(a.n_cuts, 0) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(a.total_motion, 0) AS BIGINT) AS total_motion
+FROM frames f LEFT JOIN agg a ON a.doc_id = f.doc_id
+""",
+    doc="Video scene-cut detection — the shot-segmentation pass video "
+    "training pipelines run before clip extraction: every consecutive "
+    "frame pair of the real BMV container is BMP-decoded and scored "
+    "by summed absolute pixel difference; pairs above the threshold "
+    "are cuts. Entirely map-side (mapInPandas; blobs never shuffle — "
+    "only per-doc scalars leave the task), embarrassingly parallel "
+    "across videos. The oracle derives every pair's motion "
+    "analytically from the frame-synthesis rule (per-pixel deltas are "
+    "17 or 239 depending on mod-256 wraparound), so a decode or "
+    "differencing bug breaks the hash match.",
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(buf)
+                if buf[:4] != _BMV_MAGIC:
+                    raise ValueError("not a BMV container")
+                n_total, _dur = struct.unpack_from("<II", buf, 4)
+                off = 12
+                frames = []
+                for _ in range(n_total):
+                    hdr = struct.unpack_from(_BMP_FILE_HDR, buf, off)
+                    size = hdr[1]
+                    frames.append(
+                        decode_bmp(buf[off : off + size]).astype(np.int64)
+                    )
+                    off += size
+                n_cuts, total = 0, 0
+                for a, b in zip(frames, frames[1:]):
+                    motion = int(np.abs(b - a).sum())
+                    total += motion
+                    if motion > SCENE_CUT_THRESHOLD:
+                        n_cuts += 1
+                out.append((int(doc_id), len(frames), n_cuts, total))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_frames", "n_cuts", "total_motion"]
+            )
+
+    return attach_video_payload(d).mapInPandas(
+        run,
+        schema="doc_id long, n_frames long, n_cuts long, total_motion long",
+    )
