@@ -710,3 +710,41 @@ def test_ds_rollup_topk_partial_window_group_limit(spark):
     assert tree.count("WindowGroupLimit") == 2, tree
     assert "Expand" in tree
     assert tree.index("Exchange") < tree.index("Expand")  # plan prints top-down
+
+
+def test_hilbert_layout_concentrates_matches(spark, tmp_path):
+    """Hilbert clustering must concentrate a 2-D range predicate's
+    matches into few files, like Z-order — same harness as the
+    zorder test, Hilbert code as the clustering key."""
+    from data_ingestion_pimcore_spark.ops.layout import hilbert_frame
+    from data_ingestion_pimcore_spark.tables import load
+
+    li = load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    n_files = 16
+    hpath = str(tmp_path / "hilbert")
+    rpath = str(tmp_path / "rand")
+    (
+        hilbert_frame(li, F.col("l_partkey") % 64, F.col("l_suppkey") % 64)
+        .repartitionByRange(n_files, F.col("hval"))
+        .sortWithinPartitions("hval")
+        .drop("hval")
+        .write.parquet(hpath)
+    )
+    li.repartition(n_files).write.parquet(rpath)
+
+    pred = (F.col("l_partkey") % 64 < 8) & (F.col("l_suppkey") % 64 < 8)
+
+    def files_touched(path: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .where(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    h, r = files_touched(hpath), files_touched(rpath)
+    assert r >= n_files * 3 // 4, (h, r)
+    assert h <= r // 2, (h, r)
