@@ -774,3 +774,49 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(_COLLOC_TOP_K)
     )
+
+
+_BPE_TOP_K = 20
+
+
+@register(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+WITH words AS (
+    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+    SELECT SUBSTR(w, CAST(i AS INTEGER), 2) AS pair
+    FROM words, UNNEST(range(1, LEN(w))) t(i)
+    WHERE LEN(w) >= 2
+)
+SELECT pair, COUNT(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {_BPE_TOP_K}
+""",
+    doc="Tokenizer vocabulary induction, step one: corpus-wide adjacent "
+    "character-pair frequencies — exactly the statistic the first BPE "
+    "merge maximizes (later merges re-run the same count over the "
+    "re-tokenized corpus, so this IS the inner loop of BPE training). "
+    "Pair emission is a map-side generator (substr over an index "
+    "sequence — no per-char explode, no Python); the only exchange "
+    "carries (pair, partial count) and top-k is "
+    "TakeOrderedAndProject. At 100 TB the count is the scan-bound "
+    "pass everything else in tokenizer training hangs off.",
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.substring(F.col("w"), F.col("i"), F.lit(2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_TOP_K)
+    )
