@@ -99,6 +99,15 @@ HEADLINE = [
     "text_unigram_lm_score",
     "agg_bitmap_distinct",
     "profile_dq_rules",
+    # round-3 sixth wave: late-interaction retrieval, rolling uniques,
+    # PIT lookup, DS-shaped analytics, Hilbert layout, basket mining
+    "sim_maxsim_late_interaction",
+    "ts_sliding_distinct_users",
+    "ingest_scd2_pit_lookup",
+    "dsq_rollup_topk",
+    "layout_hilbert",
+    "stats_market_basket",
+    "text_bpe_merge_candidates",
 ]
 
 
