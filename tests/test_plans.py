@@ -748,3 +748,13 @@ def test_hilbert_layout_concentrates_matches(spark, tmp_path):
     h, r = files_touched(hpath), files_touched(rpath)
     assert r >= n_files * 3 // 4, (h, r)
     assert h <= r // 2, (h, r)
+
+
+def test_market_basket_single_exchange_posting_lists(spark):
+    # basket pairs explode from each order's item array: ONE full-width
+    # exchange (the groupBy on l_orderkey); the pair aggregate and
+    # top-k ride partial aggregation + TakeOrderedAndProject
+    tree = tree_of(spark, "stats_market_basket")
+    assert "TakeOrderedAndProject" in tree
+    assert "Join" not in tree, tree  # no fact self-join
+    assert tree.count("Exchange") == 2, tree  # orderkey agg + pair agg
