@@ -263,7 +263,12 @@ def _chunk_doc_udtf():
     rows via LATERAL correlation; Arrow-batched like any Python UDTF."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_start bigint, n_tokens int, chunk_text string")
+    @udtf(
+        returnType="chunk_start bigint, n_tokens int, chunk_text string",
+        useArrow=True,  # ArrowEvalPythonUDTF: batched transfer, and the
+        # global plan lint (tests/test_plan_lint.py) bans the pickled
+        # row-at-a-time BatchEvalPython path engine-wide
+    )
     class ChunkDoc:
         def eval(self, text: str):
             words = (text or "").split(" ")
