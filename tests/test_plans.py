@@ -758,3 +758,33 @@ def test_market_basket_single_exchange_posting_lists(spark):
     assert "TakeOrderedAndProject" in tree
     assert "Join" not in tree, tree  # no fact self-join
     assert tree.count("Exchange") == 2, tree  # orderkey agg + pair agg
+
+
+def test_nested_struct_schema_pruning(spark, tmp_path):
+    """Selecting one leaf of a struct column must prune the scan to
+    that leaf (ReadSchema shows the nested subfield only) — at 100 TB
+    reading a 2-field projection out of a wide nested record is the
+    difference between touching GBs and TBs."""
+    from data_ingestion_pimcore_spark.tables import load
+
+    path = str(tmp_path / "nested")
+    (
+        load(spark, SF, "customer")
+        .select(
+            "c_custkey",
+            F.struct(
+                F.col("c_name").alias("name"),
+                F.col("c_acctbal").alias("bal"),
+                F.col("c_mktsegment").alias("seg"),
+            ).alias("profile"),
+        )
+        .write.parquet(path)
+    )
+    df = spark.read.parquet(path).select("c_custkey", "profile.bal")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "bal" in schema and "name" not in schema and "seg" not in schema, schema
