@@ -1550,3 +1550,76 @@ def ts_seasonal_dow_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expected, 9).alias("expected_n"),
         F.round(F.col("n") - expected, 9).alias("residual"),
     )
+
+
+@register(
+    "ts_cadence_features",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (SELECT user_id, gap_us FROM gaps WHERE gap_us IS NOT NULL)
+SELECT user_id,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS total_us,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*), 2) AS mean_gap_us,
+       ROUND(
+         (SQRT((CAST(SUM(CAST(gap_us AS DECIMAL(25,0))
+                      * CAST(gap_us AS DECIMAL(25,0))) AS DOUBLE)
+                - CAST(SUM(gap_us) AS DOUBLE) * SUM(gap_us) / COUNT(*))
+               / COUNT(*))
+          - CAST(SUM(gap_us) AS DOUBLE) / COUNT(*))
+         / (SQRT((CAST(SUM(CAST(gap_us AS DECIMAL(25,0))
+                       * CAST(gap_us AS DECIMAL(25,0))) AS DOUBLE)
+                 - CAST(SUM(gap_us) AS DOUBLE) * SUM(gap_us) / COUNT(*))
+                / COUNT(*))
+            + CAST(SUM(gap_us) AS DOUBLE) / COUNT(*)), 9) AS burstiness
+FROM g
+GROUP BY user_id
+HAVING COUNT(*) >= 2
+""",
+    doc="Behavioral cadence features per user: inter-event gap count/"
+    "sum/min/max/mean plus the burstiness coefficient (σ−μ)/(σ+μ) — "
+    "−1 = metronome, 0 = Poisson, →1 = bursty; the standard "
+    "inter-arrival featurization for bot detection and engagement "
+    "models. One window pass (lag over the user partition) then one "
+    "(mean rounded to 2: at 10^6 decimals its integer units exceed "
+    "2^53 and ROUND double-rounds differently across engines) "
+    "hash aggregate; variance comes from exact-DECIMAL power sums "
+    "(the stats_skew_kurtosis rule) so σ is order-insensitive, and "
+    "the final sqrt/divide is rounded to 9 on both engines.",
+)
+def ts_cadence_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        ev.select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("gap_us")
+    s2 = F.sum(
+        F.col("gap_us").cast("decimal(25,0)") * F.col("gap_us").cast("decimal(25,0)")
+    ).cast("double")
+    mean = s1.cast("double") / n
+    sigma = F.sqrt((s2 - s1.cast("double") * s1 / n) / n)
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            n.alias("n_gaps"),
+            s1.cast("bigint").alias("total_us"),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+            F.round(mean, 2).alias("mean_gap_us"),
+            F.round((sigma - mean) / (sigma + mean), 9).alias("burstiness"),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )
