@@ -548,3 +548,55 @@ def reshape_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("val")
         .alias("split"),
     )
+
+
+@register(
+    "reshape_interleave_datasets",
+    oracle="""
+WITH tagged AS (
+    SELECT doc_id, doc_id % 2 AS ds,
+           ROW_NUMBER() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id) AS rk
+    FROM documents
+),
+c AS (
+    SELECT MIN(cnt) AS k
+    FROM (SELECT ds, COUNT(*) AS cnt FROM tagged GROUP BY ds)
+)
+SELECT doc_id, CAST(ds AS BIGINT) AS ds,
+       CAST(CASE WHEN rk <= k THEN (rk - 1) * 2 + ds
+                 ELSE k + rk - 1 END AS BIGINT) AS position
+FROM tagged CROSS JOIN c
+""",
+    doc="Deterministic dataset interleaving (the datasets.interleave "
+    "step that fixes a training run's example order): two corpora "
+    "alternate strictly by per-dataset rank until the shorter "
+    "exhausts, then the longer's remainder appends in order — the "
+    "position column is a closed-form function of (rank, dataset, "
+    "min-count), PROVABLY a permutation (contiguous interleaved block "
+    "then contiguous tail), so epoch order reproduces bit-for-bit "
+    "across runs and partitionings, where iterator-based interleaving "
+    "depends on worker scheduling. One rank window per dataset and a "
+    "broadcast 1-row min-count — no shuffle of the interleaved data "
+    "itself.",
+)
+def reshape_interleave_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id", (F.col("doc_id") % 2).alias("ds")
+    ).withColumn(
+        "rk", F.row_number().over(Window.partitionBy("ds").orderBy("doc_id"))
+    )
+    k = tagged.groupBy("ds").agg(F.count(F.lit(1)).alias("cnt")).agg(
+        F.min("cnt").alias("k")
+    )
+    pos = F.when(
+        F.col("rk") <= F.col("k"), (F.col("rk") - 1) * 2 + F.col("ds")
+    ).otherwise(F.col("k") + F.col("rk") - 1)
+    return (
+        tagged.crossJoin(F.broadcast(k))
+        .select(
+            "doc_id",
+            F.col("ds").cast("bigint").alias("ds"),
+            pos.cast("bigint").alias("position"),
+        )
+    )
