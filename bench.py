@@ -108,6 +108,9 @@ HEADLINE = [
     "layout_hilbert",
     "stats_market_basket",
     "text_bpe_merge_candidates",
+    # round-4 additions: pure-JVM chunking (the scale path next to the
+    # UDTF extension demo)
+    "text_chunk_windows",
 ]
 
 
@@ -331,6 +334,34 @@ def main() -> None:
         "dedup_embedding_cosine", "q7_nation_volume", "q21_waiting_suppliers",
     }
     core = round(sum(v for k, v in timings.items() if k in _CORE), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "core_total_sec": core,
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # The driver captures only a ~2000-char TAIL of bench output;
+    # round 3's grown per-query dict pushed the single JSON line past
+    # that window and the driver recorded parsed=null. So: the full
+    # detail goes out FIRST (and to logs/bench_full.json for local
+    # diffing), and the LAST line — the one guaranteed inside any tail
+    # capture — is a compact summary whose per-query dict is restricted
+    # to the fixed round-1 core set (~1 kB, stable size across rounds).
+    print(json.dumps(full))
+    try:
+        os.makedirs("logs", exist_ok=True)
+        with open("logs/bench_full.json", "w") as f:
+            json.dump(full, f)
+    except OSError:
+        pass
+    compact_q = {k: v for k, v in timings.items() if k in _CORE}
+    for extra in ("ingest_records_per_sec", "ingest_records_per_sec_10x"):
+        if extra in timings:
+            compact_q[extra] = timings[extra]
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -338,9 +369,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "core_total_sec": core,
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": compact_q,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -67,26 +67,41 @@ def oracles() -> dict[str, str]:
 _LOADED = False
 
 
-def _last_checked_round() -> dict[str, int]:
-    """name → latest CORRECTNESS round that verified it (driver artifacts
-    at the repo root). Empty when running outside the repo."""
+def _check_history() -> tuple[dict[str, int], set[str]]:
+    """Scan driver CORRECTNESS artifacts at the repo root. Returns
+    (name → latest round that checked it, set of names whose LATEST
+    check was not fully green — no_oracle / any gate false / err).
+    Empty when running outside the repo."""
     import glob
     import json
     import os
     import re
 
     seen: dict[str, int] = {}
+    latest: dict[str, dict] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                for name in json.load(f):
-                    seen[name] = max(seen.get(name, 0), rnd)
+                for name, res in json.load(f).items():
+                    if rnd >= seen.get(name, 0):
+                        seen[name] = max(seen.get(name, 0), rnd)
+                        latest[name] = res if isinstance(res, dict) else {}
         except Exception:
             continue
-    return seen
+    not_green = {
+        n
+        for n, res in latest.items()
+        if not (
+            res.get("rows_match") is True
+            and res.get("schema_match") is True
+            and res.get("hash_match") is True
+            and res.get("err") is None
+        )
+    }
+    return seen, not_green
 
 
 def _rotate_for_visibility() -> None:
@@ -94,15 +109,30 @@ def _rotate_for_visibility() -> None:
     has never (or least recently) verified iterate first. The harness
     samples a prefix of the registry each round; rotating by
     last-checked round makes its coverage converge to all queries
-    instead of re-checking the same prefix forever. Order is stable
-    within each cohort (registration order), so results stay
-    deterministic for any fixed set of artifacts."""
-    seen = _last_checked_round()
+    instead of re-checking the same prefix forever.
+
+    Priority cohorts (ascending sort key):
+      0. previously checked but NOT green (no_oracle / mismatch / err)
+         — these have since been reworked and their fixes need driver
+         confirmation before anything never-checked (a wrong answer
+         outranks a missing answer);
+      1. never checked;
+      2. green, oldest round first.
+    Order is stable within each cohort (registration order), so results
+    stay deterministic for any fixed set of artifacts."""
+    seen, not_green = _check_history()
     if not seen:
         return
-    ordered = sorted(
-        _REGISTRY.items(), key=lambda kv: seen.get(kv[0], -1)
-    )  # never-checked (-1) first, then oldest round; sort is stable
+
+    def key(kv):
+        name = kv[0]
+        if name in not_green:
+            return (0, 0)
+        if name not in seen:
+            return (1, 0)
+        return (2, seen[name])
+
+    ordered = sorted(_REGISTRY.items(), key=key)  # sort is stable
     _REGISTRY.clear()
     _REGISTRY.update(ordered)
 
