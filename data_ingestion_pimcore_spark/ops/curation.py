@@ -513,8 +513,11 @@ def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
     )
+    # unbounded substring, structurally identical to the oracle's
+    # SUBSTR(source, 4) — a fixed-length extraction would silently
+    # truncate if a source suffix ever exceeded it
     weighted = per_src.withColumn(
-        "wnum", 1 + F.substring("source", 4, 10).cast("int") % 5
+        "wnum", 1 + F.expr("substring(source, 4)").cast("int") % 5
     )
     tot = weighted.agg(F.sum("wnum").alias("tot_w"))
     alloc = F.floor(

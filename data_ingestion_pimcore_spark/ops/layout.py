@@ -181,6 +181,13 @@ def hilbert_frame(df: DataFrame, x: Column, y: Column, bits: int = H_BITS) -> Da
     the per-level expressions stay O(1) and CollapseProject keeps
     them (aliases referenced repeatedly and non-cheap are not
     inlined). Pure integer CASE/bit codegen — no UDF, no shuffle."""
+    reserved = {"__hx", "__hy", "__hd", "hval"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"hilbert_frame reserved column names already present: "
+            f"{sorted(reserved)} — rename them before calling (the "
+            "transform writes __hx/__hy/__hd scratch and an hval output)"
+        )
     df = df.withColumns({"__hx": x, "__hy": y, "__hd": F.lit(0).cast("long")})
     hx, hy, hd = F.col("__hx"), F.col("__hy"), F.col("__hd")
     for j in range(bits - 1, -1, -1):

@@ -1235,8 +1235,7 @@ def ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_stream_foreachbatch_upsert",
     oracle="""
 SELECT user_id,
-       arg_max(event_type,
-               CAST(epoch(ts) AS BIGINT) * 1000000000 + event_id)
+       FIRST(event_type ORDER BY epoch_us(ts) DESC, event_id DESC)
          AS last_event_type,
        COUNT(*) AS n_events
 FROM events
@@ -1246,15 +1245,25 @@ GROUP BY user_id
     "materialized-view pattern: the event stream (4 files, "
     "maxFilesPerTrigger=1 → 4 real micro-batches) MERGEs each batch's "
     "per-user delta (selector-aggregate latest + additive count) into "
-    "a keyed store, guarded by batchId so a replayed batch is a no-op "
-    "— at-least-once delivery + idempotent merge = exactly-once state, "
-    "the same contract as the reference's CV1 duplicate-chunk ACK "
-    "(SURVEY §2.1). The replay is exercised: batch 0 is re-delivered "
-    "after the drain and must not change the result (the oracle match "
-    "proves it). Per-batch deltas are O(users-in-batch) aggregates — "
-    "at 100 TB the dict becomes a MERGE INTO a keyed table; merge "
-    "operands are commutative (max-by total-order key, additive "
-    "counts) so file-arrival order cannot change the result.",
+    "a parquet-backed keyed table via a full-outer merge-and-publish "
+    "(write new version, then swap the pointer — the WAL/snapshot "
+    "discipline of state.IngestionStateStore), guarded by batchId so "
+    "a replayed batch is a no-op — at-least-once delivery + "
+    "idempotent merge = exactly-once state, the same contract as the "
+    "reference's CV1 duplicate-chunk ACK (SURVEY §2.1). The replay is "
+    "exercised: one already-applied source file is re-delivered under "
+    "batchId 0 after the drain and must not change the result (the "
+    "oracle match proves it; only the batch-id guard, not content "
+    "identity, is asserted — FileStreamSource orders batches by "
+    "modification time, so the lexicographically-first part file need "
+    "not be batch 0's content). Everything on the data path is a "
+    "DataFrame op — no driver-side collect anywhere in the sink; "
+    "per-batch work is one O(users-in-batch) aggregate plus an "
+    "O(users) keyed merge, exactly the MERGE INTO shape that scales. "
+    "Recency uses unix_micros (microsecond order key) with event_id "
+    "as tie-break via struct comparison, matching the oracle's "
+    "epoch_us ordering — whole-second truncation would rank "
+    "near-simultaneous events differently across engines.",
 )
 def ts_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1265,6 +1274,7 @@ def ts_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
 
     root = tempfile.mkdtemp(prefix="fb_upsert_")
     src = os.path.join(root, "events")
+    state_dir = os.path.join(root, "state")
     ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     ckpt = tempfile.mkdtemp(prefix="ckpt_fb_upsert_", dir=ckpt_root)
     try:
@@ -1274,32 +1284,59 @@ def ts_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         ev.repartitionByRange(4, "event_id").write.parquet(src)
 
-        okey = (
-            F.unix_timestamp("ts") * F.lit(1_000_000_000) + F.col("event_id")
+        # microsecond-resolution total order: (event-time µs, event_id)
+        # as a struct — struct comparison gives the tie-break without
+        # packing both into one bigint (which overflows once µs ~1.8e15
+        # meets a multiplier).
+        okey = F.struct(
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.col("event_id").alias("eid"),
         )
-        state: dict[int, list] = {}  # user_id -> [okey, last_type, n]
+        # current-version pointer + applied-batch guard. Driver-side
+        # METADATA only (a path string and batch ids — O(#batches)),
+        # never data; at scale both live beside the table (the version
+        # directory name encodes the applied batch) exactly like the
+        # state store's WAL sequence numbers.
+        ptr = {"path": None, "v": 0}
         applied: set[int] = set()
 
         def upsert(batch_df, batch_id: int) -> None:
             if batch_id in applied:  # idempotent replay guard (CV1)
                 return
-            delta = (
-                batch_df.groupBy("user_id")
-                .agg(
-                    F.max(okey).alias("k"),
-                    F.max_by("event_type", okey).alias("t"),
-                    F.count(F.lit(1)).alias("n"),
-                )
-                .collect()
+            delta = batch_df.groupBy("user_id").agg(
+                F.max(okey).alias("k"),
+                F.max_by("event_type", okey).alias("t"),
+                F.count(F.lit(1)).alias("n"),
             )
-            for r in delta:
-                cur = state.get(r["user_id"])
-                if cur is None:
-                    state[r["user_id"]] = [r["k"], r["t"], r["n"]]
-                else:
-                    if r["k"] > cur[0]:
-                        cur[0], cur[1] = r["k"], r["t"]
-                    cur[2] += r["n"]
+            if ptr["path"] is None:
+                merged = delta
+            else:
+                cur = spark.read.parquet(ptr["path"])
+                d, c = delta.alias("d"), cur.alias("c")
+                take_d = F.col("c.k").isNull() | (
+                    F.col("d.k") > F.col("c.k")
+                )
+                merged = c.join(d, "user_id", "full_outer").select(
+                    "user_id",
+                    F.when(F.col("d.k").isNull(), F.col("c.k"))
+                    .when(take_d, F.col("d.k"))
+                    .otherwise(F.col("c.k"))
+                    .alias("k"),
+                    F.when(F.col("d.k").isNull(), F.col("c.t"))
+                    .when(take_d, F.col("d.t"))
+                    .otherwise(F.col("c.t"))
+                    .alias("t"),
+                    (
+                        F.coalesce(F.col("c.n"), F.lit(0))
+                        + F.coalesce(F.col("d.n"), F.lit(0))
+                    ).alias("n"),
+                )
+            # publish discipline: write the NEW version completely,
+            # THEN advance the pointer — a crash mid-write leaves the
+            # previous version live (write-audit-publish).
+            new_path = os.path.join(state_dir, f"v{ptr['v']}_b{batch_id}")
+            merged.write.mode("overwrite").parquet(new_path)
+            ptr["path"], ptr["v"] = new_path, ptr["v"] + 1
             applied.add(batch_id)
 
         stream = (
@@ -1315,22 +1352,24 @@ def ts_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         q.awaitTermination()
 
-        # re-deliver the first batch: the guard must make it a no-op
-        # (the oracle comparison would catch any double-count).
-        first = spark.read.parquet(
-            sorted(p for p in os.listdir(src) if p.endswith(".parquet"))
-            and os.path.join(
-                src,
-                sorted(p for p in os.listdir(src) if p.endswith(".parquet"))[0],
-            )
-        )
-        upsert(first, 0)
+        # re-deliver one already-applied file under batchId 0: the
+        # guard must make it a no-op (the oracle comparison would
+        # catch any double-count).
+        parts = sorted(p for p in os.listdir(src) if p.endswith(".parquet"))
+        if not parts:
+            raise RuntimeError(f"no part files written under {src}")
+        upsert(spark.read.parquet(os.path.join(src, parts[0])), 0)
 
-        rows = [
-            (uid, t, n) for uid, (_, t, n) in sorted(state.items())
-        ]
-        return spark.createDataFrame(
-            rows, "user_id long, last_event_type string, n_events bigint"
+        # materialize off the temp dir before cleanup; the published
+        # table IS the result.
+        return (
+            spark.read.parquet(ptr["path"])
+            .select(
+                "user_id",
+                F.col("t").alias("last_event_type"),
+                F.col("n").cast("bigint").alias("n_events"),
+            )
+            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

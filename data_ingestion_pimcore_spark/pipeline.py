@@ -292,6 +292,32 @@ def _merge_fragment_rows(rows):
     yield from flush()
 
 
+# fsspec scheme (what reference users send, json_reader.py:42 via
+# fsspec.get_fs_token_paths) → the Hadoop-FS connector scheme Spark's
+# JVM readers dispatch on. Identity for schemes both sides share
+# (gs://, file://, hdfs://, and the already-Hadoop forms).
+_SCHEME_MAP = {
+    "s3": "s3a",  # fsspec/s3fs form → hadoop-aws connector
+    "s3n": "s3a",  # legacy hadoop scheme, long removed upstream
+    "gcs": "gs",  # fsspec/gcsfs alias → GCS connector canonical form
+    "az": "abfss",  # fsspec/adlfs Gen2 form → ABFS secure connector
+    "abfs": "abfss",
+}
+
+
+def normalize_uri(path: str) -> str:
+    """Rewrite an fsspec-style object-store URI to the Hadoop-FS scheme
+    the JVM readers dispatch on (``s3://`` → ``s3a://`` etc.). The
+    reference accepts fsspec forms (``fsspec.get_fs_token_paths``,
+    json_reader.py:42); Spark's readers want connector schemes — this
+    keeps reference-shaped requests working unchanged. Scheme-less
+    local paths and already-canonical URIs pass through untouched."""
+    scheme, sep, rest = path.partition("://")
+    if not sep:
+        return path
+    return _SCHEME_MAP.get(scheme.lower(), scheme) + "://" + rest
+
+
 def load_source(spark: SparkSession, request: IngestRequest) -> DataFrame:
     """O1 file-type dispatch (`ingestion_controllers.py:45-59`), minus
     the HTTP shell: each validated file_type maps to a source connector.
@@ -319,22 +345,21 @@ def load_source(spark: SparkSession, request: IngestRequest) -> DataFrame:
     from .sources import read_excel, read_json_array
 
     ft = request.file_type
+    path = normalize_uri(request.file_path)
     if ft == "json":
-        return read_json_array(spark, request.file_path)
+        return read_json_array(spark, path)
     if ft == "excel":
-        return read_excel(spark, request.file_path)
+        return read_excel(spark, path)
     if ft == "jsonl":
-        return spark.read.json(request.file_path)
+        return spark.read.json(path)
     if ft == "csv":
-        return spark.read.option("header", "true").csv(request.file_path)
+        return spark.read.option("header", "true").csv(path)
     if ft == "xml":
         # Spark 4 native XML source (the spark-xml package merged
         # upstream); rowTag follows the reference's record-per-element
         # JSON-array convention.
-        return spark.read.format("xml").option("rowTag", "row").load(
-            request.file_path
-        )
-    return spark.read.parquet(request.file_path)
+        return spark.read.format("xml").option("rowTag", "row").load(path)
+    return spark.read.parquet(path)
 
 
 def run_ingestion(

@@ -293,3 +293,43 @@ def test_xml_ingest_end_to_end(spark, tmp_path):
     assert summary.status == "COMPLETED"
     assert summary.total_records == 25
     assert [r["pid"] for r in v.received_records[0]] == list(range(1, 11))
+
+
+def test_fsspec_scheme_normalization():
+    """Object-store URIs in the reference's fsspec forms
+    (json_reader.py:42) map to the Hadoop connector schemes Spark
+    dispatches on; canonical and local forms pass through unchanged."""
+    from data_ingestion_pimcore_spark.pipeline import normalize_uri
+
+    assert normalize_uri("s3://bucket/exports/*.json") == "s3a://bucket/exports/*.json"
+    assert normalize_uri("s3n://b/x") == "s3a://b/x"
+    assert normalize_uri("S3://b/x") == "s3a://b/x"  # scheme is case-insensitive
+    assert normalize_uri("gcs://b/x") == "gs://b/x"
+    assert normalize_uri("gs://b/x") == "gs://b/x"
+    az = "az://cont@acct.dfs.core.windows.net/p/q.parquet"
+    assert normalize_uri(az) == "abfss://cont@acct.dfs.core.windows.net/p/q.parquet"
+    assert normalize_uri("abfs://c@a/p") == "abfss://c@a/p"
+    assert normalize_uri("abfss://c@a/p") == "abfss://c@a/p"
+    assert normalize_uri("file:///tmp/x.parquet") == "file:///tmp/x.parquet"
+    assert normalize_uri("hdfs://nn:8020/x") == "hdfs://nn:8020/x"
+    assert normalize_uri("/tmp/x.parquet") == "/tmp/x.parquet"  # scheme-less
+
+
+def test_s3_scheme_reaches_jvm_reader(spark):
+    """A reference-shaped s3:// request is rewritten to s3a:// BEFORE
+    JVM dispatch: without cloud credentials/connector jars the read
+    must fail mentioning the s3a scheme/filesystem — proof the rewrite
+    landed in front of the reader, not a docs-only recipe."""
+    import pytest
+
+    from data_ingestion_pimcore_spark.config import IngestRequest
+    from data_ingestion_pimcore_spark.pipeline import load_source
+
+    req = IngestRequest(
+        file_path="s3://no-such-bucket/data.parquet",
+        file_type="parquet",
+        chunk_size_by_records=10,
+        order_cols=("id",),
+    )
+    with pytest.raises(Exception, match="(?i)s3a"):
+        load_source(spark, req).count()
