@@ -109,8 +109,12 @@ HEADLINE = [
     "stats_market_basket",
     "text_bpe_merge_candidates",
     # round-4 additions: pure-JVM chunking (the scale path next to the
-    # UDTF extension demo)
+    # UDTF extension demo), Count-Min sketch, watermark late-data
+    # drop, bloom-prefiltered join
     "text_chunk_windows",
+    "stats_countmin_heavy_hitters",
+    "ts_stream_late_drop",
+    "join_bloom_prefilter",
 ]
 
 

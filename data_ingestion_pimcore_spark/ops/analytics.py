@@ -695,3 +695,101 @@ def stats_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_qty"),
         )
     )
+
+
+# ------------------------------------------------- Count-Min sketch
+
+# D pairwise-independent hash rows h_d(k) = ((a·k + b) mod P) mod W,
+# P = 2^31 − 1 (Mersenne prime). Affine-mod hashing is exactly
+# expressible in BOTH engines' bigint arithmetic (unlike xxhash64,
+# whose seed is not exposed cross-engine), so the sketch — normally a
+# probabilistic structure — is bit-identical to the oracle here.
+_CMS_W = 256
+_CMS_P = 2_147_483_647
+_CMS_HASHES = [
+    (1_299_721, 104_729),
+    (15_485_863, 32_452_843),
+    (49_979_687, 67_867_967),
+    (86_028_121, 98_765_431),
+]
+_CMS_TOPK = 20
+
+_CMS_VALUES = ", ".join(
+    f"({d}, {a}, {b})" for d, (a, b) in enumerate(_CMS_HASHES)
+)
+
+_CMS_SQL = f"""
+WITH k AS (SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem),
+h(d, a, b) AS (SELECT * FROM (VALUES {_CMS_VALUES})),
+pairs AS (
+  SELECT k.k, h.d, ((h.a * k.k + h.b) % {_CMS_P}) % {_CMS_W} AS cell
+  FROM k, h
+),
+cells AS (SELECT d, cell, COUNT(*) AS c FROM pairs GROUP BY d, cell),
+tc AS (SELECT k, COUNT(*) AS true_cnt FROM k GROUP BY k),
+top AS (SELECT k, true_cnt FROM tc ORDER BY true_cnt DESC, k LIMIT {_CMS_TOPK}),
+cand AS (
+  SELECT t.k, t.true_cnt, h.d,
+         ((h.a * t.k + h.b) % {_CMS_P}) % {_CMS_W} AS cell
+  FROM top t, h
+)
+SELECT cand.k AS l_partkey, cand.true_cnt, MIN(cells.c) AS cms_estimate
+FROM cand JOIN cells ON cells.d = cand.d AND cells.cell = cand.cell
+GROUP BY cand.k, cand.true_cnt
+"""
+
+
+@register(
+    "stats_countmin_heavy_hitters",
+    oracle=_CMS_SQL,
+    doc=f"Count-Min sketch ({len(_CMS_HASHES)}x{_CMS_W} cells, "
+    "affine-mod hashes) over lineitem part frequencies, evaluated on "
+    f"the true top-{_CMS_TOPK} heavy hitters: estimate = min over the "
+    "key's D cells, always >= the true count (one-sided error). The "
+    "100 TB shape: one explode+hash aggregate compresses the whole "
+    "stream to D*W = 1k cells — a broadcastable summary — and "
+    "candidate estimation is a broadcast join, so frequency queries "
+    "never re-scan the fact table. The true-count comparison column "
+    "exists to expose the sketch's overcount; at scale you keep only "
+    "the sketch. Deterministic cross-engine because the hashes are "
+    "plain bigint arithmetic (see constants above).",
+)
+def stats_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("bigint").alias("k")
+    )
+
+    def hash_pairs(k):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (
+                        ((F.lit(a) * k + F.lit(b)) % F.lit(_CMS_P))
+                        % F.lit(_CMS_W)
+                    ).alias("cell"),
+                )
+                for d, (a, b) in enumerate(_CMS_HASHES)
+            ]
+        )
+
+    cells = (
+        li.select(F.explode(hash_pairs(F.col("k"))).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "k")
+        .limit(_CMS_TOPK)
+    )
+    cand = top.select(
+        "k", "true_cnt", F.explode(hash_pairs(F.col("k"))).alias("p")
+    ).select("k", "true_cnt", F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+    return (
+        cand.join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("k", "true_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(F.col("k").alias("l_partkey"), "true_cnt", "cms_estimate")
+    )

@@ -2472,3 +2472,103 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WITHIN GROUP (ORDER BY CAST(n_nationkey % 5 AS STRING))"
         ).alias("key_mods"),
     )
+
+
+# ------------------------------------------------ bloom-filter join
+
+# Two affine-mod hash positions per key into a 4096-bit filter
+# (64 x 64-bit words). Same cross-engine-exact hashing family as the
+# Count-Min sketch (ops/analytics.py) — the filter itself never needs
+# an oracle because blooms have NO false negatives: the final equi-join
+# removes false positives, so the result equals the plain join and the
+# plain join IS the oracle.
+_BLOOM_BITS = 4096
+_BLOOM_P = 2_147_483_647
+_BLOOM_HASHES = [(1_299_721, 104_729), (49_979_687, 67_867_967)]
+_BLOOM_PRICE_MIN = 400_000.0
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem l
+JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_totalprice > {_BLOOM_PRICE_MIN}) o
+  ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    doc="Bloom-filter pre-filtered join — the runtime-filter technique "
+    "spelled out as DataFrame ops: the selective build side (orders "
+    f"with o_totalprice > {_BLOOM_PRICE_MIN:,.0f}, ~1-2% of keys) is "
+    f"folded into a {_BLOOM_BITS}-bit bloom (64 longs via bit_or "
+    "aggregation, 2 affine-mod hashes), the bloom is BROADCAST, and "
+    "probe rows that miss either bit are discarded MAP-SIDE before "
+    "the shuffle join — at 100 TB this is what turns a full fact-"
+    "table shuffle into a shuffle of only plausible matches (Spark's "
+    "own runtime bloom does this invisibly when stats allow; here it "
+    "is explicit and always on). No false negatives, so the final "
+    "equi-join makes the result exactly the plain join — which is "
+    "the oracle. Everything is JVM bit arithmetic; the filter tables "
+    "are 64 rows each.",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > _BLOOM_PRICE_MIN)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+    def positions(k):
+        return [
+            ((F.lit(a) * k.cast("bigint") + F.lit(b)) % F.lit(_BLOOM_P))
+            % F.lit(_BLOOM_BITS)
+            for a, b in _BLOOM_HASHES
+        ]
+
+    # 64-long bitmap: explode each key's two positions, OR the bits
+    bloom = (
+        build.select(
+            F.explode(F.array(*positions(F.col("o_orderkey")))).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+
+    probe = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    for i, pos in enumerate(positions(F.col("l_orderkey"))):
+        b = bloom.select(
+            F.col("word").alias(f"w{i}"), F.col("mask").alias(f"m{i}")
+        )
+        probe = (
+            probe.withColumn(f"p{i}", pos)
+            .join(
+                F.broadcast(b),
+                (F.col(f"p{i}") / 64).cast("int") == F.col(f"w{i}"),
+            )
+            .where(
+                F.expr(
+                    f"(shiftright(m{i}, cast(p{i} % 64 as int)) & 1) = 1"
+                )
+            )
+            .drop(f"p{i}", f"w{i}", f"m{i}")
+        )
+    return (
+        probe.join(build, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -1662,3 +1662,99 @@ def ts_cadence_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_gaps") >= 2)
     )
+
+
+@register(
+    "ts_stream_late_drop",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+kept AS (
+  SELECT e.* FROM events e, mx
+  WHERE NOT (e.event_id % 97 = 0 AND e.ts < mx.m - INTERVAL 3 HOUR)
+),
+win AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         COUNT(*) AS n_events
+  FROM kept GROUP BY 1
+)
+SELECT window_start, n_events
+FROM win, mx
+WHERE window_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 HOUR
+""",
+    doc="GENUINE watermark late-data semantics, oracle-checked: events "
+    "are replayed as three files — batch 0 the on-time bulk, batch 1 "
+    "a small on-time 'bridge' (carrying the stream max, so the 1 h "
+    "watermark both advances AND COMMITS — watermark updates lag one "
+    "batch, measured empirically: late data delivered in the batch "
+    "right after the max-carrier is still accepted), batch 2 a "
+    "deterministic stale subset (event_id % 97 == 0, more than 3 h "
+    "old) that the windowed aggregate must now DROP entirely; append "
+    "mode then emits exactly the finalized windows (window end <= "
+    "final watermark = max - 1 h; bridge-era windows sit above the "
+    "horizon, so the split is invisible in the output). The oracle "
+    "replays both rules in SQL — which rows drop and which windows "
+    "emit — so the match proves the watermark actually gated the "
+    "state, not just that counts add up. All margins are whole hours "
+    "while event times carry microseconds, so no decision sits on a "
+    "boundary. This is the state-bounding contract that makes "
+    "event-time aggregation viable at 100 TB/day: state is O(windows "
+    "inside the watermark horizon), never O(stream).",
+)
+def ts_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..tables import load as _load
+
+    root = tempfile.mkdtemp(prefix="late_drop_")
+    src = os.path.join(root, "stream")
+    os.makedirs(src)
+    try:
+        ev = _load(spark, sf_dir, "events").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        # driver-side scalar metadata (one max), not a data collect
+        mx = ev.agg(F.max("ts")).first()[0]
+        is_late = (F.col("event_id") % 97 == 0) & (
+            F.col("ts") < F.lit(mx - _dt.timedelta(hours=3))
+        )
+
+        def one_file(df, name: str, mtime: float) -> None:
+            d = os.path.join(root, f"w_{name}")
+            df.coalesce(1).write.parquet(d)
+            part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"{name}.parquet")
+            shutil.copyfile(part, dst)
+            os.utime(dst, (mtime, mtime))
+
+        # FileStreamSource orders batches by modification time: bulk,
+        # then the max-carrying bridge (ts within 30 min of max — its
+        # windows all end above the emission horizon, so the bulk/
+        # bridge split never shows in the output), then the late file.
+        is_bridge = ~is_late & (
+            F.col("ts") >= F.lit(mx - _dt.timedelta(minutes=30))
+        )
+        one_file(ev.where(~is_late & ~is_bridge), "a_bulk", 1_000_000.0)
+        one_file(ev.where(is_bridge), "b_bridge", 1_000_100.0)
+        one_file(ev.where(is_late), "c_late", 1_000_200.0)
+
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "n_events",
+            )
+        )
+        return spark.table(_drain(spark, agg, "stream_late_drop", "append"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
