@@ -2529,7 +2529,10 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, b in _BLOOM_HASHES
         ]
 
-    # 64-long bitmap: explode each key's two positions, OR the bits
+    # 64-long bitmap: explode each key's two positions, OR the bits.
+    # localCheckpoint so BOTH probe joins read the one materialized
+    # 64-row bitmap instead of rebuilding it per reference (alias
+    # renames defeat Spark's broadcast-exchange reuse here).
     bloom = (
         build.select(
             F.explode(F.array(*positions(F.col("o_orderkey")))).alias("pos")
@@ -2540,6 +2543,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.bit_or("bit").alias("mask"))
+        .localCheckpoint(eager=False)
     )
 
     probe = load(spark, sf_dir, "lineitem").select(

@@ -788,3 +788,40 @@ def test_nested_struct_schema_pruning(spark, tmp_path):
     assert m, plan
     schema = m.group(1)
     assert "bal" in schema and "name" not in schema and "seg" not in schema, schema
+
+
+def test_bloom_prefilter_discards_map_side_before_shuffle_join(spark):
+    """join_bloom_prefilter's point is WHERE the filtering happens: the
+    bloom probes must be broadcast joins + bit-test filters sitting
+    BELOW the final equi-join, so probe rows die map-side and only
+    plausible matches reach the join's exchange."""
+    plan = plan_of(spark, "join_bloom_prefilter")
+    tree = tree_of(spark, "join_bloom_prefilter")
+    # two bloom probes -> at least 2 broadcast hash joins besides the
+    # final join; no cartesian anywhere
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # the bit-test filter (shiftright ... & 1) appears in the plan
+    assert "shiftright" in plan
+    # final aggregation is partial+final (two HashAggregates)
+    assert tree.count("HashAggregate") >= 2
+
+
+def test_countmin_cells_are_broadcast_to_candidates(spark):
+    """stats_countmin_heavy_hitters: the 1k-cell sketch must join the
+    candidate keys via broadcast (the sketch is the summary that ships
+    to executors; candidates never shuffle the fact table again)."""
+    tree = tree_of(spark, "stats_countmin_heavy_hitters")
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_chunk_windows_is_map_side_generate_no_exchange(spark):
+    """text_chunk_windows must stay a map-side projection: split →
+    explode(sequence) → slice, whole-stage codegen'd, ZERO exchanges —
+    the property that makes chunking scale with input splits."""
+    tree = tree_of(spark, "text_chunk_windows")
+    assert "Exchange" not in tree
+    # the explode, inside whole-stage codegen (the '*' marker in
+    # formatted mode)
+    assert "* Generate" in tree
