@@ -296,6 +296,32 @@ def test_star_cc_chain_and_random(spark):
     assert got2 == expect
 
 
+def test_star_cc_survives_fingerprint_collision(spark, monkeypatch):
+    """The star-CC fast convergence check is a (count, xor-hash)
+    fingerprint; correctness must NOT depend on it. Force the
+    worst case — the fingerprint ALWAYS collides (constant) — so every
+    round falls through to the definitive subtract set-equality check,
+    and the result must still be exact. Guards the fallback path that
+    a spurious hash collision would otherwise silently exercise."""
+    from data_ingestion_pimcore_spark.ops import dedup as dd
+
+    monkeypatch.setattr(dd, "_edge_fingerprint", lambda e: (0, 0))
+
+    n = 50  # chain needs multiple star rounds -> many collision checks
+    nodes = spark.range(n + 5).withColumnRenamed("id", "doc_id")
+    edges = [(i, i + 1) for i in range(n - 1)]  # chain 0..49
+    edges += [(n, n + 1), (n + 1, n + 2), (n + 2, n)]  # triangle 50-52
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dd.connected_components_star(nodes, e).collect()
+    }
+    expect = {i: 0 for i in range(n)}
+    expect.update({n: n, n + 1: n, n + 2: n})  # triangle -> min label 50
+    expect.update({n + 3: n + 3, n + 4: n + 4})  # isolated self-labels
+    assert got == expect
+
+
 def test_jaccard_pairs_are_symmetric_free(spark):
     """Pair output is canonical (doc_a < doc_b) with no self-pairs."""
     pairs = dedup_ngram_jaccard(spark, SF).collect()

@@ -1,0 +1,45 @@
+"""Registry quality gate: every registered query must be verifiable.
+
+A query either carries a DuckDB oracle (the driver hash-compares it
+every round) or is one of the explicitly-listed approximate /
+non-SQL-expressible operators, each of which must name the property
+test that covers it. Adding a query with neither fails here — the
+guard that keeps the oracle-checked ratio from silently eroding as the
+surface grows (224/229 at round 4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from data_ingestion_pimcore_spark import registry
+
+# no-oracle query -> the named property test that covers it
+NO_ORACLE_PROPERTY_TESTS = {
+    # approximate distinct-count sketches: tolerance-banded vs exact
+    "agg_approx": "tests/test_llm_ops.py::test_agg_approx_within_tolerance",
+    "agg_hll_union": "tests/test_llm_ops.py::test_hll_union_tracks_exact",
+    # ANN variants: exactness/recall vs the brute-force oracle query
+    "sim_knn_blocked": "tests/test_llm_ops.py::test_blocked_knn_equals_bruteforce",
+    "sim_knn_ivf": "tests/test_llm_ops.py::test_sim_knn_ivf_recall_vs_bruteforce",
+    "sim_knn_pq": "tests/test_llm_ops.py::test_sim_knn_pq_recall_vs_bruteforce",
+}
+
+
+def test_every_query_has_oracle_or_named_property_test():
+    qs = registry.all_queries()
+    no_oracle = {n for n, q in qs.items() if q.oracle is None}
+    assert no_oracle == set(NO_ORACLE_PROPERTY_TESTS), (
+        "every query needs a DuckDB oracle OR an entry here naming its "
+        f"property test; drifted: {sorted(no_oracle ^ set(NO_ORACLE_PROPERTY_TESTS))}"
+    )
+
+
+def test_named_property_tests_exist():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, ref in NO_ORACLE_PROPERTY_TESTS.items():
+        path, test_name = ref.split("::")
+        src = open(os.path.join(root, path)).read()
+        assert f"def {test_name}(" in src, (
+            f"{name}: named property test {ref} not found"
+        )
