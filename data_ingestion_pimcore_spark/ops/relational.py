@@ -2576,3 +2576,32 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+_FILTER_CLAUSE_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_price,
+       MAX(l_quantity) FILTER (WHERE l_linestatus = 'F') AS max_qty_f
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_filter_clause",
+    oracle=_FILTER_CLAUSE_SQL,
+    doc="ANSI FILTER-clause aggregates — per-aggregate predicates in "
+    "ONE pass (the idiom that replaces N self-joins or N CASE "
+    "pyramids): identical SQL text runs through spark.sql() and the "
+    "DuckDB oracle. Catalyst compiles each FILTER into the aggregate "
+    "expression, so the plan stays one pruned scan + partial/final "
+    "hash aggregate — adding a filtered aggregate costs zero extra "
+    "scans or shuffles at any scale. Decimal-exact money sum per the "
+    "engine-wide determinism rule.",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_FILTER_CLAUSE_SQL)

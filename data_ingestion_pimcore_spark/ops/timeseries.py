@@ -1758,3 +1758,88 @@ def ts_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(_drain(spark, agg, "stream_late_drop", "append"))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "ts_asof_join_tolerance",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.ts END AS click_ts,
+       CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_value END
+         AS click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    doc="As-of join with a match tolerance (market-data semantics: a "
+    "quote counts only if at most 1 h stale). Same one-shuffle "
+    "union + ordered carry-forward as ts_asof_join, plus a pure "
+    "map-side staleness gate that nulls matches older than the "
+    "tolerance — the carry-forward still runs unbounded (state is one "
+    "row per key either way), so the tolerance costs nothing at "
+    "scale. Oracle: DuckDB native ASOF JOIN + the same CASE gate.",
+)
+def ts_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = ts_asof_join(spark, sf_dir)
+    fresh = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("click_ts")).alias("click_ts"),
+        F.when(fresh, F.col("click_value")).alias("click_value"),
+    )
+
+
+@register(
+    "ts_cumulative_distinct_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d
+  FROM events GROUP BY user_id
+),
+daily_new AS (SELECT d, COUNT(*) AS n_new FROM first_seen GROUP BY d),
+spine AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events)
+SELECT strftime(s.d, '%Y-%m-%d') AS day,
+       CAST(SUM(COALESCE(n.n_new, 0))
+            OVER (ORDER BY s.d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM spine s LEFT JOIN daily_new n ON n.d = s.d
+""",
+    doc="Cumulative distinct users per day — COUNT(DISTINCT) OVER a "
+    "growing frame, which no engine supports directly. The scalable "
+    "rewrite: collapse events to each user's FIRST-SEEN day (one "
+    "aggregate, O(users) rows), count new users per day, and running-"
+    "sum over the O(days) spine — the unbounded-distinct window "
+    "becomes a shuffle of user cardinality, never a re-scan per day. "
+    "The final window orders O(days) rows, so the single-partition "
+    "window is a non-issue at any scale.",
+)
+def ts_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load as _load
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("d"),
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("d"))
+    daily_new = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
+    spine = ev.select("d").distinct()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(daily_new, "d", "left")
+        .select(
+            "d", F.coalesce("n_new", F.lit(0)).alias("n_new")
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+        )
+    )
