@@ -115,6 +115,7 @@ HEADLINE = [
     "stats_countmin_heavy_hitters",
     "ts_stream_late_drop",
     "join_bloom_prefilter",
+    "mm_mp4_demux",
 ]
 
 

@@ -10,8 +10,10 @@ codecs — ``decode_bmp``/``encode_bmp`` parse and emit real BMP files,
 ``decode_wav``/``encode_wav`` real RIFF/WAVE files — so decode, resize
 (nearest-neighbor, the same arithmetic Pillow's NEAREST uses), and
 resample (integer decimation) are all real computations, not stubs.
-Only video frame extraction remains a documented stub (it genuinely
-requires ffmpeg/PyAV, absent from this container).
+Video is real at the CONTAINER level for both the BMV fixture and
+standard ISO-BMFF/MP4 (full sample-table demux, ops/isobmff.py);
+only compressed-codec decode (h264/vp9) remains a documented gate —
+it genuinely requires ffmpeg/PyAV, absent from this container.
 
 Blobs are synthesized from deterministic, SQL-expressible rules
 (pixel = (doc_id*31 + x*7 + y*13) % 256; sample = ((doc_id*7919 +
@@ -46,6 +48,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
+from .isobmff import demux_mp4, is_mp4, mux_mp4
 
 # ----------------------------------------------------------- BMP codec
 #
@@ -397,15 +400,34 @@ def encode_bmv(doc_id: int, duration_ms: int) -> bytes:
 
 
 def sample_frames_batch(buf: bytes, stride_ms: int) -> list[tuple[int, bytes]]:
-    """Sample (timestamp_ms, frame_blob) pairs from a video blob —
-    REAL decode for the BMV container (header parse + equal-size frame
-    slicing; each returned blob is a valid BMP). External containers
-    need an ffmpeg/PyAV decode call that is genuinely unavailable in
-    this environment, so they raise instead of faking."""
+    """Sample (timestamp_ms, frame_blob) pairs from a video blob.
+
+    REAL container handling on two paths: the BMV fixture (header
+    parse + equal-size frame slicing) and standard ISO-BMFF/MP4 (full
+    stsd/stts/stsz/stsc/stco sample-table walk, ops/isobmff.py —
+    the same tables any mp4 demuxer reads). For mp4, frame PAYLOADS
+    come out of the container for any codec; payloads are returnable
+    as-is only when the sample entry is the BMP fixture codec — a
+    compressed codec (h264/vp9/…) demuxes fine but raises at the
+    decode step, since codec decode genuinely needs ffmpeg/PyAV,
+    which this environment lacks."""
+    if is_mp4(bytes(buf[:12])):
+        fourcc, _ts, samples = demux_mp4(bytes(buf))
+        if fourcc != b"bmpf":
+            raise NotImplementedError(
+                f"mp4 demux OK ({len(samples)} samples) but codec "
+                f"{fourcc!r} needs ffmpeg/PyAV to decode; only the "
+                "'bmpf' (BMP-in-mp4) fixture codec decodes in-environment"
+            )
+        if not samples:
+            return []
+        span = samples[1][0] - samples[0][0] if len(samples) > 1 else stride_ms
+        want = set(range(0, samples[-1][0] + max(span, 1), stride_ms))
+        return [(ts, payload) for ts, payload in samples if ts in want]
     if bytes(buf[:4]) != _BMV_MAGIC:
         raise NotImplementedError(
-            "external video containers (mp4/webm/…) require ffmpeg/PyAV; "
-            "only the BMV fixture container decodes in-environment"
+            "unrecognized video container (webm/avi/…) — requires "
+            "ffmpeg/PyAV; BMV and mp4 demux in-environment"
         )
     n_total, frame_ms = struct.unpack_from("<II", buf, 4)
     body = buf[12:]
@@ -818,4 +840,109 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_video_payload(d).mapInPandas(
         run,
         schema="doc_id long, n_frames long, n_cuts long, total_motion long",
+    )
+
+
+# ------------------------------------------------------ mp4 container
+
+
+def attach_mp4_payload(d: DataFrame) -> DataFrame:
+    """Synthesize a real ISO-BMFF mp4 per doc (executor-side): the same
+    BMP frames as the BMV fixture, muxed into a standard single-track
+    mp4 (ops/isobmff.py) under the 'bmpf' sample-entry fourcc."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, durs = [], []
+            for i, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                dur = max(int(n) * 10, 1)
+                n_total = -(-dur // VIDEO_FRAME_MS)
+                frames = [
+                    encode_bmp(synth_frame_pixels(int(i), k))
+                    for k in range(n_total)
+                ]
+                payloads.append(
+                    mux_mp4(
+                        frames,
+                        VIDEO_FRAME_MS,
+                        b"bmpf",
+                        VIDEO_FRAME_W,
+                        VIDEO_FRAME_H,
+                    )
+                )
+                durs.append(dur)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "duration_ms": durs,
+                    "payload": payloads,
+                }
+            )
+
+    return d.select("doc_id", "n_chars").mapInPandas(
+        run, schema="doc_id long, duration_ms long, payload binary"
+    )
+
+
+@register(
+    "mm_mp4_demux",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, GREATEST(n_chars * 10, 1) AS dur
+    FROM documents WHERE doc_id < 500
+),
+samp AS (
+    SELECT doc_id, dur,
+           UNNEST(range(0, CAST(CEIL(dur / 1000.0) AS BIGINT))) AS i
+    FROM docs
+),
+xs AS (SELECT UNNEST(range(0, {VIDEO_FRAME_W})) AS x),
+ys AS (SELECT UNNEST(range(0, {VIDEO_FRAME_H})) AS y)
+SELECT doc_id,
+       CAST(MAX(dur) AS BIGINT) AS duration_ms,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS n_frames,
+       CAST(SUM((doc_id * 31 + (4 * i) * 17 + x * 7 + y * 13) % 256)
+            AS BIGINT) AS frames_pixel_sum
+FROM samp, xs, ys
+GROUP BY doc_id
+""",
+    doc="STANDARD-container video sampling end to end: a real ISO-BMFF "
+    "mp4 (ftyp/moov/mdat with full stsd/stts/stsz/stsc/stco sample "
+    "tables, muxed and demuxed by ops/isobmff.py — the identical box "
+    "walk any mp4 reader performs, 64-bit co64 and multi-chunk stsc "
+    "included) is synthesized per doc, frames are recovered at "
+    "1 frame/s purely from the sample tables, BMP-decoded, and "
+    "pixel-summed. Same analytic oracle as mm_frame_sample, so a "
+    "mux/demux bug anywhere in the box layout breaks the hash match. "
+    "This closes the external-container gap at the container level; "
+    "compressed-codec payloads (h264/vp9) demux identically but "
+    "raise at decode, where ffmpeg is genuinely required. Blobs never "
+    "shuffle — only scalar sums leave the demux task.",
+)
+def mm_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    vids = attach_mp4_payload(d)
+    frames = sample_frames_df(vids)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "px_sum": [
+                        int(decode_bmp(bytes(b)).astype(np.int64).sum())
+                        for b in pdf["frame"]
+                    ],
+                }
+            )
+
+    sums = frames.mapInPandas(decode, schema="doc_id long, px_sum long")
+    return (
+        sums.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("px_sum").alias("frames_pixel_sum"),
+        )
+        .join(vids.select("doc_id", "duration_ms"), "doc_id")
+        .select("doc_id", "duration_ms", "n_frames", "frames_pixel_sum")
     )

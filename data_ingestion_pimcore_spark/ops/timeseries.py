@@ -1709,7 +1709,12 @@ def ts_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..tables import load as _load
 
-    root = tempfile.mkdtemp(prefix="late_drop_")
+    # staged replay files are throwaway — put them on tmpfs when
+    # available, same rationale as _drain's checkpoints
+    root = tempfile.mkdtemp(
+        prefix="late_drop_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
     src = os.path.join(root, "stream")
     os.makedirs(src)
     try:

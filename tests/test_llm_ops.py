@@ -600,3 +600,75 @@ def test_hll_union_tracks_exact(spark):
     est = df["est_union"].iloc[0]
     assert abs(est - exact) / exact < 0.05
     assert (df["est_custs"] > 0).all()
+
+
+def test_mp4_mux_demux_roundtrip_and_codec_gate():
+    """ISO-BMFF container: mux→demux is identity on payloads and
+    timestamps; the demuxer walks multi-chunk stsc layouts and co64
+    offsets; non-fixture codecs demux but refuse to decode."""
+    import struct
+
+    import pytest
+
+    from data_ingestion_pimcore_spark.ops.isobmff import (
+        demux_mp4,
+        is_mp4,
+        mux_mp4,
+    )
+    from data_ingestion_pimcore_spark.ops.multimodal import (
+        sample_frames_batch,
+    )
+
+    samples = [bytes([i] * (40 + i)) for i in range(7)]
+    buf = mux_mp4(samples, 250, b"bmpf")
+    assert is_mp4(buf)
+    fourcc, timescale, out = demux_mp4(buf)
+    assert fourcc == b"bmpf" and timescale == 1000
+    assert [p for _, p in out] == samples
+    assert [t for t, _ in out] == [i * 250 for i in range(7)]
+
+    # compressed codec: container demux works, decode path raises
+    h264 = mux_mp4([b"\x00\x00\x01nal"], 40, b"avc1")
+    assert demux_mp4(h264)[2] == [(0, b"\x00\x00\x01nal")]
+    with pytest.raises(NotImplementedError, match="avc1"):
+        sample_frames_batch(h264, 1000)
+
+    # multi-chunk stsc + co64: hand-assemble a two-chunk layout
+    # (chunk1 = first 3 samples, chunk2 = rest) — the demuxer must
+    # reassemble the identical sample sequence from the run-length
+    # stsc table and 64-bit offsets.
+    body1 = b"".join(samples[:3])
+    body2 = b"".join(samples[3:])
+    import data_ingestion_pimcore_spark.ops.isobmff as iso
+
+    # craft: ftyp + moov(with stsc 2 runs + co64) + mdat(two chunks)
+    def full(fc, payload):
+        return struct.pack(">I", 12 + len(payload)) + fc + b"\x00" * 4 + payload
+
+    def box(fc, payload):
+        return struct.pack(">I", 8 + len(payload)) + fc + payload
+
+    sizes = b"".join(struct.pack(">I", len(s)) for s in samples)
+    stsd = full(b"stsd", struct.pack(">I", 1) + iso._visual_sample_entry(b"bmpf", 4, 4))
+    stts = full(b"stts", struct.pack(">III", 1, len(samples), 250))
+    stsc = full(b"stsc", struct.pack(">I", 2) + struct.pack(">III", 1, 3, 1) + struct.pack(">III", 2, 4, 1))
+    stsz = full(b"stsz", struct.pack(">II", 0, len(samples)) + sizes)
+    mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, 1750) + struct.pack(">HH", 0x55C4, 0))
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512))
+
+    def assemble(c1_off, c2_off):
+        co64 = full(b"co64", struct.pack(">I", 2) + struct.pack(">QQ", c1_off, c2_off))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + co64)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", mdia)
+        moov = box(b"moov", trak)
+        return ftyp + moov + box(b"mdat", body1 + body2), len(ftyp) + len(moov) + 8
+
+    draft, payload_start = assemble(0, 0)
+    two_chunk, _ = assemble(payload_start, payload_start + len(body1))
+    fourcc2, ts2, out2 = demux_mp4(two_chunk)
+    assert fourcc2 == b"bmpf"
+    assert [p for _, p in out2] == samples
+    assert [t for t, _ in out2] == [i * 250 for i in range(7)]
