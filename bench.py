@@ -116,6 +116,7 @@ HEADLINE = [
     "ts_stream_late_drop",
     "join_bloom_prefilter",
     "mm_mp4_demux",
+    "mm_webm_demux",
 ]
 
 

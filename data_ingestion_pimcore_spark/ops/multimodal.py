@@ -10,10 +10,12 @@ codecs — ``decode_bmp``/``encode_bmp`` parse and emit real BMP files,
 ``decode_wav``/``encode_wav`` real RIFF/WAVE files — so decode, resize
 (nearest-neighbor, the same arithmetic Pillow's NEAREST uses), and
 resample (integer decimation) are all real computations, not stubs.
-Video is real at the CONTAINER level for both the BMV fixture and
-standard ISO-BMFF/MP4 (full sample-table demux, ops/isobmff.py);
-only compressed-codec decode (h264/vp9) remains a documented gate —
-it genuinely requires ffmpeg/PyAV, absent from this container.
+Video is real at the CONTAINER level for all three families: the BMV
+fixture, standard ISO-BMFF/MP4 (full sample-table demux,
+ops/isobmff.py), and Matroska/WebM (EBML cluster/SimpleBlock walk,
+ops/ebml.py); only compressed-codec decode (h264/vp9) remains a
+documented gate — it genuinely requires ffmpeg/PyAV, absent from
+this container.
 
 Blobs are synthesized from deterministic, SQL-expressible rules
 (pixel = (doc_id*31 + x*7 + y*13) % 256; sample = ((doc_id*7919 +
@@ -48,6 +50,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
+from .ebml import demux_webm, is_webm, mux_webm
 from .isobmff import demux_mp4, is_mp4, mux_mp4
 
 # ----------------------------------------------------------- BMP codec
@@ -424,10 +427,24 @@ def sample_frames_batch(buf: bytes, stride_ms: int) -> list[tuple[int, bytes]]:
         span = samples[1][0] - samples[0][0] if len(samples) > 1 else stride_ms
         want = set(range(0, samples[-1][0] + max(span, 1), stride_ms))
         return [(ts, payload) for ts, payload in samples if ts in want]
+    if is_webm(bytes(buf[:4])):
+        codec, samples = demux_webm(bytes(buf))
+        if codec != "V_BMPF":
+            raise NotImplementedError(
+                f"webm demux OK ({len(samples)} blocks) but codec "
+                f"{codec} needs ffmpeg/PyAV to decode; only the "
+                "V_BMPF (BMP-in-mkv) fixture codec decodes in-environment"
+            )
+        if not samples:
+            return []
+        span = samples[1][0] - samples[0][0] if len(samples) > 1 else stride_ms
+        want = set(range(0, samples[-1][0] + max(span, 1), stride_ms))
+        return [(ts, payload) for ts, payload in samples if ts in want]
     if bytes(buf[:4]) != _BMV_MAGIC:
         raise NotImplementedError(
-            "unrecognized video container (webm/avi/…) — requires "
-            "ffmpeg/PyAV; BMV and mp4 demux in-environment"
+            "unrecognized video container (avi/mov-variants/…) — "
+            "requires ffmpeg/PyAV; BMV, mp4, and webm demux "
+            "in-environment"
         )
     n_total, frame_ms = struct.unpack_from("<II", buf, 4)
     body = buf[12:]
@@ -922,6 +939,97 @@ GROUP BY doc_id
 def mm_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     vids = attach_mp4_payload(d)
+    frames = sample_frames_df(vids)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "px_sum": [
+                        int(decode_bmp(bytes(b)).astype(np.int64).sum())
+                        for b in pdf["frame"]
+                    ],
+                }
+            )
+
+    sums = frames.mapInPandas(decode, schema="doc_id long, px_sum long")
+    return (
+        sums.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("px_sum").alias("frames_pixel_sum"),
+        )
+        .join(vids.select("doc_id", "duration_ms"), "doc_id")
+        .select("doc_id", "duration_ms", "n_frames", "frames_pixel_sum")
+    )
+
+
+def attach_webm_payload(d: DataFrame) -> DataFrame:
+    """Synthesize a real Matroska/WebM blob per doc: the same BMP
+    frames, packed as SimpleBlocks across multi-block clusters
+    (ops/ebml.py) under the V_BMPF codec id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, durs = [], []
+            for i, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                dur = max(int(n) * 10, 1)
+                n_total = -(-dur // VIDEO_FRAME_MS)
+                frames = [
+                    encode_bmp(synth_frame_pixels(int(i), k))
+                    for k in range(n_total)
+                ]
+                payloads.append(mux_webm(frames, VIDEO_FRAME_MS, "V_BMPF"))
+                durs.append(dur)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "duration_ms": durs,
+                    "payload": payloads,
+                }
+            )
+
+    return d.select("doc_id", "n_chars").mapInPandas(
+        run, schema="doc_id long, duration_ms long, payload binary"
+    )
+
+
+@register(
+    "mm_webm_demux",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, GREATEST(n_chars * 10, 1) AS dur
+    FROM documents WHERE doc_id < 500
+),
+samp AS (
+    SELECT doc_id, dur,
+           UNNEST(range(0, CAST(CEIL(dur / 1000.0) AS BIGINT))) AS i
+    FROM docs
+),
+xs AS (SELECT UNNEST(range(0, {VIDEO_FRAME_W})) AS x),
+ys AS (SELECT UNNEST(range(0, {VIDEO_FRAME_H})) AS y)
+SELECT doc_id,
+       CAST(MAX(dur) AS BIGINT) AS duration_ms,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS n_frames,
+       CAST(SUM((doc_id * 31 + (4 * i) * 17 + x * 7 + y * 13) % 256)
+            AS BIGINT) AS frames_pixel_sum
+FROM samp, xs, ys
+GROUP BY doc_id
+""",
+    doc="Matroska/WebM container demux end to end: real EBML varint "
+    "walk (Segment → Tracks/TrackEntry → Cluster → Timestamp + "
+    "SimpleBlock with relative timestamps, multi-block clusters — "
+    "ops/ebml.py, the walk any mkv reader performs), frames recovered "
+    "at 1 frame/s, BMP-decoded, pixel-summed. Same analytic oracle as "
+    "the mp4 and BMV paths, so all three container walks must agree "
+    "bit-for-bit. Compressed codecs (V_VP9/V_AV1) demux identically "
+    "but gate at decode where ffmpeg is genuinely required. Blobs "
+    "never shuffle — only scalar sums leave the demux task.",
+)
+def mm_webm_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    vids = attach_webm_payload(d)
     frames = sample_frames_df(vids)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -363,8 +363,13 @@ def test_mm_frame_container_codec():
         synth_frame_pixels,
     )
 
+    # mp4/webm now DEMUX in-environment (ops/isobmff.py, ops/ebml.py);
+    # a truncated mp4 fragment is a container parse error, and a
+    # container we don't walk (AVI) still gates on the absent ffmpeg
+    with _pytest.raises(ValueError):
+        sample_frames_batch(b"\x00\x00\x00\x18ftypmp42", 1000)  # truncated
     with _pytest.raises(NotImplementedError):
-        sample_frames_batch(b"\x00\x00\x00\x18ftypmp42", 1000)  # mp4 → ffmpeg
+        sample_frames_batch(b"RIFF\x00\x00\x00\x00AVI LIST", 1000)
     blob = encode_bmv(7, 3500)
     frames = sample_frames_batch(blob, 1000)
     assert [t for t, _ in frames] == [0, 1000, 2000, 3000]
@@ -672,3 +677,32 @@ def test_mp4_mux_demux_roundtrip_and_codec_gate():
     assert fourcc2 == b"bmpf"
     assert [p for _, p in out2] == samples
     assert [t for t, _ in out2] == [i * 250 for i in range(7)]
+
+
+def test_webm_mux_demux_roundtrip_and_codec_gate():
+    """Matroska/EBML container: mux→demux identity across multi-block
+    clusters (relative SimpleBlock timestamps + cluster Timestamp);
+    non-fixture codecs demux but refuse to decode."""
+    import pytest
+
+    from data_ingestion_pimcore_spark.ops.ebml import (
+        demux_webm,
+        is_webm,
+        mux_webm,
+    )
+    from data_ingestion_pimcore_spark.ops.multimodal import (
+        sample_frames_batch,
+    )
+
+    samples = [bytes([i] * (20 + i)) for i in range(11)]  # 3 clusters
+    buf = mux_webm(samples, 250, "V_BMPF", cluster_len=4)
+    assert is_webm(buf)
+    codec, out = demux_webm(buf)
+    assert codec == "V_BMPF"
+    assert [p for _, p in out] == samples
+    assert [t for t, _ in out] == [i * 250 for i in range(11)]
+
+    vp9 = mux_webm([b"\x82vp9"], 40, codec_id="V_VP9")
+    assert demux_webm(vp9)[1] == [(0, b"\x82vp9")]
+    with pytest.raises(NotImplementedError, match="V_VP9"):
+        sample_frames_batch(vp9, 1000)
