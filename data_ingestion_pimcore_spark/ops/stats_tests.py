@@ -1,0 +1,350 @@
+"""Statistical hypothesis tests and distribution analytics: chi-square
+independence, two-sample Kolmogorov–Smirnov, degree distribution of the
+trade graph, and exponentially-weighted recency smoothing.
+
+These close out the "statistics a warehouse analyst expects" family
+(SURVEY §2.2 beyond-reference analytics, next to stats_regression /
+stats_histogram / stats_skew_kurtosis in ops/analytics.py). Reference
+parity: the reference computes no statistics beyond record counts
+(/root/reference/app/services/json_reader.py:92 keeps a running total);
+everything here is engine-mandated extension surface.
+
+Scale design:
+
+* Chi-square reduces to ONE hash aggregate over the contingency cells
+  (cardinality = |priority| x |status|, tiny regardless of input size)
+  followed by windows over that tiny cell table — marginals never touch
+  the fact table again, so the whole test costs one map-side-combined
+  shuffle at any SF.
+* The KS statistic needs a global ECDF, which naively means a global
+  sort. Instead: pre-aggregate per distinct value (first shuffle,
+  combiner-friendly), range-repartition the distinct values, compute
+  per-partition prefix sums, and add broadcast per-partition offsets —
+  the same distributed prefix-sum shape as reshape_shuffle_global, so
+  no single-task sort anywhere. The 32-row offset table is the only
+  driver-independent serial step.
+* EWMA weights for a bounded horizon (last 8 events/user) are exact
+  decimal literals — no cross-engine Math.pow hazard — and the fold
+  becomes one weighted sum per user: window + aggregate share a single
+  hash partitioning on user_id (one shuffle total, AQE reuses the
+  exchange).
+* Degree distribution reuses the shared trade-graph builder
+  (ops/graph.py): a groupBy on the already-aggregated degree table.
+
+Cross-engine determinism: counts are integers; every double division
+is a single row-local IEEE op; every sum of doubles goes through the
+exact-decimal trick (`_det`); weights are exact decimals. Results are
+bit-identical to the DuckDB oracles regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+# ----------------------------------------------------------- chi-square
+
+_CHI2_SQL = """
+WITH obs AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+cell AS (
+  SELECT obs,
+         o_orderpriority,
+         o_orderstatus,
+         SUM(obs) OVER (PARTITION BY o_orderpriority) AS rt,
+         SUM(obs) OVER (PARTITION BY o_orderstatus) AS ct,
+         SUM(obs) OVER () AS n
+  FROM obs
+)
+SELECT
+  ROUND(CAST(SUM(CAST(
+      (obs - CAST(rt * ct AS DOUBLE) / n) * (obs - CAST(rt * ct AS DOUBLE) / n)
+      / (CAST(rt * ct AS DOUBLE) / n)
+    AS DECIMAL(25,12))) AS DOUBLE), 6) AS chi2,
+  (COUNT(DISTINCT o_orderpriority) - 1)
+    * (COUNT(DISTINCT o_orderstatus) - 1) AS dof,
+  CAST(SUM(obs) AS BIGINT) AS n
+FROM cell
+"""
+
+
+@register(
+    "stats_chi_square",
+    oracle=_CHI2_SQL,
+    doc="Chi-square test of independence between order priority and "
+    "order status. One hash aggregate builds the contingency table "
+    "(tiny: |priority| x |status| cells); marginals and the grand "
+    "total come from windows over that cell table, so the fact table "
+    "is scanned exactly once at any SF. Expected counts use the exact "
+    "integer product rt*ct divided once in double (identical IEEE op "
+    "in both engines); per-cell contributions sum via the exact-"
+    "decimal trick. Cells absent from the data contribute nothing on "
+    "either engine (identical construction), so parity holds even "
+    "when a (priority,status) combination never occurs.",
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus")
+    obs = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("obs")
+    )
+    cell = (
+        obs.withColumn(
+            "rt", F.sum("obs").over(Window.partitionBy("o_orderpriority"))
+        )
+        .withColumn("ct", F.sum("obs").over(Window.partitionBy("o_orderstatus")))
+        .withColumn("n", F.sum("obs").over(Window.partitionBy()))
+    )
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    contrib = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    return cell.agg(
+        F.round(F.sum(contrib.cast("decimal(25,12)")).cast("double"), 6).alias(
+            "chi2"
+        ),
+        (
+            (F.countDistinct("o_orderpriority") - F.lit(1))
+            * (F.countDistinct("o_orderstatus") - F.lit(1))
+        ).alias("dof"),
+        F.sum("obs").cast("long").alias("n"),
+    )
+
+
+# ------------------------------------------------- two-sample KS test
+
+_KS_SQL = """
+WITH pts AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS c2
+  FROM orders
+  WHERE o_orderstatus IN ('F', 'O')
+  GROUP BY o_totalprice
+),
+cum AS (
+  SELECT SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum1,
+         SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum2,
+         SUM(c1) OVER () AS n1,
+         SUM(c2) OVER () AS n2
+  FROM pts
+)
+SELECT CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+         / (MAX(n1) * MAX(n2)) AS d_stat,
+       CAST(MAX(n1) AS BIGINT) AS n1,
+       CAST(MAX(n2) AS BIGINT) AS n2
+FROM cum
+"""
+
+
+@register(
+    "stats_ks_test",
+    oracle=_KS_SQL,
+    doc="Two-sample Kolmogorov-Smirnov statistic between the total-"
+    "price distributions of finished ('F') and open ('O') orders: "
+    "D = sup over observed values of |ECDF_F - ECDF_O|, evaluated at "
+    "every distinct value from either sample (ties folded by the "
+    "per-value pre-aggregate, so the supremum is exact). The global "
+    "cumulative is a distributed prefix sum — per-value counts are "
+    "range-repartitioned, each partition computes local prefix sums, "
+    "and a broadcast 32-row per-partition offset table lifts them to "
+    "global — the same shape as reshape_shuffle_global, with no "
+    "single-task global sort. The oracle's single-threaded window is "
+    "semantically identical. All cumulative values are exact "
+    "integers and the supremum is taken over the exact integer "
+    "numerator |cum1*n2 - cum2*n1|; one final double division.",
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderstatus")
+    pts = (
+        orders.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("c2"),
+        )
+    )
+    # Distributed prefix sum: range-partition the distinct values so
+    # partition p holds a contiguous value range, then global cumulative
+    # = (sum of all earlier partitions, broadcast) + local cumulative.
+    ranged = pts.repartitionByRange(32, "v").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=False)  # pin pid/range assignment
+    per_part = ranged.groupBy("pid").agg(
+        F.sum("c1").alias("p1"), F.sum("c2").alias("p2")
+    )
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_part.select(
+        "pid",
+        F.coalesce(F.sum("p1").over(woff), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("p2").over(woff), F.lit(0)).alias("off2"),
+        F.sum("p1").over(Window.partitionBy()).alias("n1t"),
+        F.sum("p2").over(Window.partitionBy()).alias("n2t"),
+    )
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ranged.join(F.broadcast(offsets), "pid").select(
+        (F.col("off1") + F.sum("c1").over(wloc)).alias("cum1"),
+        (F.col("off2") + F.sum("c2").over(wloc)).alias("cum2"),
+        F.col("n1t"),
+        F.col("n2t"),
+    )
+    # The supremum is taken over EXACT integers |cum1*n2 - cum2*n1|
+    # (the common-denominator numerator of |F1 - F2|), then divided
+    # ONCE in double — a single correctly-rounded IEEE op on both
+    # engines, so no double-ROUND tie hazard can arise.
+    return cum.agg(
+        (
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2t") - F.col("cum2") * F.col("n1t"))
+            ).cast("double")
+            / (F.max("n1t") * F.max("n2t"))
+        ).alias("d_stat"),
+        F.max("n1t").cast("long").alias("n1"),
+        F.max("n2t").cast("long").alias("n2"),
+    )
+
+
+# ------------------------------------------------ degree distribution
+
+_DEGREE_SQL = """
+WITH edges AS (
+    SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+bi AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT dst AS src, src AS dst FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM bi GROUP BY src)
+SELECT outdeg, COUNT(*) AS n_nodes FROM deg GROUP BY outdeg
+"""
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=_DEGREE_SQL,
+    doc="Degree distribution of the customer-supplier trade graph "
+    "(same graph as graph_pagerank / graph_bfs_hops, built by the "
+    "shared ops/graph.py builder with its broadcast orders join): "
+    "number of nodes per degree. Two hash aggregates over the edge "
+    "list; the second runs on the already-reduced per-node degree "
+    "table. The skew diagnostic every graph pipeline runs before "
+    "choosing join strategies — a heavy tail here is what motivates "
+    "the degree-orientation in graph_triangle_count.",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import _trade_graph
+
+    _, deg = _trade_graph(spark, sf_dir)
+    return deg.groupBy("outdeg").agg(F.count("*").alias("n_nodes"))
+
+
+# ------------------------------------------------------ EWMA smoothing
+
+# Exact-decimal EWMA weights for alpha = 0.3 over the last m <= 8
+# events (newest first, rank 1 = newest):
+#   y = sum_{r=1}^{m-1} 0.3 * 0.7^(r-1) * x_r  +  0.7^(m-1) * x_m
+# 0.7^k terminates in decimal, so the weights are EXACT literals and
+# no cross-engine Math.pow / libm discrepancy can arise.
+_W_MID = ["0.3", "0.21", "0.147", "0.1029", "0.07203", "0.050421", "0.0352947"]
+_W_INIT = [
+    "1",
+    "0.7",
+    "0.49",
+    "0.343",
+    "0.2401",
+    "0.16807",
+    "0.117649",
+    "0.0823543",
+]
+
+
+def _sql_weight_case() -> str:
+    mid = " ".join(
+        f"WHEN rn = {r} THEN CAST({w} AS DECIMAL(10,7))"
+        for r, w in enumerate(_W_MID, start=1)
+    )
+    init = " ".join(
+        f"WHEN {m} THEN CAST({w} AS DECIMAL(10,7))"
+        for m, w in enumerate(_W_INIT, start=1)
+    )
+    return f"CASE WHEN rn = m THEN (CASE m {init} END) {mid} END"
+
+
+_EWMA_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+recent AS (
+  SELECT user_id, value, rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS m
+  FROM ranked WHERE rn <= 8
+)
+SELECT user_id,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))
+                      * ({_sql_weight_case()})), 8) AS DOUBLE) AS ewma,
+       CAST(MAX(m) AS INT) AS n_used
+FROM recent
+GROUP BY user_id
+"""
+
+
+@register(
+    "ts_ewma_recent",
+    oracle=_EWMA_SQL,
+    doc="Per-user exponentially-weighted moving average (alpha=0.3) "
+    "over each user's 8 most recent event values — the classic "
+    "recency feature for activity scoring. The recursion unrolls to "
+    "a weighted sum whose weights are EXACT decimal literals (0.7^k "
+    "terminates in decimal), so the fold is one hash aggregate with "
+    "no cross-engine pow() hazard; value*weight multiplies exactly "
+    "in decimal and sums exactly. Window rank and the aggregate both "
+    "hash-partition on user_id, so the whole feature costs ONE "
+    "shuffle; ordering ties break on event_id (microsecond ts + id, "
+    "the ADVICE r03 rule).",
+)
+def ts_ewma_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    wrank = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        ev.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= 8)
+        .withColumn(
+            "m", F.count("*").over(Window.partitionBy("user_id")).cast("int")
+        )
+    )
+    mid_w = F.element_at(
+        F.array(*[F.lit(w).cast("decimal(10,7)") for w in _W_MID]), F.col("rn")
+    )
+    init_w = F.element_at(
+        F.array(*[F.lit(w).cast("decimal(10,7)") for w in _W_INIT]), F.col("m")
+    )
+    weight = F.when(F.col("rn") == F.col("m"), init_w).otherwise(mid_w)
+    return recent.groupBy("user_id").agg(
+        # Round IN DECIMAL (both engines: HALF_UP / half-away-from-zero
+        # on the exact sum — a decimal->decimal downscale CAST would
+        # TRUNCATE in DuckDB, and a double-domain ROUND has shortest-
+        # repr tie hazards), then one exact decimal->double conversion
+        # (units < 2^53 at scale 8).
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)") * weight), 8
+        )
+        .cast("double")
+        .alias("ewma"),
+        F.max("m").cast("int").alias("n_used"),
+    )

@@ -154,6 +154,7 @@ def _load_ops() -> None:
         relational,
         reshape,
         similarity,
+        stats_tests,
         textops,
         timeseries,
         tpch_extra,
