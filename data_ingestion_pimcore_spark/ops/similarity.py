@@ -708,3 +708,115 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= PAIR_THRESHOLD)
         .select("vec_a", "vec_b", cos.alias("cosine"))
     )
+
+
+# ---------------------------------------------- SemDeDup semantic dedup
+
+SEMDEDUP_K = 16  # centroid count: the first K vectors by vec_id
+SEMDEDUP_THRESHOLD = 0.35
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SEMDEDUP_K}
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 9) DESC,
+                    c.cid ASC) AS rnk
+  FROM e, cent c
+),
+assign AS (
+  SELECT s.vec_id, s.cid AS cluster, e.v
+  FROM scored s JOIN e ON e.vec_id = s.vec_id
+  WHERE s.rnk = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 9) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cluster,
+       CASE WHEN d.vec_id IS NULL THEN FALSE ELSE TRUE END AS is_dup
+FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+""",
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023, "
+    "arXiv:2303.09540): assign every embedding to its nearest of K "
+    "deterministic centroids (the first K vectors by vec_id — k-means "
+    "init without the iterations, so the oracle can rebuild the "
+    "identical partition in SQL), then mark a vector a semantic "
+    "duplicate iff an earlier (lower vec_id) vector in the SAME "
+    "cluster has cosine >= threshold. Scale story: the pairwise step "
+    "is confined within clusters — the equi-join on the cluster id is "
+    "the only O(pairs) site and its volume is sum(|cluster|^2), the "
+    "same bound real SemDeDup runs exploit at corpus scale; an "
+    "oversized cell is subdivided by re-clustering its members "
+    "(exactly the IVF cell-split strategy used in sim_knn_ivf) rather than "
+    "capped, so recall never silently degrades. Assignment itself is "
+    "a broadcast nested-loop over K centroids (map-side, no shuffle); "
+    "the cluster equi-join and per-vector window are the two hash "
+    "exchanges. Cosines round to 9 decimals (bit-identical to "
+    "DuckDB's list_cosine_similarity); tie-break on centroid id.",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        nsq_col(F.col("embedding")).alias("nsq"),
+    )
+    cent = e.where(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nsq").alias("cn"),
+    )
+    scored = e.join(F.broadcast(cent)).withColumn(
+        "cos", F.round(cosine_col(F.col("v"), F.col("cv"), F.col("nsq"), F.col("cn")), 9)
+    )
+    wbest = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    assign = (
+        scored.withColumn("rnk", F.row_number().over(wbest))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"), "v", "nsq")
+        .localCheckpoint(eager=False)  # referenced twice (pair join sides)
+    )
+    a = assign.select(
+        F.col("vec_id").alias("ida"),
+        F.col("cluster"),
+        F.col("v").alias("va"),
+        F.col("nsq").alias("na"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("idb"),
+        F.col("cluster"),
+        F.col("v").alias("vb"),
+        F.col("nsq").alias("nb"),
+    )
+    dups = (
+        a.join(b, "cluster")
+        .where(F.col("ida") < F.col("idb"))
+        .where(
+            F.round(
+                cosine_col(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 9
+            )
+            >= SEMDEDUP_THRESHOLD
+        )
+        .select(F.col("idb").alias("dup_id"))
+        .distinct()
+    )
+    return assign.join(
+        dups, assign["vec_id"] == dups["dup_id"], "left"
+    ).select(
+        "vec_id",
+        "cluster",
+        F.col("dup_id").isNotNull().alias("is_dup"),
+    )
