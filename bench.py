@@ -117,6 +117,11 @@ HEADLINE = [
     "join_bloom_prefilter",
     "mm_mp4_demux",
     "mm_webm_demux",
+    # round-4 second wave: hypothesis tests, EWMA recency, SemDeDup
+    "stats_chi_square",
+    "stats_ks_test",
+    "ts_ewma_recent",
+    "dedup_semantic_clusters",
 ]
 
 
