@@ -122,6 +122,7 @@ HEADLINE = [
     "stats_ks_test",
     "ts_ewma_recent",
     "dedup_semantic_clusters",
+    "ts_changepoint_cusum",
 ]
 
 

@@ -348,3 +348,80 @@ def ts_ewma_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ewma"),
         F.max("m").cast("int").alias("n_used"),
     )
+
+
+# ------------------------------------------------ CUSUM changepoint
+
+_CUSUM_SQL = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+series AS (
+  SELECT event_type, h, c,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(c) OVER (PARTITION BY event_type) AS s,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS k
+  FROM hourly
+),
+stat AS (
+  SELECT event_type, h, n, s,
+         n * run - k * s AS cusum,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(n * run - k * s) DESC, h ASC) AS r
+  FROM series
+)
+SELECT event_type,
+       STRFTIME(h, '%Y-%m-%d %H:00') AS change_hour,
+       CAST(ABS(cusum) AS DOUBLE) / n AS magnitude,
+       CAST(n AS BIGINT) AS n_hours
+FROM stat WHERE r = 1
+"""
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle=_CUSUM_SQL,
+    doc="CUSUM changepoint detection per event type over hourly volume "
+    "series: the hour where the cumulative deviation from the series "
+    "mean peaks. The statistic is kept EXACTLY INTEGER by scaling — "
+    "cusum_k = n*run_k - k*S instead of run_k - k*(S/n) — so the "
+    "argmax (tie-broken on earliest hour) is bit-deterministic with "
+    "no float comparison anywhere; magnitude divides once in double "
+    "at the end. One hash aggregate collapses raw events to "
+    "O(types x hours); every window partitions on event_type, so the "
+    "whole detector rides ONE shuffle of the tiny hourly table. The "
+    "date column goes out as a formatted string (verify-recipe rule: "
+    "no raw DATE/TIMESTAMP in compared output).",
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("c"))
+    wp = Window.partitionBy("event_type")
+    wrun = wp.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    series = hourly.select(
+        "event_type",
+        "h",
+        F.count("*").over(wp).alias("n"),
+        F.sum("c").over(wp).alias("s"),
+        F.sum("c").over(wrun).alias("run"),
+        F.row_number().over(wp.orderBy("h")).alias("k"),
+    )
+    stat = series.withColumn(
+        "cusum", F.col("n") * F.col("run") - F.col("k") * F.col("s")
+    ).withColumn(
+        "r",
+        F.row_number().over(
+            wp.orderBy(F.abs(F.col("cusum")).desc(), F.col("h").asc())
+        ),
+    )
+    return stat.where(F.col("r") == 1).select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("change_hour"),
+        (F.abs(F.col("cusum")).cast("double") / F.col("n")).alias("magnitude"),
+        F.col("n").cast("long").alias("n_hours"),
+    )
