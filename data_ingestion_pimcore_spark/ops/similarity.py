@@ -716,6 +716,34 @@ SEMDEDUP_K = 16  # centroid count: the first K vectors by vec_id
 SEMDEDUP_THRESHOLD = 0.35
 
 
+def _semantic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint centroid assignment: broadcast-NL over K rows +
+    one per-vector window. Split out so plan tests can pin its shape
+    (the localCheckpoint barrier in the full query hides it behind an
+    ExistingRDD scan — the test_plan_lint exempt-list concern)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        nsq_col(F.col("embedding")).alias("nsq"),
+    )
+    cent = e.where(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nsq").alias("cn"),
+    )
+    scored = e.join(F.broadcast(cent)).withColumn(
+        "cos", F.round(cosine_col(F.col("v"), F.col("cv"), F.col("nsq"), F.col("cn")), 9)
+    )
+    wbest = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wbest))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"), "v", "nsq")
+    )
+
+
 @register(
     "dedup_semantic_clusters",
     oracle=f"""
@@ -767,28 +795,8 @@ FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
     "DuckDB's list_cosine_similarity); tie-break on centroid id.",
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        nsq_col(F.col("embedding")).alias("nsq"),
-    )
-    cent = e.where(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nsq").alias("cn"),
-    )
-    scored = e.join(F.broadcast(cent)).withColumn(
-        "cos", F.round(cosine_col(F.col("v"), F.col("cv"), F.col("nsq"), F.col("cn")), 9)
-    )
-    wbest = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("cid").asc()
-    )
-    assign = (
-        scored.withColumn("rnk", F.row_number().over(wbest))
-        .where(F.col("rnk") == 1)
-        .select("vec_id", F.col("cid").alias("cluster"), "v", "nsq")
-        .localCheckpoint(eager=False)  # referenced twice (pair join sides)
-    )
+    # checkpoint: referenced three times (both pair-join sides + output)
+    assign = _semantic_assign(spark, sf_dir).localCheckpoint(eager=False)
     a = assign.select(
         F.col("vec_id").alias("ida"),
         F.col("cluster"),

@@ -825,3 +825,86 @@ def test_chunk_windows_is_map_side_generate_no_exchange(spark):
     # the explode, inside whole-stage codegen (the '*' marker in
     # formatted mode)
     assert "* Generate" in tree
+
+
+def test_chi_square_scans_orders_once(spark):
+    tree = tree_of(spark, "stats_chi_square")
+    # the fact table feeds ONE hash aggregate; marginals come from
+    # windows over the tiny cell table, never a second orders scan
+    assert tree.count("Scan parquet") == 1
+    plan = plan_of(spark, "stats_chi_square")
+    m = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and all("o_orderpriority" in s and "o_totalprice" not in s for s in m)
+
+
+def test_ks_test_distributed_prefix_sum_shape(spark):
+    tree = tree_of(spark, "stats_ks_test")
+    plan = plan_of(spark, "stats_ks_test")
+    # per-partition offsets join the ranged table via broadcast, and the
+    # in-partition cumulative window partitions by pid (parallel, not a
+    # single-task global window); the localCheckpoint barrier hides the
+    # upstream scan, so pushdown is asserted on the pre-checkpoint stage
+    # below, not here
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ks_test_status_filter_pushed_to_scan(spark):
+    # the pre-checkpoint per-value aggregate: status IN-filter must reach
+    # the parquet scan and only the two needed columns are read
+    from data_ingestion_pimcore_spark.tables import load
+
+    orders = load(spark, SF, "orders").select("o_totalprice", "o_orderstatus")
+    pts = (
+        orders.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    plan = pts._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "In(o_orderstatus" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and "o_orderdate" not in m.group(1)
+
+
+def test_semantic_dedup_assignment_is_broadcast_nl_one_window(spark):
+    # the pre-checkpoint assignment stage: broadcast nested loop over K
+    # centroid rows (map-side, not CartesianProduct), one per-vector
+    # window; pinned directly because the full query's localCheckpoint
+    # hides this subtree behind an ExistingRDD scan
+    from data_ingestion_pimcore_spark.ops.similarity import _semantic_assign
+
+    df = _semantic_assign(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = plan.split("\n\n(1)")[0]
+    assert "BroadcastNestedLoopJoin" in tree
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pair_join_is_equi_join(spark):
+    plan = plan_of(spark, "dedup_semantic_clusters")
+    # the within-cluster pair step compiles to an equi-join on the
+    # cluster id — never an all-pairs cartesian
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_window_and_agg_share_one_user_exchange(spark):
+    tree = tree_of(spark, "ts_ewma_recent")
+    plan = plan_of(spark, "ts_ewma_recent")
+    # ONE exchange total (hash on user_id) feeds rank window + final
+    # aggregate; the rn<=8 filter plants WindowGroupLimit so each
+    # group's sort short-circuits at 8 rows
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "WindowGroupLimit" in tree
+
+
+def test_cusum_rides_one_event_type_exchange(spark):
+    tree = tree_of(spark, "ts_changepoint_cusum")
+    # raw events collapse in one (event_type, hour) aggregate; every
+    # window after that partitions on event_type only
+    assert tree.count("Exchange hashpartitioning(event_type") <= 2
+    assert "CartesianProduct" not in tree
