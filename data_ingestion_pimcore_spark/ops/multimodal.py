@@ -1054,3 +1054,110 @@ def mm_webm_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vids.select("doc_id", "duration_ms"), "doc_id")
         .select("doc_id", "duration_ms", "n_frames", "frames_pixel_sum")
     )
+
+
+# ------------------------------------------------ voice activity (VAD)
+
+VAD_FRAME = 160  # 10 ms at 16 kHz
+# frame activity threshold = frame_len * E[|sample|] for samples
+# uniform over int16: 160 * 16384
+VAD_THRESHOLD = VAD_FRAME * 16384
+
+
+@register(
+    "mm_audio_vad",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, 800 + (doc_id * 37) % 800 AS n
+    FROM documents WHERE doc_id < 500
+),
+ii AS (SELECT UNNEST(range(0, {MAX_AUDIO_N})) AS i),
+fe AS (
+    SELECT doc_id, i // {VAD_FRAME} AS f,
+           SUM(ABS(((doc_id * 7919 + i * 104729) % 65536) - 32768)) AS energy
+    FROM docs, ii
+    WHERE i < (n // {VAD_FRAME}) * {VAD_FRAME}
+    GROUP BY doc_id, i // {VAD_FRAME}
+),
+fl AS (
+    SELECT doc_id, f,
+           CASE WHEN energy >= {VAD_THRESHOLD} THEN 1 ELSE 0 END AS active
+    FROM fe
+),
+isl AS (
+    SELECT doc_id, f, active,
+           f - ROW_NUMBER() OVER (PARTITION BY doc_id, active
+                                  ORDER BY f) AS grp
+    FROM fl
+),
+runs AS (
+    SELECT doc_id, COUNT(*) AS run_len
+    FROM isl WHERE active = 1
+    GROUP BY doc_id, grp
+)
+SELECT fl.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(active) AS BIGINT) AS n_active,
+       CAST(COALESCE(MAX(r.n_segments), 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(MAX(r.longest), 0) AS BIGINT) AS longest_run
+FROM fl
+LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n_segments, MAX(run_len) AS longest
+    FROM runs GROUP BY doc_id
+) r ON r.doc_id = fl.doc_id
+GROUP BY fl.doc_id
+""",
+    doc="Voice-activity detection over real WAV payloads: synthesize a "
+    "genuine RIFF/WAVE clip per doc, decode it (header-parsed), frame "
+    "the PCM into 10 ms windows, flag frames whose absolute energy "
+    "clears a fixed threshold, and emit per-clip segmentation stats "
+    "(active frames, speech segments = runs of active frames, longest "
+    "run). All emitted stats are exact integers; the oracle recomputes "
+    "frame energies analytically and derives runs with the gaps-and-"
+    "islands window. Arrow-batched mapInPandas; only O(1) integers per "
+    "clip leave the executor — PCM never shuffles, so the detector "
+    "scales to a 100 TB audio corpus exactly like mm_audio_resample.",
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for doc_id in pdf["doc_id"]:
+                blob = encode_wav(synth_samples(int(doc_id)))
+                _, pcm = decode_wav(blob)
+                nf = len(pcm) // VAD_FRAME
+                frames = (
+                    np.abs(pcm[: nf * VAD_FRAME].astype(np.int64))
+                    .reshape(nf, VAD_FRAME)
+                    .sum(axis=1)
+                )
+                active = frames >= VAD_THRESHOLD
+                # run-length encode the activity mask
+                edges = np.diff(active.astype(np.int8), prepend=0)
+                starts = int((edges == 1).sum())
+                longest = 0
+                run = 0
+                for a in active:
+                    run = run + 1 if a else 0
+                    longest = max(longest, run)
+                out.append(
+                    (int(doc_id), nf, int(active.sum()), starts, longest)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_frames", "n_active", "n_segments",
+                    "longest_run",
+                ],
+            )
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return d.select("doc_id").mapInPandas(
+        vad,
+        schema=(
+            "doc_id long, n_frames long, n_active long, n_segments long, "
+            "longest_run long"
+        ),
+    )
