@@ -199,14 +199,24 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("c_custkey") * 2).alias("node"))
         .distinct()
     )
+    # Frontier and visited are node-sized (≤|V|) while bi is edge-sized:
+    # broadcasting both into the expansion keeps every round's edge scan
+    # map-side (no edge shuffle). A/B interleaved at sf0.1: 2.40 s vs
+    # 2.74 s min, identical results. On a graph whose frontier outgrows
+    # a broadcast, drop the two hints — the plan degrades to the
+    # standard O(frontier edges) shuffle joins this docstring describes.
     visited = seeds.withColumn("hops", F.lit(0)).localCheckpoint(eager=False)
     frontier = visited.select("node")
     for k in range(1, _MAX_HOPS + 1):
         nxt = (
-            frontier.join(bi, F.col("node") == F.col("src"))
+            bi.join(F.broadcast(frontier), F.col("src") == F.col("node"))
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(
+                F.broadcast(visited.select(F.col("node").alias("vn"))),
+                F.col("node") == F.col("vn"),
+                "left_anti",
+            )
             .withColumn("hops", F.lit(k))
             .localCheckpoint(eager=False)
         )
