@@ -425,3 +425,89 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("cusum")).cast("double") / F.col("n")).alias("magnitude"),
         F.col("n").cast("long").alias("n_hours"),
     )
+
+
+# ------------------------------------------------ Benford digit audit
+
+# log10(1 + 1/d) for d = 1..9, rounded to 9 decimals and fixed as
+# LITERALS: computing them at runtime would put libm log10 in the
+# compared output (1-ulp cross-engine hazard, verify-recipe rule).
+_BENFORD_P = [
+    "0.301029996",
+    "0.176091259",
+    "0.124938737",
+    "0.096910013",
+    "0.079181246",
+    "0.066946790",
+    "0.057991947",
+    "0.051152522",
+    "0.045757491",
+]
+
+_BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (
+  SELECT digit, COUNT(*) AS observed FROM digits GROUP BY digit
+),
+tot AS (SELECT digit, observed, SUM(observed) OVER () AS n FROM obs)
+SELECT digit,
+       CAST(observed AS BIGINT) AS observed,
+       CAST(CASE digit {" ".join(f"WHEN {d} THEN CAST({p} AS DECIMAL(12,9))"
+                                 for d, p in enumerate(_BENFORD_P, start=1))}
+            END AS DOUBLE) AS expected_p,
+       CAST(observed AS DOUBLE) / n
+         - CAST(CASE digit {" ".join(f"WHEN {d} THEN CAST({p} AS DECIMAL(12,9))"
+                                     for d, p in enumerate(_BENFORD_P, start=1))}
+                END AS DOUBLE) AS deviation
+FROM tot
+"""
+
+
+@register(
+    "stats_benford_digits",
+    oracle=_BENFORD_SQL,
+    doc="Benford's-law first-digit audit over order totals — the "
+    "classic financial-data-quality screen. The leading digit is "
+    "extracted ARITHMETICALLY: price -> DECIMAL(18,2) (correctly-"
+    "rounded conversion in both engines) -> exact integer cents -> "
+    "first character of the integer's decimal string, so no float "
+    "formatting or log10 enters the digit key. Expected Benford "
+    "probabilities are 9-decimal literals (runtime log10 would be a "
+    "1-ulp libm hazard); the observed share divides once in double. "
+    "One hash aggregate over the fact table; everything after runs on "
+    "9 rows.",
+)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_totalprice")
+    digit = (
+        F.substring(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = (
+        orders.where(F.col("o_totalprice") > 0)
+        .select(digit)
+        .groupBy("digit")
+        .agg(F.count("*").alias("observed"))
+    )
+    tot = obs.withColumn("n", F.sum("observed").over(Window.partitionBy()))
+    p = F.element_at(
+        F.array(*[F.lit(x).cast("decimal(12,9)") for x in _BENFORD_P]),
+        F.col("digit"),
+    ).cast("double")
+    return tot.select(
+        "digit",
+        F.col("observed").cast("long").alias("observed"),
+        p.alias("expected_p"),
+        (F.col("observed").cast("double") / F.col("n") - p).alias("deviation"),
+    )
