@@ -123,6 +123,8 @@ HEADLINE = [
     "ts_ewma_recent",
     "dedup_semantic_clusters",
     "ts_changepoint_cusum",
+    "stats_benford_digits",
+    "mm_audio_vad",
 ]
 
 
