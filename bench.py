@@ -125,6 +125,9 @@ HEADLINE = [
     "ts_changepoint_cusum",
     "stats_benford_digits",
     "mm_audio_vad",
+    # surfaced by the round-4 BENCH_ALL sweep as a hidden 12 s outlier
+    # (codegen-budget blowout), reworked; benched so it stays visible
+    "dedup_embedding_lsh",
 ]
 
 
