@@ -602,6 +602,51 @@ def _hyperplane_sign_sql(d: str, b: str) -> str:
     return f"CASE WHEN ({d} * 1103515245 + {b} * 12345) % 97 < 48 THEN 1 ELSE -1 END"
 
 
+def _lsh_codes(e: DataFrame) -> DataFrame:
+    """Pre-checkpoint signature stage, split out so plan tests can pin
+    its codegen shape (the checkpoint barrier in the full query hides
+    it behind an ExistingRDD scan)."""
+    # Signatures via posexplode + hash aggregation rather than 32
+    # per-row fold expressions: the fold form builds a Catalyst tree of
+    # 32 x 64 lambda terms per row that blows past the whole-stage-
+    # codegen bytecode budget and drops to interpreted eval — A/B at
+    # sf0.1: 12.4 s -> 0.7 s warm for the code table (identical codes).
+    # Cost stays O(dims x bits) per vector either way, but this shape
+    # is plain codegen'd expressions; partial aggregation collapses the
+    # 2048 term rows per vector to 32 before either exchange, so the
+    # shuffles carry 32 tiny rows per vector at any corpus size. Bit
+    # sums are exact DECIMAL (order-insensitive), so the signatures are
+    # unchanged.
+    el = e.select("vec_id", F.posexplode("embedding"))
+    terms = el.select(
+        "vec_id",
+        F.col("pos").cast("bigint").alias("d"),
+        F.col("col").cast("double").cast("decimal(18,9)").alias("x"),
+    ).select(
+        "vec_id",
+        "d",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BITS - 1))).alias("b"),
+    )
+    sgn = F.when(
+        (F.col("d") * 1103515245 + F.col("b").cast("bigint") * 12345) % 97 < 48, 1
+    ).otherwise(-1)
+    bits = (
+        terms.groupBy("vec_id", "b")
+        .agg(F.sum(F.col("x") * sgn).alias("s"))
+        .select(
+            "vec_id", "b", F.when(F.col("s") >= 0, 1).otherwise(0).alias("bit")
+        )
+    )
+    return bits.groupBy(
+        "vec_id", (F.col("b") / 8).cast("int").alias("band")
+    ).agg(
+        F.sum(F.expr("shiftleft(CAST(bit AS BIGINT), CAST(b % 8 AS INT))"))
+        .cast("bigint")
+        .alias("code")
+    )
+
+
 @register(
     "dedup_embedding_lsh",
     oracle=f"""
@@ -651,50 +696,9 @@ WHERE ROUND(list_cosine_similarity(x.v, y.v), 9) >= {PAIR_THRESHOLD}
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    # Signatures via posexplode + hash aggregation rather than 32
-    # per-row fold expressions: the fold form builds a Catalyst tree of
-    # 32 x 64 lambda terms per row that blows past the whole-stage-
-    # codegen bytecode budget and drops to interpreted eval — A/B at
-    # sf0.1: 12.4 s -> 0.7 s warm for the code table (identical codes).
-    # Cost stays O(dims x bits) per vector either way, but this shape
-    # is plain codegen'd expressions; partial aggregation collapses the
-    # 2048 term rows per vector to 32 before either exchange, so the
-    # shuffles carry 32 tiny rows per vector at any corpus size. Bit
-    # sums are exact DECIMAL (order-insensitive), so the signatures are
-    # unchanged.
-    el = e.select("vec_id", F.posexplode("embedding"))
-    terms = el.select(
-        "vec_id",
-        F.col("pos").cast("bigint").alias("d"),
-        F.col("col").cast("double").cast("decimal(18,9)").alias("x"),
-    ).select(
-        "vec_id",
-        "d",
-        "x",
-        F.explode(F.sequence(F.lit(0), F.lit(LSH_BITS - 1))).alias("b"),
-    )
-    sgn = F.when(
-        (F.col("d") * 1103515245 + F.col("b").cast("bigint") * 12345) % 97 < 48, 1
-    ).otherwise(-1)
-    bits = (
-        terms.groupBy("vec_id", "b")
-        .agg(F.sum(F.col("x") * sgn).alias("s"))
-        .select(
-            "vec_id", "b", F.when(F.col("s") >= 0, 1).otherwise(0).alias("bit")
-        )
-    )
-    codes = (
-        bits.groupBy("vec_id", (F.col("b") / 8).cast("int").alias("band"))
-        .agg(
-            F.sum(F.expr("shiftleft(CAST(bit AS BIGINT), CAST(b % 8 AS INT))"))
-            .cast("bigint")
-            .alias("code")
-        )
-        # referenced by BOTH sides of the band self-join below — without
-        # the checkpoint the whole signature pipeline runs twice
-        .localCheckpoint(eager=False)
-    )
+    # checkpoint: referenced by BOTH sides of the band self-join below —
+    # without it the whole signature pipeline runs twice
+    codes = _lsh_codes(e).localCheckpoint(eager=False)
 
     a, c = codes.alias("a"), codes.alias("c")
     cand = (

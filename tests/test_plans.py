@@ -908,3 +908,22 @@ def test_cusum_rides_one_event_type_exchange(spark):
     # window after that partitions on event_type only
     assert tree.count("Exchange hashpartitioning(event_type") <= 2
     assert "CartesianProduct" not in tree
+
+
+def test_lsh_signature_stage_is_codegen_aggregates_not_giant_folds(spark):
+    # the signature stage must stay on the posexplode + hash-aggregate
+    # path: two Generates and two partial+final aggregate pairs, no
+    # joins — the 32-fold-expressions-per-row form blew the codegen
+    # budget and ran interpreted (12.4 s -> 4 s at sf0.1); pinned on
+    # the split-out stage because the checkpoint barrier hides it
+    from data_ingestion_pimcore_spark.ops.similarity import _lsh_codes
+    from data_ingestion_pimcore_spark.tables import load
+
+    e = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    plan = _lsh_codes(e)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = plan.split("\n\n(1)")[0]
+    assert tree.count("Generate") == 2
+    assert tree.count("HashAggregate") == 4  # two partial+final pairs
+    assert "Join" not in tree
