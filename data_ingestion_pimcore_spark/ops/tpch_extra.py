@@ -627,22 +627,38 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eu_nations, F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    ps_eu = ps.join(
-        supp_eu, F.col("ps_suppkey") == F.col("s_suppkey")
-    ).select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
-    min_cost = ps_eu.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
     part = load(spark, sf_dir, "part").where(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_name")
+    # The correlated per-part min is independent of the part predicate,
+    # so restricting partsupp to the filtered parts FIRST (broadcast —
+    # the predicate keeps it dimension-sized) is lossless and shrinks
+    # both the min aggregate and the join-back; ps_eu is then
+    # checkpointed because the min + join-back reference it twice (the
+    # md5-derived partsupp would otherwise recompute). A/B at sf0.1:
+    # 1.24 s vs 2.32 s min, identical rows.
+    ps_f = ps.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("ps_partkey") == F.col("p_partkey"),
+    ).drop("p_partkey")
+    ps_eu = (
+        ps_f.join(supp_eu, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey", "ps_suppkey", "ps_supplycost",
+            "s_name", "s_acctbal", "n_name",
+        )
+        .localCheckpoint(eager=False)
+    )
+    min_cost = ps_eu.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
     return (
         ps_eu.join(
             min_cost,
             (F.col("ps_partkey") == F.col("mc_partkey"))
             & (F.col("ps_supplycost") == F.col("min_cost")),
         )
-        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
