@@ -705,6 +705,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ps_partkey",
             (F.col("ps_supplycost") * F.col("ps_availqty")).cast(dec).alias("v"),
         )
+        # referenced by BOTH aggregates (per-part and the global
+        # threshold) — checkpoint so the md5-derived partsupp is
+        # computed once, same fix as q2_min_cost_supplier
+        .localCheckpoint(eager=False)
     )
     per_part = scoped.groupBy("ps_partkey").agg(F.sum("v").alias("v_sum"))
     total = scoped.agg((F.sum("v") * F.lit(0.002)).alias("threshold"))
