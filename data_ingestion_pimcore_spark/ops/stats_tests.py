@@ -511,3 +511,167 @@ def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("expected_p"),
         (F.col("observed").cast("double") / F.col("n") - p).alias("deviation"),
     )
+
+
+# ------------------------------------------- LTTB series downsampling
+
+LTTB_BUCKETS = 60
+
+
+_LTTB_SQL = f"""
+WITH pts AS (
+  SELECT event_id, value AS v, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'
+),
+bounds AS (SELECT MIN(t) AS tmin, MAX(t) AS tmax FROM pts),
+bk AS (
+  SELECT event_id, v, t,
+         ((t - tmin) * {LTTB_BUCKETS}) // (tmax - tmin + 1) AS b,
+         (t - tmin) // 1000000 AS ts_rel
+  FROM pts, bounds
+),
+m AS (
+  SELECT b,
+         CAST(SUM(CAST(ts_rel AS DECIMAL(25,0))) AS DOUBLE) / COUNT(*) AS mt,
+         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mv,
+         LAG(CAST(SUM(CAST(ts_rel AS DECIMAL(25,0))) AS DOUBLE) / COUNT(*))
+           OVER (ORDER BY b) AS pt,
+         LAG(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+           OVER (ORDER BY b) AS pv,
+         LEAD(CAST(SUM(CAST(ts_rel AS DECIMAL(25,0))) AS DOUBLE) / COUNT(*))
+           OVER (ORDER BY b) AS nt,
+         LEAD(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+           OVER (ORDER BY b) AS nv
+  FROM bk GROUP BY b
+),
+scored AS (
+  SELECT bk.b, bk.event_id, bk.t, bk.v,
+         ABS((m.pt - m.nt) * (bk.v - m.pv)
+             - (m.pt - CAST(bk.ts_rel AS DOUBLE)) * (m.nv - m.pv)) AS area,
+         ROW_NUMBER() OVER (
+           PARTITION BY bk.b
+           ORDER BY ABS((m.pt - m.nt) * (bk.v - m.pv)
+                        - (m.pt - CAST(bk.ts_rel AS DOUBLE)) * (m.nv - m.pv))
+                      DESC,
+                    bk.event_id ASC) AS r
+  FROM bk JOIN m ON m.b = bk.b
+  WHERE m.pt IS NOT NULL AND m.nt IS NOT NULL
+),
+ends AS (
+  SELECT b, event_id, t, v,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY t, event_id) AS r
+  FROM bk WHERE b = 0 OR b = (SELECT MAX(b) FROM bk)
+)
+SELECT CAST(b AS BIGINT) AS bucket, CAST(event_id AS BIGINT) AS event_id,
+       CAST(t AS BIGINT) AS t_us, v
+FROM scored WHERE r = 1
+UNION ALL
+SELECT CAST(b AS BIGINT), CAST(event_id AS BIGINT), CAST(t AS BIGINT), v
+FROM ends
+WHERE (b = 0 AND r = 1)
+   OR (b <> 0 AND r = (SELECT COUNT(*) FROM bk k WHERE k.b = ends.b))
+"""
+
+
+@register(
+    "ts_downsample_lttb",
+    oracle=_LTTB_SQL,
+    doc="Largest-Triangle-Three-Buckets series downsampling (Steinarsson "
+    "2013) in the PARALLEL variant: triangle anchors are the adjacent "
+    "buckets' mean points (classic LTTB anchors on the previously "
+    "selected point, a sequential dependency that cannot distribute); "
+    "per bucket, keep the point with the largest triangle area; the "
+    "first/last buckets keep the series endpoints, as LTTB specifies. "
+    "Determinism: bucket ids and the geometry's time coordinate are "
+    "exact integers (relative SECONDS, so decimal sums stay far under "
+    "2^53 before the mean's single double division); every area is "
+    "one structurally-identical chain of row-local IEEE ops, and the "
+    "argmax tie-breaks on event_id. One groupBy for bucket means "
+    "(tiny), one window partitioned by bucket — the point stream "
+    "shuffles once on the bucket key.",
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    pts = ev.select(
+        "event_id", F.col("value").alias("v"), F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    bounds = pts.agg(F.min("t").alias("tmin"), F.max("t").alias("tmax"))
+    bk = pts.join(F.broadcast(bounds)).select(
+        "event_id",
+        "v",
+        "t",
+        # exact integer bucket id: long multiply then integer DIV —
+        # a double divide + cast would round in DuckDB but truncate in
+        # Spark at exact boundaries
+        F.expr(
+            f"((t - tmin) * {LTTB_BUCKETS}) div (tmax - tmin + 1)"
+        ).alias("b"),
+        F.floor((F.col("t") - F.col("tmin")) / 1_000_000).alias("ts_rel"),
+    )
+    bk = bk.localCheckpoint(eager=False)  # referenced by means + scored + ends
+    mean_t = F.sum(F.col("ts_rel").cast("decimal(25,0)")).cast("double") / F.count(
+        "*"
+    )
+    mean_v = F.sum(F.col("v").cast("decimal(18,6)")).cast("double") / F.count("*")
+    wb = Window.orderBy("b")
+    m = (
+        bk.groupBy("b")
+        .agg(mean_t.alias("mt"), mean_v.alias("mv"))
+        .select(
+            "b",
+            F.lag("mt").over(wb).alias("pt"),
+            F.lag("mv").over(wb).alias("pv"),
+            F.lead("mt").over(wb).alias("nt"),
+            F.lead("mv").over(wb).alias("nv"),
+        )
+    )
+    area = F.abs(
+        (F.col("pt") - F.col("nt")) * (F.col("v") - F.col("pv"))
+        - (F.col("pt") - F.col("ts_rel").cast("double"))
+        * (F.col("nv") - F.col("pv"))
+    )
+    wsel = Window.partitionBy("b").orderBy(
+        area.desc(), F.col("event_id").asc()
+    )
+    scored = (
+        bk.join(F.broadcast(m), "b")
+        .where(F.col("pt").isNotNull() & F.col("nt").isNotNull())
+        .withColumn("r", F.row_number().over(wsel))
+        .where(F.col("r") == 1)
+        .select(
+            F.col("b").cast("long").alias("bucket"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("t").cast("long").alias("t_us"),
+            "v",
+        )
+    )
+    bmax = bk.agg(F.max("b").alias("bmax"))
+    endpts = (
+        bk.join(F.broadcast(bmax))
+        .where((F.col("b") == 0) | (F.col("b") == F.col("bmax")))
+        .withColumn(
+            "rf",
+            F.row_number().over(
+                Window.partitionBy("b").orderBy(F.col("t").asc(), F.col("event_id").asc())
+            ),
+        )
+        .withColumn(
+            "rl",
+            F.row_number().over(
+                Window.partitionBy("b").orderBy(
+                    F.col("t").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .where(
+            ((F.col("b") == 0) & (F.col("rf") == 1))
+            | ((F.col("b") != 0) & (F.col("rl") == 1))
+        )
+        .select(
+            F.col("b").cast("long").alias("bucket"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("t").cast("long").alias("t_us"),
+            "v",
+        )
+    )
+    return scored.unionByName(endpts)
