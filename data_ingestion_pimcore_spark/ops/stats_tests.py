@@ -675,3 +675,87 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.unionByName(endpts)
+
+
+# -------------------------------------------- distribution drift (TVD)
+
+# $25k value bins over exact integer cents; period split at a fixed
+# calendar boundary (data spans 1995-2001).
+TVD_BIN_CENTS = 2_500_000
+TVD_SPLIT = "1998-01-01 00:00:00"
+
+
+_TVD_SQL = f"""
+WITH binned AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // {TVD_BIN_CENTS} AS bin,
+         CASE WHEN o_orderdate < TIMESTAMP '{TVD_SPLIT}' THEN 1 ELSE 0 END
+           AS early
+  FROM orders
+),
+cells AS (
+  SELECT bin,
+         SUM(early) AS c1,
+         SUM(1 - early) AS c2
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT bin, c1, c2, SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+  FROM cells
+)
+SELECT CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS DOUBLE) / (2.0 * MAX(n1) * MAX(n2))
+         AS tv_distance,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(MAX(n1) AS BIGINT) AS n_early,
+       CAST(MAX(n2) AS BIGINT) AS n_late
+FROM tot
+"""
+
+
+@register(
+    "stats_tv_drift",
+    oracle=_TVD_SQL,
+    doc="Distribution-drift monitor: total-variation distance between "
+    "the order-value distributions of two calendar periods — the "
+    "log-free alternative to PSI (whose ln(p/q) would put libm in the "
+    "compared output). Values bin on exact integer cents with integer "
+    "DIV; the distance's numerator SUM|c1*n2 - c2*n1| is an exact "
+    "integer over the common denominator, divided ONCE in double. One "
+    "hash aggregate over the fact table (both periods in one scan via "
+    "a conditional aggregate); everything after runs on the tiny bin "
+    "table. The drift gate every training-data refresh pipeline runs "
+    "before accepting a new snapshot.",
+)
+def stats_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
+    binned = orders.select(
+        F.expr(
+            f"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            f" div {TVD_BIN_CENTS}"
+        ).alias("bin"),
+        F.when(F.col("o_orderdate") < F.lit(TVD_SPLIT), 1)
+        .otherwise(0)
+        .alias("early"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("early").alias("c1"), F.sum(1 - F.col("early")).alias("c2")
+    )
+    w = Window.partitionBy()
+    tot = cells.select(
+        "bin",
+        "c1",
+        "c2",
+        F.sum("c1").over(w).alias("n1"),
+        F.sum("c2").over(w).alias("n2"),
+    )
+    return tot.agg(
+        (
+            F.sum(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).cast("double")
+            / (F.lit(2.0) * F.max("n1") * F.max("n2"))
+        ).alias("tv_distance"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.max("n1").cast("long").alias("n_early"),
+        F.max("n2").cast("long").alias("n_late"),
+    )
