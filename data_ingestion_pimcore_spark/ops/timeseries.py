@@ -1848,3 +1848,141 @@ def ts_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
         )
     )
+
+
+# ------------------------------------------------- nearest as-of join
+
+
+@register(
+    "ts_asof_join_nearest",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts,
+         CAST(NULL AS TIMESTAMP) AS c_ts, CAST(NULL AS DOUBLE) AS c_val,
+         1 AS is_left
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT CAST(NULL AS BIGINT) AS event_id, user_id, ts, ts AS c_ts,
+         MAX(value) AS c_val, 0 AS is_left
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+u AS (SELECT * FROM purchases UNION ALL SELECT * FROM clicks),
+carried AS (
+  SELECT event_id, user_id, ts, is_left,
+         LAST_VALUE(c_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_left, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_ts,
+         LAST_VALUE(c_val IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_left, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_val,
+         FIRST_VALUE(c_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_left, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_ts,
+         FIRST_VALUE(c_val IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_left, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_val
+  FROM u
+)
+SELECT event_id, user_id,
+       CASE
+         WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+         WHEN f_ts IS NULL THEN 'backward'
+         WHEN b_ts IS NULL THEN 'forward'
+         WHEN epoch_us(ts) - epoch_us(b_ts)
+              <= epoch_us(f_ts) - epoch_us(ts) THEN 'backward'
+         ELSE 'forward'
+       END AS direction,
+       CASE
+         WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+         WHEN f_ts IS NULL THEN epoch_us(ts) - epoch_us(b_ts)
+         WHEN b_ts IS NULL THEN epoch_us(f_ts) - epoch_us(ts)
+         ELSE LEAST(epoch_us(ts) - epoch_us(b_ts),
+                    epoch_us(f_ts) - epoch_us(ts))
+       END AS dt_us,
+       CASE
+         WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+         WHEN f_ts IS NULL THEN b_val
+         WHEN b_ts IS NULL THEN f_val
+         WHEN epoch_us(ts) - epoch_us(b_ts)
+              <= epoch_us(f_ts) - epoch_us(ts) THEN b_val
+         ELSE f_val
+       END AS click_value
+FROM carried WHERE is_left = 1
+""",
+    doc="Nearest-neighbor as-of join: each purchase matches its CLOSEST "
+    "click in time, looking both directions (ties to the backward "
+    "match) — the variant feature pipelines use when staleness cuts "
+    "both ways. Same single union-sort-window pass as ts_asof_join "
+    "(ONE user_id shuffle, no join), with a forward-looking "
+    "first_value frame added; a same-instant click sorts before the "
+    "purchase, so it is a 0-distance backward match. Distances are "
+    "exact integer microseconds.",
+)
+def ts_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp_ntz").alias("c_ts"),
+        F.lit(None).cast("double").alias("c_val"),
+        F.lit(1).alias("is_left"),
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("c_val"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.col("ts").alias("c_ts"),
+            "c_val",
+            F.lit(0).alias("is_left"),
+        )
+    )
+    u = purchases.unionByName(clicks)
+    order = [F.col("ts"), F.col("is_left"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_left",
+        F.last("c_ts", ignorenulls=True).over(wb).alias("b_ts"),
+        F.last("c_val", ignorenulls=True).over(wb).alias("b_val"),
+        F.first("c_ts", ignorenulls=True).over(wf).alias("f_ts"),
+        F.first("c_val", ignorenulls=True).over(wf).alias("f_val"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    back_d = us("ts") - us("b_ts")
+    fwd_d = us("f_ts") - us("ts")
+    both_null = F.col("b_ts").isNull() & F.col("f_ts").isNull()
+    back_wins = F.col("f_ts").isNull() | (
+        F.col("b_ts").isNotNull() & (back_d <= fwd_d)
+    )
+    return carried.where(F.col("is_left") == 1).select(
+        "event_id",
+        "user_id",
+        F.when(both_null, F.lit(None).cast("string"))
+        .when(back_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(back_wins, back_d)
+        .otherwise(fwd_d)
+        .alias("dt_us"),
+        F.when(both_null, F.lit(None).cast("double"))
+        .when(back_wins, F.col("b_val"))
+        .otherwise(F.col("f_val"))
+        .alias("click_value"),
+    )
