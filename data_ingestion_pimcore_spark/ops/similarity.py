@@ -853,3 +853,119 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         F.col("dup_id").isNotNull().alias("is_dup"),
     )
+
+
+# ---------------------------------------------- spherical k-means (Lloyd)
+
+KMEANS_K = 4
+
+
+def _kmeans_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign each vector to the centroid with the highest ROUND(cos, 9)
+    (ties to the lower centroid id) — broadcast nested loop over K rows
+    plus one per-vector window, the SemDeDup assignment shape."""
+    scored = e.join(F.broadcast(cent)).withColumn(
+        "cos",
+        F.round(cosine_col(F.col("v"), F.col("cv"), F.col("nsq"), F.col("cn")), 9),
+    )
+    wbest = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wbest))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"), "v", "nsq")
+    )
+
+
+def _kmeans_update(assign: DataFrame) -> DataFrame:
+    """Recompute centroids as per-cluster per-dimension means: posexplode
+    to (cluster, dim, x), exact-decimal sum / count per cell, re-pack
+    ordered by dim. Partial aggregation collapses each partition's rows
+    to K x dims cells before the only exchange."""
+    el = assign.select("cluster", F.posexplode("v"))
+    cells = el.groupBy("cluster", "pos").agg(
+        (
+            F.sum(F.col("col").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    packed = cells.groupBy("cluster").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+    return packed.select(
+        F.col("cluster").alias("cid"), "cv", nsq_col(F.col("cv")).alias("cn")
+    )
+
+
+_KM_ASSIGN_SQL = """
+  SELECT e.vec_id,
+         e.v,
+         c.cid AS cluster,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 9) DESC,
+                    c.cid ASC) AS rnk
+  FROM e, {cent} c
+"""
+
+
+@register(
+    "sim_kmeans_lloyd",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KMEANS_K}),
+a0 AS (SELECT vec_id, v, cluster
+       FROM ({_KM_ASSIGN_SQL.format(cent="c0")}) s WHERE rnk = 1),
+ds AS (SELECT UNNEST(range(0, 64)) AS d),
+c1 AS (
+  SELECT cluster AS cid, LIST(m ORDER BY d) AS cv
+  FROM (
+    SELECT a.cluster, ds.d,
+           CAST(SUM(CAST(a.v[ds.d + 1] AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*) AS m
+    FROM a0 a, ds
+    GROUP BY a.cluster, ds.d
+  ) GROUP BY cluster
+),
+a1 AS (SELECT vec_id, cluster
+       FROM ({_KM_ASSIGN_SQL.format(cent="c1")}) s WHERE rnk = 1)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+FROM a1 GROUP BY cluster
+""",
+    doc="One Lloyd round of spherical k-means over the embedding corpus "
+    "(init = first K vectors, assign by max rounded cosine, centroid "
+    "update = exact-decimal per-dimension means, re-assign; report "
+    "cluster sizes) — the canonical iterative-ML shape as pure "
+    "DataFrame ops with an unrolled-CTE oracle, the trainer for the "
+    "cells sim_knn_ivf probes and the clusters SemDeDup scopes. Each "
+    "assignment is a broadcast-NL over K rows (map-side) + one "
+    "per-vector window; the update posexplodes to (cluster, dim, x) "
+    "cells that partial aggregation collapses to K x dims rows before "
+    "the only exchange. Means divide once in double from exact "
+    "decimal sums, so the next round's cosines are bit-identical "
+    "across engines and partitionings.",
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        nsq_col(F.col("embedding")).alias("nsq"),
+    )
+    c0 = e.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nsq").alias("cn"),
+    )
+    a0 = _kmeans_assign(e, c0).localCheckpoint(eager=False)
+    c1 = _kmeans_update(a0)
+    a1 = _kmeans_assign(e, c1)
+    return a1.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+    )
