@@ -128,6 +128,12 @@ HEADLINE = [
     # surfaced by the round-4 BENCH_ALL sweep as a hidden 12 s outlier
     # (codegen-budget blowout), reworked; benched so it stays visible
     "dedup_embedding_lsh",
+    # round-4 third wave: drift gate, LTTB downsampling, nearest as-of,
+    # spherical k-means
+    "stats_tv_drift",
+    "ts_downsample_lttb",
+    "ts_asof_join_nearest",
+    "sim_kmeans_lloyd",
 ]
 
 
