@@ -223,3 +223,94 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return visited.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+# ------------------------------------------ common-neighbor projection
+
+CN_DF_CAP = 128  # stop-customer cap: a degree-L customer yields L^2 pairs
+CN_TOPK = 50
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+WITH el AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+deg AS (SELECT s, COUNT(*) AS d FROM el GROUP BY s),
+keep AS (SELECT c FROM el GROUP BY c HAVING COUNT(*) <= {{CN_DF_CAP}}),
+pairs AS (
+  SELECT a.s AS supp_a, b.s AS supp_b, COUNT(*) AS shared
+  FROM el a JOIN el b ON a.c = b.c AND a.s < b.s
+  JOIN keep k ON k.c = a.c
+  GROUP BY a.s, b.s
+)
+SELECT p.supp_a, p.supp_b,
+       CAST(p.shared AS BIGINT) AS shared_customers,
+       CAST(p.shared AS DOUBLE) / (da.d + db.d - p.shared) AS jaccard
+FROM pairs p
+JOIN deg da ON da.s = p.supp_a
+JOIN deg db ON db.s = p.supp_b
+ORDER BY jaccard DESC, supp_a, supp_b
+LIMIT {{CN_TOPK}}
+""".format(CN_DF_CAP=CN_DF_CAP, CN_TOPK=CN_TOPK),
+    doc="Bipartite one-mode projection with common-neighbor Jaccard — "
+    "the classic link-prediction / similarity score: two suppliers "
+    "are similar when they share customers; report the top-50 "
+    "strongest pairs (deterministic tiebreak on ids). Same capped "
+    "posting-list shape as dedup_ngram_jaccard transplanted to the "
+    "trade graph: per-customer supplier lists generate pairs "
+    f"in-array, customers with more than {CN_DF_CAP} suppliers are "
+    "stop-nodes dropped before pair generation (a degree-L hub "
+    "yields L^2 pairs under ANY exact algorithm — the projection's "
+    "skew bound), denominators keep uncapped true degrees. All "
+    "counts integer; one row-local double division; the top-k "
+    "compiles to TakeOrderedAndProject, no global sort.",
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    el = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)  # referenced by lists AND degrees
+    )
+    deg = el.groupBy("s").agg(F.count("*").alias("d"))
+    lists = (
+        el.groupBy("c")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .where((F.size("ss") > 1) & (F.size("ss") <= CN_DF_CAP))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + F.lit(2), F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("supp_a"), y.alias("supp_b")),
+            ),
+        )
+    )
+    pairs = (
+        lists.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.supp_a", "p.supp_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    da = deg.select(F.col("s").alias("supp_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("s").alias("supp_b"), F.col("d").alias("db"))
+    jac = F.col("shared").cast("double") / (
+        F.col("da") + F.col("db") - F.col("shared")
+    )
+    return (
+        pairs.join(da, "supp_a")
+        .join(db, "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            F.col("shared").cast("long").alias("shared_customers"),
+            jac.alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "supp_a", "supp_b")
+        .limit(CN_TOPK)
+    )
