@@ -577,3 +577,74 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "udf_grouped_regression",
+    # identical semantics to stats_regression_by_group (ops/analytics.py)
+    # — same oracle, different engine path: grouped-map applyInPandas
+    # instead of built-in aggregates.
+    oracle=None,  # set below to analytics._REG_SQL to avoid duplication
+    doc="Grouped-map applyInPandas surface demo: per-group OLS "
+    "regression computed INSIDE an Arrow-batched Python function, "
+    "bit-identical to the pure-SQL oracle because the sufficient "
+    "statistics are summed with exact decimal.Decimal arithmetic "
+    "(values carry <=2 decimals, so Decimal(str(x)) reconstructs the "
+    "exact DECIMAL(15,2) the oracle sums) and the derived statistics "
+    "repeat the oracle's IEEE double ops and ROUNDs. The grouped-map "
+    "path ships each group once over Arrow — the escape hatch for "
+    "per-group model fitting the built-ins can't express; at 100 TB "
+    "the shuffle is the same one hash partitioning on the group key "
+    "the aggregate form uses, the Python stage just rides it.",
+)
+def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import Decimal
+
+        n = len(pdf)
+        xs = [Decimal(str(v)) for v in pdf["l_quantity"]]
+        ys = [Decimal(str(v)) for v in pdf["l_extendedprice"]]
+        sx = float(sum(xs))
+        sy = float(sum(ys))
+        sxx = float(sum(x * x for x in xs))
+        sxy = float(sum(x * y for x, y in zip(xs, ys)))
+        syy = float(sum(y * y for y in ys))
+        nd = float(n)
+        slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+        intercept = (sy - slope * sx) / nd
+        corr = (nd * sxy - sx * sy) / (
+            (nd * sxx - sx * sx) ** 0.5 * (nd * syy - sy * sy) ** 0.5
+        )
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "n": [n],
+                "slope": [round(slope, 9)],
+                "intercept": [round(intercept, 4)],
+                "corr_xy": [round(corr, 12)],
+            }
+        )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        fit,
+        schema="l_returnflag string, n long, slope double, "
+        "intercept double, corr_xy double",
+    )
+
+
+# late-bind the shared oracle (module import order: analytics registers
+# first; avoid duplicating the SQL text)
+def _bind_grouped_regression_oracle() -> None:
+    from ..registry import _REGISTRY
+    from .analytics import _REG_SQL
+
+    q = _REGISTRY["udf_grouped_regression"]
+    _REGISTRY["udf_grouped_regression"] = type(q)(
+        name=q.name, fn=q.fn, oracle=_REG_SQL, doc=q.doc
+    )
+
+
+_bind_grouped_regression_oracle()
