@@ -113,6 +113,52 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _global_running(pts: DataFrame, value_col: str, cols: list[str]) -> DataFrame:
+    """Distributed global running totals ordered by ``value_col``:
+    range-repartition the (pre-aggregated, distinct-value) rows so each
+    partition holds a contiguous value range, compute per-partition
+    local prefix sums, and lift them to global with a broadcast 32-row
+    per-partition offset table — no single-task global sort. Returns
+    the input columns plus ``cum_<c>`` (inclusive running total) and
+    ``tot_<c>`` (grand total) for each requested column. The range
+    boundary sampling is nondeterministic, so the ranged frame is
+    localCheckpointed and every cumulative derives from ONE
+    materialization (partitioning never affects the returned values —
+    only which partition computed them)."""
+    ranged = pts.repartitionByRange(32, value_col).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=False)
+    per_part = ranged.groupBy("pid").agg(
+        *[F.sum(c).alias(f"p_{c}") for c in cols]
+    )
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_part.select(
+        "pid",
+        *[
+            F.coalesce(F.sum(f"p_{c}").over(woff), F.lit(0)).alias(f"off_{c}")
+            for c in cols
+        ],
+        *[
+            F.sum(f"p_{c}").over(Window.partitionBy()).alias(f"tot_{c}")
+            for c in cols
+        ],
+    )
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ranged.join(F.broadcast(offsets), "pid")
+    for c in cols:
+        out = out.withColumn(c + "_cum", F.col(f"off_{c}") + F.sum(c).over(wloc))
+    return out.select(
+        *pts.columns,
+        *[F.col(c + "_cum").alias(f"cum_{c}") for c in cols],
+        *[F.col(f"tot_{c}") for c in cols],
+    )
+
+
 # ------------------------------------------------- two-sample KS test
 
 _KS_SQL = """
@@ -168,34 +214,12 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("c2"),
         )
     )
-    # Distributed prefix sum: range-partition the distinct values so
-    # partition p holds a contiguous value range, then global cumulative
-    # = (sum of all earlier partitions, broadcast) + local cumulative.
-    ranged = pts.repartitionByRange(32, "v").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    ranged = ranged.localCheckpoint(eager=False)  # pin pid/range assignment
-    per_part = ranged.groupBy("pid").agg(
-        F.sum("c1").alias("p1"), F.sum("c2").alias("p2")
-    )
-    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_part.select(
-        "pid",
-        F.coalesce(F.sum("p1").over(woff), F.lit(0)).alias("off1"),
-        F.coalesce(F.sum("p2").over(woff), F.lit(0)).alias("off2"),
-        F.sum("p1").over(Window.partitionBy()).alias("n1t"),
-        F.sum("p2").over(Window.partitionBy()).alias("n2t"),
-    )
-    wloc = (
-        Window.partitionBy("pid")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = ranged.join(F.broadcast(offsets), "pid").select(
-        (F.col("off1") + F.sum("c1").over(wloc)).alias("cum1"),
-        (F.col("off2") + F.sum("c2").over(wloc)).alias("cum2"),
-        F.col("n1t"),
-        F.col("n2t"),
+    run = _global_running(pts, "v", ["c1", "c2"])
+    cum = run.select(
+        F.col("cum_c1").alias("cum1"),
+        F.col("cum_c2").alias("cum2"),
+        F.col("tot_c1").alias("n1t"),
+        F.col("tot_c2").alias("n2t"),
     )
     # The supremum is taken over EXACT integers |cum1*n2 - cum2*n1|
     # (the common-denominator numerator of |F1 - F2|), then divided
@@ -758,4 +782,149 @@ def stats_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bins"),
         F.max("n1").cast("long").alias("n_early"),
         F.max("n2").cast("long").alias("n_late"),
+    )
+
+
+# ------------------------------------------- Mann-Whitney rank-sum U
+
+_MWU_SQL = """
+WITH pts AS (
+  SELECT o_totalprice AS v,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS c2
+  FROM orders
+  WHERE o_orderstatus IN ('F', 'O')
+  GROUP BY o_totalprice
+),
+cum AS (
+  SELECT c1, c2,
+         SUM(c1 + c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS upto,
+         SUM(c1) OVER () AS n1,
+         SUM(c2) OVER () AS n2
+  FROM pts
+)
+SELECT CAST(SUM(c1 * ((upto - (c1 + c2) + 1) + upto))
+            - MAX(n1) * (MAX(n1) + 1) AS BIGINT) AS u1_x2,
+       CAST(MAX(n1) AS BIGINT) AS n1,
+       CAST(MAX(n2) AS BIGINT) AS n2
+FROM cum
+"""
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle=_MWU_SQL,
+    doc="Mann-Whitney rank-sum U between finished and open orders' "
+    "value distributions, with exact midrank tie handling: per "
+    "distinct value, the doubled midrank is (first + last) rank — an "
+    "integer — so 2*U1 = sum(c1 * rank2) - n1(n1+1) stays EXACTLY "
+    "integer end to end; no floats anywhere in the statistic. Rides "
+    "the same per-value pre-aggregate + running-total shape as "
+    "stats_ks_test (the oracle's single-threaded window is the "
+    "semantic spec; the engine's distributed-prefix-sum equivalent is "
+    "proven there). Emitted as u1_x2 to avoid the .5 representation.",
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderstatus")
+    pts = (
+        orders.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("c2"),
+        )
+    )
+    pts = pts.withColumn("ct", F.col("c1") + F.col("c2"))
+    run = _global_running(pts, "v", ["c1", "c2", "ct"])
+    cum = run.select(
+        "c1",
+        "c2",
+        F.col("cum_ct").alias("upto"),
+        F.col("tot_c1").alias("n1"),
+        F.col("tot_c2").alias("n2"),
+    )
+    rank2 = (F.col("upto") - (F.col("c1") + F.col("c2")) + 1) + F.col("upto")
+    return cum.agg(
+        (F.sum(F.col("c1") * rank2) - F.max("n1") * (F.max("n1") + 1))
+        .cast("long")
+        .alias("u1_x2"),
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+    )
+
+
+# --------------------------------------------- degree assortativity
+
+_ASSORT_SQL = """
+WITH edges AS (
+    SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+bi AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT dst AS src, src AS dst FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS d FROM bi GROUP BY src),
+ed AS (
+  SELECT da.d AS x, db.d AS y
+  FROM bi JOIN deg da ON da.src = bi.src JOIN deg db ON db.src = bi.dst
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM ed
+)
+SELECT ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+            * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 12) AS assortativity,
+       CAST(n AS BIGINT) AS n_directed_edges
+FROM s
+"""
+
+
+@register(
+    "graph_assortativity",
+    oracle=_ASSORT_SQL,
+    doc="Degree assortativity of the trade graph: Pearson correlation "
+    "of endpoint degrees over directed edges — negative means hubs "
+    "attach to leaves (the usual bipartite trade shape). Sufficient "
+    "statistics are EXACT integer sums (degrees and edge counts fit "
+    "long far below 2^53, so the double casts are exact); the "
+    "correlation repeats stats_regression_by_group's structurally-"
+    "identical IEEE chain, ROUND 12 both sides. Two joins of the edge "
+    "list to the broadcastable degree table, one aggregate — no "
+    "iteration.",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import _trade_graph
+
+    bi, deg = _trade_graph(spark, sf_dir)
+    da = deg.select(F.col("src").alias("a_src"), F.col("outdeg").alias("x"))
+    db = deg.select(F.col("src").alias("b_src"), F.col("outdeg").alias("y"))
+    ed = (
+        bi.join(F.broadcast(da), F.col("src") == F.col("a_src"))
+        .join(F.broadcast(db), F.col("dst") == F.col("b_src"))
+        .select("x", "y")
+    )
+    s = ed.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    r = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.round(r, 12).alias("assortativity"),
+        F.col("n").cast("long").alias("n_directed_edges"),
     )
