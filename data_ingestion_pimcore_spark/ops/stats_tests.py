@@ -1037,3 +1037,180 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("r") == BOOT_B - 3, F.col("m"))).alias("ci_hi"),
         F.lit(BOOT_B).cast("long").alias("n_resamples"),
     )
+
+
+# -------------------------------------- two-proportion z-test (A/B)
+
+_ZTEST_SQL = """
+WITH g AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS base
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+),
+w AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN conv END) AS c1,
+         MAX(CASE WHEN arm = 'A' THEN base END) AS n1,
+         MAX(CASE WHEN arm = 'B' THEN conv END) AS c2,
+         MAX(CASE WHEN arm = 'B' THEN base END) AS n2
+  FROM g
+)
+SELECT ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+         / SQRT((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                * (1.0 / n1 + 1.0 / n2)), 9) AS z,
+       CAST(c1 AS BIGINT) AS conv_a, CAST(n1 AS BIGINT) AS base_a,
+       CAST(c2 AS BIGINT) AS conv_b, CAST(n2 AS BIGINT) AS base_b
+FROM w
+"""
+
+
+@register(
+    "stats_ab_ztest",
+    oracle=_ZTEST_SQL,
+    doc="Two-proportion z-test between deterministic experiment arms "
+    "(user_id parity): purchase-per-click conversion difference over "
+    "the pooled-variance standard error. One conditional hash "
+    "aggregate over the event stream builds all four integer counts; "
+    "the z statistic is a single structurally-identical chain of "
+    "row-local IEEE ops on exact integers, ROUND 9 both sides. The "
+    "experiment-analysis primitive next to the bootstrap CI.",
+)
+def stats_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    g = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "conv"
+            ),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "base"
+            ),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("c1"),
+        F.max(F.when(F.col("arm") == "A", F.col("base"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("c2"),
+        F.max(F.when(F.col("arm") == "B", F.col("base"))).alias("n2"),
+    )
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    p2 = F.col("c2").cast("double") / F.col("n2")
+    pp = (F.col("c1") + F.col("c2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return w.select(
+        F.round(z, 9).alias("z"),
+        F.col("c1").cast("long").alias("conv_a"),
+        F.col("n1").cast("long").alias("base_a"),
+        F.col("c2").cast("long").alias("conv_b"),
+        F.col("n2").cast("long").alias("base_b"),
+    )
+
+
+# ------------------------------------------------ autocorrelation
+
+ACF_MAX_LAG = 6
+
+
+_ACF_SQL = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+series AS (
+  SELECT event_type, h, c,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(c) OVER (PARTITION BY event_type) AS s
+  FROM hourly
+),
+lagged AS (
+  SELECT event_type,
+         n * c - s AS dev,
+         LAG(n * c - s, 1) OVER (PARTITION BY event_type ORDER BY h) AS d1,
+         LAG(n * c - s, 2) OVER (PARTITION BY event_type ORDER BY h) AS d2,
+         LAG(n * c - s, 3) OVER (PARTITION BY event_type ORDER BY h) AS d3,
+         LAG(n * c - s, 4) OVER (PARTITION BY event_type ORDER BY h) AS d4,
+         LAG(n * c - s, 5) OVER (PARTITION BY event_type ORDER BY h) AS d5,
+         LAG(n * c - s, 6) OVER (PARTITION BY event_type ORDER BY h) AS d6
+  FROM series
+),
+agg AS (
+  SELECT event_type,
+         SUM(CASE WHEN d1 IS NULL THEN 0 ELSE dev * d1 END) AS num1,
+         SUM(CASE WHEN d2 IS NULL THEN 0 ELSE dev * d2 END) AS num2,
+         SUM(CASE WHEN d3 IS NULL THEN 0 ELSE dev * d3 END) AS num3,
+         SUM(CASE WHEN d4 IS NULL THEN 0 ELSE dev * d4 END) AS num4,
+         SUM(CASE WHEN d5 IS NULL THEN 0 ELSE dev * d5 END) AS num5,
+         SUM(CASE WHEN d6 IS NULL THEN 0 ELSE dev * d6 END) AS num6,
+         SUM(dev * dev) AS den
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type, CAST(1 AS INTEGER) AS lag,
+       CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM agg
+UNION ALL
+SELECT event_type, CAST(2 AS INTEGER) AS lag,
+       CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM agg
+UNION ALL
+SELECT event_type, CAST(3 AS INTEGER) AS lag,
+       CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM agg
+UNION ALL
+SELECT event_type, CAST(4 AS INTEGER) AS lag,
+       CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM agg
+UNION ALL
+SELECT event_type, CAST(5 AS INTEGER) AS lag,
+       CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM agg
+UNION ALL
+SELECT event_type, CAST(6 AS INTEGER) AS lag,
+       CAST(num6 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM agg
+"""
+
+
+@register(
+    "ts_autocorrelation",
+    oracle=_ACF_SQL,
+    doc=f"Autocorrelation of per-type hourly volume at lags 1..{ACF_MAX_LAG} "
+    "— the periodicity fingerprint every forecasting pipeline "
+    "computes first. Deviations are kept EXACTLY INTEGER by the "
+    "ts_changepoint_cusum scaling (n*c - S instead of c - S/n; the "
+    "n^2 factor cancels in the ratio), so numerator and denominator "
+    "are exact integer sums and ONE double division yields the "
+    "coefficient — no float summation anywhere. One hash aggregate "
+    "collapses events to O(types x hours); the per-lag shifts ride "
+    "one event_type-partitioned window exchange.",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("c"))
+    wp = Window.partitionBy("event_type")
+    series = hourly.select(
+        "event_type",
+        "h",
+        (
+            F.count("*").over(wp) * F.col("c") - F.sum("c").over(wp)
+        ).alias("dev"),
+    )
+    wo = wp.orderBy("h")
+    out = None
+    for k in range(1, ACF_MAX_LAG + 1):
+        lagged = series.withColumn("dev_l", F.lag("dev", k).over(wo))
+        acf_k = lagged.groupBy("event_type").agg(
+            (
+                F.sum(
+                    F.when(F.col("dev_l").isNull(), 0).otherwise(
+                        F.col("dev") * F.col("dev_l")
+                    )
+                ).cast("double")
+                / F.sum(F.col("dev") * F.col("dev")).cast("double")
+            ).alias("acf")
+        ).select("event_type", F.lit(k).cast("int").alias("lag"), "acf")
+        out = acf_k if out is None else out.unionByName(acf_k)
+    return out
