@@ -1986,3 +1986,54 @@ def ts_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("f_val"))
         .alias("click_value"),
     )
+
+
+# ----------------------------------------- seasonal-naive backtest
+
+
+@register(
+    "ts_seasonal_naive_backtest",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+pred AS (
+  SELECT event_type, h, c,
+         LAG(c, 24) OVER (PARTITION BY event_type ORDER BY h) AS yhat
+  FROM hourly
+)
+SELECT event_type,
+       CAST(COUNT(yhat) AS BIGINT) AS n_scored,
+       CAST(SUM(ABS(c - yhat)) AS DOUBLE) / COUNT(yhat) AS mae,
+       CAST(SUM(ABS(c - yhat)) AS DOUBLE) / SUM(CASE WHEN yhat IS NULL
+            THEN 0 ELSE c END) AS wape
+FROM pred GROUP BY event_type
+""",
+    doc="Seasonal-naive forecast backtest (yhat_t = volume 24 h "
+    "earlier) per event type: MAE and WAPE — the baseline every "
+    "forecasting pipeline must beat, and the standard data-drift "
+    "smoke test for event streams. The dense hourly spine means "
+    "LAG(24) IS the same-hour-yesterday value. Absolute errors are "
+    "exact integers summed exactly; each metric is ONE double "
+    "division (WAPE weights by actuals over the scored window, the "
+    "scale-free aggregate MAPE's per-point division would make "
+    "order-dependent). One hash aggregate + one event_type-"
+    "partitioned window.",
+)
+def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    pred = hourly.withColumn("yhat", F.lag("c", 24).over(w))
+    err = F.abs(F.col("c") - F.col("yhat"))
+    return pred.groupBy("event_type").agg(
+        F.count("yhat").cast("long").alias("n_scored"),
+        (F.sum(err).cast("double") / F.count("yhat")).alias("mae"),
+        (
+            F.sum(err).cast("double")
+            / F.sum(F.when(F.col("yhat").isNull(), 0).otherwise(F.col("c")))
+        ).alias("wape"),
+    )
