@@ -1161,3 +1161,124 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "longest_run long"
         ),
     )
+
+
+# --------------------------------------------------- video-level dedup
+
+
+def attach_video_payload_by_content(d: DataFrame) -> DataFrame:
+    """Video fixture with RE-UPLOADED DUPLICATES: the content seed is
+    doc_id % 100, so every 100th doc carries a bit-identical video
+    (same frames, same duration) under a different doc_id — the
+    re-encode/re-upload situation video dedup exists for."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cids = (pdf["doc_id"] % 100).astype("int64")
+            durs = (1000 + (cids % 7) * 500).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "duration_ms": durs,
+                    "payload": [
+                        encode_bmv(int(c), int(dur))
+                        for c, dur in zip(cids, durs)
+                    ],
+                }
+            )
+
+    return d.select("doc_id").mapInPandas(
+        run, schema="doc_id long, duration_ms long, payload binary"
+    )
+
+
+@register(
+    "mm_video_dedup",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, doc_id % 100 AS cid,
+           1000 + (doc_id % 100 % 7) * 500 AS dur
+    FROM documents WHERE doc_id < 500
+),
+samp AS (
+    SELECT doc_id, cid,
+           UNNEST(range(0, CAST(CEIL(dur / CAST({VIDEO_FRAME_MS} AS DOUBLE))
+                              AS BIGINT) * {VIDEO_FRAME_MS},
+                   {FRAME_STRIDE_MS})) AS ts
+    FROM docs
+),
+xs AS (SELECT UNNEST(range(0, {VIDEO_FRAME_W})) AS x),
+ys AS (SELECT UNNEST(range(0, {VIDEO_FRAME_H})) AS y),
+fsum AS (
+    SELECT doc_id, cid, ts,
+           SUM((cid * 31 + (ts // {VIDEO_FRAME_MS}) * 17 + x * 7 + y * 13)
+               % 256) AS px
+    FROM samp, xs, ys
+    GROUP BY doc_id, cid, ts
+),
+sig AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(STRING_AGG(
+               CAST(ts AS VARCHAR) || ':' || CAST(px AS VARCHAR), ','
+               ORDER BY ts)), 1, 15) AS BIGINT) AS fingerprint
+    FROM fsum GROUP BY doc_id
+)
+SELECT fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM sig GROUP BY fingerprint
+""",
+    doc="Exact video-level dedup over REAL container payloads: each "
+    "clip's sampled frames decode genuinely (BMV header parse + BMP "
+    "pixel decode), per-frame integer pixel sums form an ordered "
+    "(ts, sum) signature, and a 60-bit md5 of the signature keys one "
+    "hash aggregate — the re-upload detector. The fixture plants "
+    "bit-identical duplicates (content seed = doc_id % 100) so "
+    "groups of 5 re-uploads collapse to one keeper. Blobs never "
+    "shuffle: only doc_id + integers leave the decode stage, and the "
+    "signature join key is 8 bytes, exactly like dedup_exact. The "
+    "oracle recomputes frames analytically and mirrors the signature "
+    "string byte for byte.",
+)
+def mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import md5_hash60
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    vids = attach_video_payload_by_content(d)
+    frames = sample_frames_df(vids)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "ts_ms": pdf["ts_ms"].astype("int64"),
+                    "px": [
+                        int(decode_bmp(bytes(b)).astype(np.int64).sum())
+                        for b in pdf["frame"]
+                    ],
+                }
+            )
+
+    sums = frames.mapInPandas(decode, schema="doc_id long, ts_ms long, px long")
+    sig = (
+        sums.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ts_ms", "px"))),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["ts_ms"].cast("string"),
+                        s["px"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("sig_str")
+        )
+        .select("doc_id", md5_hash60(F.col("sig_str")).alias("fingerprint"))
+    )
+    return sig.groupBy("fingerprint").agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+    )
