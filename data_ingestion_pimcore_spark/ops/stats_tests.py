@@ -1214,3 +1214,78 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("event_type", F.lit(k).cast("int").alias("lag"), "acf")
         out = acf_k if out is None else out.unionByName(acf_k)
     return out
+
+
+# --------------------------------------------- Pareto concentration
+
+_PARETO_SQL = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT r,
+         ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS rk,
+         COUNT(*) OVER () AS n,
+         SUM(r) OVER () AS tot
+  FROM rev
+)
+SELECT CAST(SUM(CASE WHEN rk <= (n + 99) // 100 THEN r ELSE CAST(0 AS DECIMAL(18,2)) END)
+            AS DOUBLE)
+         / CAST(MAX(tot) AS DOUBLE) AS top1pct_share,
+       CAST(SUM(CASE WHEN rk <= (n + 9) // 10 THEN r ELSE CAST(0 AS DECIMAL(18,2)) END)
+            AS DOUBLE)
+         / CAST(MAX(tot) AS DOUBLE) AS top10pct_share,
+       CAST(MAX(n) AS BIGINT) AS n_customers
+FROM ranked
+"""
+
+
+@register(
+    "stats_pareto_share",
+    oracle=_PARETO_SQL,
+    doc="Revenue concentration: the share of total revenue captured by "
+    "the top 1% and top 10% of customers — the Pareto report behind "
+    "every whale-risk analysis. Per-customer revenue is an exact "
+    "decimal aggregate; ranks tie-break on customer id; cutoffs use "
+    "ceil-integer arithmetic ((n+99)//100, no float percent); shares "
+    "sum in exact decimal with one double division each. The global "
+    "rank runs over the ALREADY-AGGREGATED per-customer table — "
+    "|customers| rows, not |orders| — so the single ordered window is "
+    "bounded by dimension cardinality at any fact-table scale "
+    "(the oracle's window is the same).",
+)
+def stats_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "r",
+        F.row_number()
+        .over(Window.orderBy(F.col("r").desc(), F.col("o_custkey")))
+        .alias("rk"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("r").over(wall).alias("tot"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    top1 = F.sum(
+        F.when(F.col("rk") <= F.expr("(n + 99) div 100"), F.col("r")).otherwise(
+            zero
+        )
+    )
+    top10 = F.sum(
+        F.when(F.col("rk") <= F.expr("(n + 9) div 10"), F.col("r")).otherwise(
+            zero
+        )
+    )
+    return ranked.agg(
+        (top1.cast("double") / F.max("tot").cast("double")).alias(
+            "top1pct_share"
+        ),
+        (top10.cast("double") / F.max("tot").cast("double")).alias(
+            "top10pct_share"
+        ),
+        F.max("n").cast("long").alias("n_customers"),
+    )
