@@ -2037,3 +2037,79 @@ def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(F.col("yhat").isNull(), 0).otherwise(F.col("c")))
         ).alias("wape"),
     )
+
+
+# --------------------------------------------------- peak detection
+
+
+@register(
+    "ts_peak_detection",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+nb AS (
+  SELECT event_type, h, c,
+         LAG(c, 1)  OVER (PARTITION BY event_type ORDER BY h) AS p1,
+         LAG(c, 2)  OVER (PARTITION BY event_type ORDER BY h) AS p2,
+         LEAD(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS n1,
+         LEAD(c, 2) OVER (PARTITION BY event_type ORDER BY h) AS n2
+  FROM hourly
+)
+SELECT event_type,
+       STRFTIME(h, '%Y-%m-%d %H:00') AS peak_hour,
+       CAST(c AS BIGINT) AS volume,
+       CAST(c - GREATEST(p1, p2, n1, n2) AS BIGINT) AS prominence
+FROM nb
+WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+  AND n1 IS NOT NULL AND n2 IS NOT NULL
+  AND c > p1 AND c > p2 AND c > n1 AND c > n2
+  AND c - GREATEST(p1, p2, n1, n2) >= 2
+""",
+    doc="Local-peak detection over per-type hourly volumes: an hour is "
+    "a peak when it strictly exceeds BOTH neighbors on each side and "
+    "clears a prominence floor of 2 events over the highest of the "
+    "four — the alerting primitive next to ts_anomaly_zscore's "
+    "z-score version, with purely INTEGER comparisons (no variance "
+    "estimate, no float). One hash aggregate collapses events to the "
+    "hourly table; the four shifts ride one event_type-partitioned "
+    "window exchange. Interior-only by construction (edge hours lack "
+    "two neighbors on a side and are excluded identically in both "
+    "engines).",
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    nb = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.lag("c", 1).over(w).alias("p1"),
+        F.lag("c", 2).over(w).alias("p2"),
+        F.lead("c", 1).over(w).alias("n1"),
+        F.lead("c", 2).over(w).alias("n2"),
+    )
+    hi = F.greatest("p1", "p2", "n1", "n2")
+    return (
+        nb.where(
+            F.col("p1").isNotNull()
+            & F.col("p2").isNotNull()
+            & F.col("n1").isNotNull()
+            & F.col("n2").isNotNull()
+            & (F.col("c") > F.col("p1"))
+            & (F.col("c") > F.col("p2"))
+            & (F.col("c") > F.col("n1"))
+            & (F.col("c") > F.col("n2"))
+            & ((F.col("c") - hi) >= 2)
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("peak_hour"),
+            F.col("c").cast("long").alias("volume"),
+            (F.col("c") - hi).cast("long").alias("prominence"),
+        )
+    )
