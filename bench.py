@@ -134,6 +134,19 @@ HEADLINE = [
     "ts_downsample_lttb",
     "ts_asof_join_nearest",
     "sim_kmeans_lloyd",
+    # round-4 fourth wave: hypothesis tests, bootstrap, link
+    # prediction, video dedup, dimensional repair
+    "stats_mann_whitney_u",
+    "stats_bootstrap_ci",
+    "stats_ab_ztest",
+    "stats_pareto_share",
+    "ts_autocorrelation",
+    "graph_assortativity",
+    "graph_common_neighbors",
+    "mm_video_dedup",
+    "ingest_late_arriving_dim",
+    "ts_seasonal_naive_backtest",
+    "ts_peak_detection",
 ]
 
 
