@@ -2113,3 +2113,76 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c") - hi).cast("long").alias("prominence"),
         )
     )
+
+
+# --------------------------------------------------- rolling slope
+
+
+@register(
+    "ts_rolling_slope",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+seq AS (
+  SELECT event_type, h, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS k
+  FROM hourly
+),
+roll AS (
+  SELECT event_type, h, k,
+         COUNT(*) OVER w AS m,
+         SUM(k) OVER w AS sx,
+         SUM(c) OVER w AS sy,
+         SUM(k * c) OVER w AS sxy,
+         SUM(k * k) OVER w AS sxx
+  FROM seq
+  WINDOW w AS (PARTITION BY event_type ORDER BY k
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       STRFTIME(h, '%Y-%m-%d %H:00') AS hour,
+       CAST(m * sxy - sx * sy AS DOUBLE)
+         / (m * sxx - sx * sx) AS slope_per_hour
+FROM roll WHERE m = 24
+""",
+    doc="Rolling 24-hour OLS trend slope of per-type volume — the "
+    "trend-alert feature behind 'volume rising N% per hour' monitors. "
+    "The regression over each trailing frame collapses to four "
+    "INTEGER rolling sums (x is the hour index, y the count), so the "
+    "slope is one double division of exact integers per row — no "
+    "float accumulation, no per-frame refit. One hash aggregate to "
+    "hourly + one event_type-partitioned window carrying four "
+    "running sums; frames shorter than 24 h are suppressed "
+    "identically in both engines.",
+)
+def ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("c"))
+    wseq = Window.partitionBy("event_type").orderBy("h")
+    seq = hourly.withColumn("k", F.row_number().over(wseq))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("k")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    roll = seq.select(
+        "event_type",
+        "h",
+        F.count("*").over(w).alias("m"),
+        F.sum("k").over(w).alias("sx"),
+        F.sum("c").over(w).alias("sy"),
+        F.sum(F.col("k") * F.col("c")).over(w).alias("sxy"),
+        F.sum(F.col("k") * F.col("k")).over(w).alias("sxx"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return roll.where(F.col("m") == 24).select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        slope.alias("slope_per_hour"),
+    )
