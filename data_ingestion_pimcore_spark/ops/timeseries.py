@@ -2186,3 +2186,57 @@ def ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
         slope.alias("slope_per_hour"),
     )
+
+
+# -------------------------------------------- event-type transitions
+
+
+@register(
+    "ts_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+  FROM seq WHERE nxt IS NOT NULL
+  GROUP BY event_type, nxt
+),
+tot AS (
+  SELECT src, dst, n, SUM(n) OVER (PARTITION BY src) AS row_n
+  FROM pairs
+)
+SELECT src, dst, CAST(n AS BIGINT) AS n_transitions,
+       CAST(n AS DOUBLE) / row_n AS p
+FROM tot
+""",
+    doc="First-order Markov transition matrix between event types over "
+    "per-user event sequences (ordered by ts with the event_id "
+    "tiebreak, the ADVICE r03 rule): P(next | current) estimated from "
+    "adjacent-pair counts — the behavioral model behind next-action "
+    "prediction and session simulators. One user_id-partitioned "
+    "window for the successor, one hash aggregate to the "
+    "|types|^2-cell matrix, row-normalized by a window over that "
+    "tiny matrix; counts integer, one double division per cell.",
+)
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("event_type").over(w))
+    pairs = (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.withColumn(
+        "row_n", F.sum("n").over(Window.partitionBy("src"))
+    )
+    return tot.select(
+        "src",
+        "dst",
+        F.col("n").cast("long").alias("n_transitions"),
+        (F.col("n").cast("double") / F.col("row_n")).alias("p"),
+    )
