@@ -1016,3 +1016,98 @@ def substring_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+# ------------------------------------------- LSH evaluation report
+
+
+@register(
+    "dedup_lsh_eval_report",
+    oracle=f"""
+WITH {_SQL_JACCARD_EDGES},
+msh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+), sigs AS (
+  SELECT doc_id,
+       {_SQL_SIG_SELECT}
+  FROM msh
+), banded AS (
+  SELECT doc_id, {_SQL_SIG_LIST},
+       {_SQL_BANDS}
+  FROM sigs
+), bands AS (
+{_SQL_BAND_UNION}
+), {_SQL_BAND_KEEP},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  JOIN bkeep k ON k.band_idx = a.band_idx AND k.band_hash = a.band_hash
+),
+truth AS (
+  SELECT doc_a, doc_b FROM jpairs
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
+),
+hit AS (
+  SELECT t.doc_a FROM truth t
+  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hits,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         / (SELECT COUNT(*) FROM truth) AS recall,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         / (SELECT COUNT(*) FROM cand) AS precision_vs_truth
+""",
+    doc="LSH quality evaluation AS A QUERY: join the MinHash-LSH "
+    "candidate pairs against the exact n-gram-Jaccard truth set "
+    "(threshold 0.2) and report recall and precision — the dashboard "
+    "every production near-dup pipeline keeps to catch band-parameter "
+    "drift. Both sides reuse the engine's own operators (signatures "
+    "+ capped band join; capped posting-list exact pairs); the "
+    "intersection is one equi-join on the pair key. The oracle "
+    "recomputes BOTH pipelines in SQL from the shared fragment "
+    "constants, so even the evaluation is hash-checked end to end. "
+    "All counts exact integers; two final double divisions.",
+)
+def dedup_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    truth = jaccard_pairs(docs).select("doc_a", "doc_b").localCheckpoint(
+        eager=False
+    )
+    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
+    bands = _capped_bands(_exploded_bands(sigs))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    n_truth = truth.agg(F.count("*").alias("c"))
+    n_cand = cand.agg(F.count("*").alias("c"))
+    n_hit = hits.agg(F.count("*").alias("c"))
+    return (
+        n_truth.select(F.col("c").alias("n_truth"))
+        .join(n_cand.select(F.col("c").alias("n_candidates")))
+        .join(n_hit.select(F.col("c").alias("n_hits")))
+        .select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
+            (F.col("n_hits").cast("double") / F.col("n_candidates")).alias(
+                "precision_vs_truth"
+            ),
+        )
+    )
