@@ -534,3 +534,85 @@ def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(alloc, F.col("n_tokens")).alias("expected_tokens"),
         (alloc > F.col("n_tokens")).alias("under_supplied"),
     )
+
+
+@register(
+    "curation_dataset_card",
+    oracle="""
+WITH base AS (
+  SELECT source, lang, text,
+         md5(text) AS th,
+         LEN(string_split(text, ' ')) AS n_tokens,
+         LEN(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+),
+dups AS (
+  SELECT source, SUM(cnt - 1) AS n_dup_rows
+  FROM (SELECT source, th, COUNT(*) AS cnt FROM base GROUP BY source, th)
+  GROUP BY source
+)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN b.lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS pct_en,
+       CAST(MAX(d.n_dup_rows) AS DOUBLE) / COUNT(*) AS exact_dup_ratio,
+       CAST(SUM(CAST(
+           0.5 * LEAST(CAST(b.n_tokens AS DOUBLE) / 100.0, 1.0)
+           + 0.5 * (CAST(b.n_distinct AS DOUBLE) / b.n_tokens)
+         AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_quality
+FROM base b JOIN dups d ON d.source = b.source
+GROUP BY b.source
+""",
+    doc="Dataset card per corpus source — the one-row-per-source "
+    "summary LLM data teams publish beside a training mix: document "
+    "and token counts, declared-language share, EXACT within-source "
+    "duplicate ratio (md5 content hash, the dedup_exact key), and "
+    "mean composite quality (the text_quality_score formula). One "
+    "scan feeds a per-(source, hash) aggregate and the per-source "
+    "rollup; per-doc quality scores are row-local doubles summed via "
+    "the exact-decimal trick, every ratio one double division.",
+)
+def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import _words
+
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    base = d.select(
+        "source",
+        "lang",
+        F.md5("text").alias("th"),
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+    )
+    base = base.localCheckpoint(eager=False)  # feeds dups AND the rollup
+    dups = (
+        base.groupBy("source", "th")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("source")
+        .agg(F.sum(F.col("cnt") - 1).alias("n_dup_rows"))
+    )
+    quality = 0.5 * F.least(
+        F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)
+    ) + 0.5 * (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+    return (
+        base.join(F.broadcast(dups), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("pct_en"),
+            (F.max("n_dup_rows").cast("double") / F.count("*")).alias(
+                "exact_dup_ratio"
+            ),
+            (
+                F.sum(quality.cast("decimal(18,9)")).cast("double")
+                / F.count("*")
+            ).alias("avg_quality"),
+        )
+    )
