@@ -147,6 +147,12 @@ HEADLINE = [
     "ingest_late_arriving_dim",
     "ts_seasonal_naive_backtest",
     "ts_peak_detection",
+    # round-4 fifth wave: trend/transition features, LSH evaluation,
+    # dataset cards
+    "ts_rolling_slope",
+    "ts_markov_transitions",
+    "dedup_lsh_eval_report",
+    "curation_dataset_card",
 ]
 
 
