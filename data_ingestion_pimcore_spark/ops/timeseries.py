@@ -2240,3 +2240,78 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_transitions"),
         (F.col("n").cast("double") / F.col("row_n")).alias("p"),
     )
+
+
+# --------------------------------------------------- gap / uptime SLA
+
+
+@register(
+    "ts_gap_sla_report",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h
+  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+gaps AS (
+  SELECT event_type, h,
+         epoch_us(h) - epoch_us(LAG(h) OVER (
+           PARTITION BY event_type ORDER BY h)) AS gap_us
+  FROM hourly
+),
+span AS (
+  SELECT event_type,
+         COUNT(*) AS n_present,
+         1 + (epoch_us(MAX(h)) - epoch_us(MIN(h))) // 3600000000
+           AS n_expected,
+         COALESCE(MAX(gap_us) // 3600000000, 1) AS max_gap_hours
+  FROM gaps GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_present AS BIGINT) AS hours_present,
+       CAST(n_expected AS BIGINT) AS hours_expected,
+       CAST(n_present AS DOUBLE) / n_expected AS availability,
+       CAST(max_gap_hours AS BIGINT) AS max_gap_hours
+FROM span
+""",
+    doc="Feed-availability SLA report per event type: hours with data "
+    "vs hours in the observed span, plus the longest silent gap — the "
+    "data-freshness monitor run before every training-data refresh. "
+    "Gap lengths are exact integer microsecond differences floored to "
+    "hours (integer division both engines); availability is one "
+    "double division. One hash aggregate to the hourly spine, one "
+    "event_type-partitioned lag window, one rollup.",
+)
+def ts_gap_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.lit(1).alias("one"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gaps = hourly.select(
+        "event_type",
+        "h",
+        (us(F.col("h")) - us(F.lag("h").over(w))).alias("gap_us"),
+    )
+    span = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_present"),
+        (
+            1
+            + F.expr(
+                "(unix_micros(CAST(max(h) AS TIMESTAMP))"
+                " - unix_micros(CAST(min(h) AS TIMESTAMP))) div 3600000000"
+            )
+        ).alias("n_expected"),
+        F.coalesce(
+            F.expr("max(gap_us) div 3600000000"), F.lit(1)
+        ).alias("max_gap_hours"),
+    )
+    return span.select(
+        "event_type",
+        F.col("n_present").cast("long").alias("hours_present"),
+        F.col("n_expected").cast("long").alias("hours_expected"),
+        (F.col("n_present").cast("double") / F.col("n_expected")).alias(
+            "availability"
+        ),
+        F.col("max_gap_hours").cast("long").alias("max_gap_hours"),
+    )

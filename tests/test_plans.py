@@ -927,3 +927,31 @@ def test_lsh_signature_stage_is_codegen_aggregates_not_giant_folds(spark):
     assert tree.count("Generate") == 2
     assert tree.count("HashAggregate") == 4  # two partial+final pairs
     assert "Join" not in tree
+
+
+def test_rolling_slope_single_series_exchange(spark):
+    tree = tree_of(spark, "ts_rolling_slope")
+    # hourly aggregate + all windows share event_type partitioning:
+    # two hash exchanges max (agg, window), no range/global sort
+    assert tree.count("Exchange") <= 2
+    assert "CartesianProduct" not in tree
+
+
+def test_markov_matrix_stays_tiny_after_window(spark):
+    tree = tree_of(spark, "ts_markov_transitions")
+    plan = plan_of(spark, "ts_markov_transitions")
+    # successor window on user_id, pair aggregate, row-normalize window
+    # over the |types|^2 matrix — no joins anywhere
+    assert "Join" not in tree
+    assert "CartesianProduct" not in plan
+
+
+def test_video_dedup_blobs_never_shuffle(spark):
+    plan = plan_of(spark, "mm_video_dedup")
+    # the binary frame/payload columns must not appear in any Exchange
+    # output schema — only ids and integer sums cross the wire
+    import re as _re
+
+    for m in _re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "payload" not in m.group(1) and "frame" not in m.group(1)
+    assert "CartesianProduct" not in plan
