@@ -1398,3 +1398,98 @@ def ingest_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_facts"),
         F.sum("inferred").cast("long").alias("n_repaired"),
     )
+
+
+# ------------------------------------------- content-defined chunking
+
+CDC_AVG = 64  # expected records per chunk (boundary prob = 1/64)
+
+
+@register(
+    "ingest_chunk_content_defined",
+    oracle=None,  # set below (needs the orders schema for the canonical fragment)
+    doc="Content-defined chunk boundaries (the FastCDC/Rabin idea at "
+    "record granularity): a record ENDS a chunk when the 60-bit md5 "
+    "of its canonical string is 0 mod 64, so boundaries are a pure "
+    "function of record CONTENT — an insert or delete re-chunks only "
+    "the neighborhood of the edit, while count-based chunking shifts "
+    "every downstream boundary (the dedup-storage property, "
+    "asserted in tests/test_analytics.py::"
+    "test_content_defined_chunks_stable_under_deletion). Chunk "
+    "membership = running count of boundaries before each record — "
+    "the shared distributed prefix-sum helper (range partitions + "
+    "local cumsum + broadcast offsets), so no single-task sort at "
+    "any scale; expected chunk size 64 records.",
+)
+def ingest_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return _content_defined_chunks(orders)
+
+
+def _content_defined_chunks(orders: DataFrame) -> DataFrame:
+    from ..integrity import canonical_string_col
+    from .stats_tests import _global_running
+    from .textops import md5_hash60
+
+    flagged = orders.select(
+        "o_orderkey",
+        F.when(
+            md5_hash60(canonical_string_col(orders)) % CDC_AVG == 0, 1
+        )
+        .otherwise(0)
+        .alias("bf"),
+    )
+    run = _global_running(flagged, "o_orderkey", ["bf"])
+    chunks = run.select(
+        "o_orderkey",
+        (F.col("cum_bf") - F.col("bf")).cast("long").alias("chunk_idx"),
+    )
+    return chunks.groupBy("chunk_idx").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.min("o_orderkey").cast("long").alias("first_key"),
+        F.max("o_orderkey").cast("long").alias("last_key"),
+    )
+
+
+def _bind_cdc_oracle() -> None:
+    from ..integrity import sql_canonical_string
+    from ..registry import _REGISTRY
+    from .textops import sql_md5_hash60
+
+    cols = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "varchar"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "varchar"),
+    ]
+    canon = sql_canonical_string(cols)
+    sql = f"""
+WITH canon AS (
+  SELECT o_orderkey, {canon} AS cs FROM orders
+),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN {sql_md5_hash60("cs")} % {CDC_AVG} = 0 THEN 1 ELSE 0 END AS bf
+  FROM canon
+),
+cum AS (
+  SELECT o_orderkey, bf,
+         SUM(bf) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cb
+  FROM b
+)
+SELECT CAST(cb - bf AS BIGINT) AS chunk_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS last_key
+FROM cum GROUP BY cb - bf
+"""
+    q = _REGISTRY["ingest_chunk_content_defined"]
+    _REGISTRY["ingest_chunk_content_defined"] = type(q)(
+        name=q.name, fn=q.fn, oracle=sql, doc=q.doc
+    )
+
+
+_bind_cdc_oracle()

@@ -434,3 +434,37 @@ def test_cusum_changepoint_finds_planted_shift(spark):
     # the CUSUM |n*run - k*S| peaks at the last pre-shift hour (23:00)
     # or the shift hour itself depending on parity; accept either side
     assert out["change_hour"].iloc[0] in ("2024-01-01 23:00", "2024-01-02 00:00")
+
+
+def test_content_defined_chunks_stable_under_deletion(spark, sf_dir):
+    """The content-defined-chunking property: deleting a block of
+    records must leave every chunk outside the edit neighborhood
+    IDENTICAL (content-keyed (first_key, last_key, n_records) triples)
+    — count-based chunking shifts every downstream boundary instead."""
+    from data_ingestion_pimcore_spark.ops.ingestion_queries import (
+        _content_defined_chunks,
+    )
+    from data_ingestion_pimcore_spark.tables import load
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders")
+    base = {
+        (r["first_key"], r["last_key"], r["n_records"])
+        for r in _content_defined_chunks(orders).collect()
+    }
+    lo, hi = 5000, 5200  # delete a 200-key block in the middle
+    edited = orders.where(
+        (F.col("o_orderkey") < lo) | (F.col("o_orderkey") >= hi)
+    )
+    after = {
+        (r["first_key"], r["last_key"], r["n_records"])
+        for r in _content_defined_chunks(edited).collect()
+    }
+    # chunks fully below lo and fully above hi must survive verbatim;
+    # only the chunk(s) straddling the edit may differ
+    untouched_base = {t for t in base if t[1] < lo or t[0] >= hi}
+    changed = untouched_base - after
+    # the one boundary chunk adjacent to the cut on each side may merge
+    assert len(changed) <= 2, sorted(changed)[:5]
+    # and the vast majority of chunks are byte-identical
+    assert len(untouched_base & after) >= len(untouched_base) - 2
