@@ -143,37 +143,48 @@ def demux_webm(buf: bytes) -> tuple[str, list[tuple[int, bytes]]]:
     if seg is None:
         raise ValueError("no Segment element")
 
+    # Pass 1: resolve the video track from the first Tracks element.
+    # Matroska permits a Cluster before Tracks (live remuxes do this);
+    # a single streaming pass would have no track number to filter on
+    # yet and would silently mix audio/subtitle payloads into the
+    # video frame list. Tracks is tiny, so the extra pass is free.
     codec = None
     video_track = None
-    out: list[tuple[int, bytes]] = []
     for eid, s, e in _iter_elems(mv, *seg):
-        if eid == _TRACKS and video_track is None:
-            for tid, ts_, te in _iter_elems(mv, s, e):
-                if tid != _TRACK_ENTRY:
-                    continue
-                num = typ = None
-                cid = ""
-                for fid, fs, fe in _iter_elems(mv, ts_, te):
-                    if fid == _TRACK_NUMBER:
-                        num = int.from_bytes(bytes(mv[fs:fe]), "big")
-                    elif fid == _TRACK_TYPE:
-                        typ = int.from_bytes(bytes(mv[fs:fe]), "big")
-                    elif fid == _CODEC_ID:
-                        cid = bytes(mv[fs:fe]).decode()
-                if typ == 1:
-                    video_track, codec = num, cid
-                    break
-        elif eid == _CLUSTER:
-            cluster_ts = 0
-            for cid_, cs, ce in _iter_elems(mv, s, e):
-                if cid_ == _TIMESTAMP:
-                    cluster_ts = int.from_bytes(bytes(mv[cs:ce]), "big")
-                elif cid_ == _SIMPLE_BLOCK:
-                    tnum, off = _read_size(mv, cs)
-                    rel = struct.unpack_from(">h", mv, off)[0]
-                    # off+2 = flags byte, payload follows
-                    if video_track is None or tnum == video_track:
-                        out.append((cluster_ts + rel, bytes(mv[off + 3 : ce])))
+        if eid != _TRACKS:
+            continue
+        for tid, ts_, te in _iter_elems(mv, s, e):
+            if tid != _TRACK_ENTRY:
+                continue
+            num = typ = None
+            cid = ""
+            for fid, fs, fe in _iter_elems(mv, ts_, te):
+                if fid == _TRACK_NUMBER:
+                    num = int.from_bytes(bytes(mv[fs:fe]), "big")
+                elif fid == _TRACK_TYPE:
+                    typ = int.from_bytes(bytes(mv[fs:fe]), "big")
+                elif fid == _CODEC_ID:
+                    cid = bytes(mv[fs:fe]).decode()
+            if typ == 1:
+                video_track, codec = num, cid
+                break
+        break
     if video_track is None:
         raise ValueError("no video TrackEntry")
+
+    # Pass 2: collect this track's SimpleBlocks in stream order.
+    out: list[tuple[int, bytes]] = []
+    for eid, s, e in _iter_elems(mv, *seg):
+        if eid != _CLUSTER:
+            continue
+        cluster_ts = 0
+        for cid_, cs, ce in _iter_elems(mv, s, e):
+            if cid_ == _TIMESTAMP:
+                cluster_ts = int.from_bytes(bytes(mv[cs:ce]), "big")
+            elif cid_ == _SIMPLE_BLOCK:
+                tnum, off = _read_size(mv, cs)
+                rel = struct.unpack_from(">h", mv, off)[0]
+                # off+2 = flags byte, payload follows
+                if tnum == video_track:
+                    out.append((cluster_ts + rel, bytes(mv[off + 3 : ce])))
     return codec, out

@@ -402,6 +402,25 @@ def encode_bmv(doc_id: int, duration_ms: int) -> bytes:
     )
 
 
+def _stride_sample(
+    samples: list[tuple[int, bytes]], stride_ms: int
+) -> list[tuple[int, bytes]]:
+    """Keep the FIRST sample in each stride bucket (ts // stride_ms) —
+    i.e. the first frame at-or-after each stride boundary. Exact-
+    multiple matching (`ts % stride == 0`) only works when the frame
+    interval divides the stride; a 33 ms (30 fps) mp4 sampled at
+    1000 ms would silently return almost nothing. Demuxers emit
+    samples in presentation order, which this relies on."""
+    out: list[tuple[int, bytes]] = []
+    last_bucket = -1
+    for ts, payload in samples:
+        bucket = ts // stride_ms
+        if bucket != last_bucket:
+            out.append((ts, payload))
+            last_bucket = bucket
+    return out
+
+
 def sample_frames_batch(buf: bytes, stride_ms: int) -> list[tuple[int, bytes]]:
     """Sample (timestamp_ms, frame_blob) pairs from a video blob.
 
@@ -422,11 +441,7 @@ def sample_frames_batch(buf: bytes, stride_ms: int) -> list[tuple[int, bytes]]:
                 f"{fourcc!r} needs ffmpeg/PyAV to decode; only the "
                 "'bmpf' (BMP-in-mp4) fixture codec decodes in-environment"
             )
-        if not samples:
-            return []
-        span = samples[1][0] - samples[0][0] if len(samples) > 1 else stride_ms
-        want = set(range(0, samples[-1][0] + max(span, 1), stride_ms))
-        return [(ts, payload) for ts, payload in samples if ts in want]
+        return _stride_sample(samples, stride_ms)
     if is_webm(bytes(buf[:4])):
         codec, samples = demux_webm(bytes(buf))
         if codec != "V_BMPF":
@@ -435,11 +450,7 @@ def sample_frames_batch(buf: bytes, stride_ms: int) -> list[tuple[int, bytes]]:
                 f"{codec} needs ffmpeg/PyAV to decode; only the "
                 "V_BMPF (BMP-in-mkv) fixture codec decodes in-environment"
             )
-        if not samples:
-            return []
-        span = samples[1][0] - samples[0][0] if len(samples) > 1 else stride_ms
-        want = set(range(0, samples[-1][0] + max(span, 1), stride_ms))
-        return [(ts, payload) for ts, payload in samples if ts in want]
+        return _stride_sample(samples, stride_ms)
     if bytes(buf[:4]) != _BMV_MAGIC:
         raise NotImplementedError(
             "unrecognized video container (avi/mov-variants/…) — "
@@ -502,6 +513,20 @@ def sample_frames_df(binary_df: DataFrame) -> DataFrame:
     )
 
 
+def _doc_video_duration(d: DataFrame) -> DataFrame:
+    """duration_ms recomputed from the synthesis rule (10 ms per text
+    char, min 1) directly off the documents scan. The duration join in
+    the frame-sampling queries must NOT re-reference the mux
+    mapInPandas stage: that subtree is referenced twice with no
+    checkpoint, so every blob would be muxed twice per run (round-4
+    advice). Scalars off the scan are free; the blob path runs once."""
+    return d.select(
+        "doc_id",
+        F.greatest(F.col("n_chars").cast("long") * 10, F.lit(1).cast("long"))
+        .alias("duration_ms"),
+    )
+
+
 @register(
     "mm_frame_sample",
     oracle=f"""
@@ -558,7 +583,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_frames"),
             F.sum("px_sum").alias("frames_pixel_sum"),
         )
-        .join(vids.select("doc_id", "duration_ms"), "doc_id")
+        .join(_doc_video_duration(d), "doc_id")
         .select("doc_id", "duration_ms", "n_frames", "frames_pixel_sum")
     )
 
@@ -960,7 +985,7 @@ def mm_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_frames"),
             F.sum("px_sum").alias("frames_pixel_sum"),
         )
-        .join(vids.select("doc_id", "duration_ms"), "doc_id")
+        .join(_doc_video_duration(d), "doc_id")
         .select("doc_id", "duration_ms", "n_frames", "frames_pixel_sum")
     )
 
@@ -1051,7 +1076,7 @@ def mm_webm_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_frames"),
             F.sum("px_sum").alias("frames_pixel_sum"),
         )
-        .join(vids.select("doc_id", "duration_ms"), "doc_id")
+        .join(_doc_video_duration(d), "doc_id")
         .select("doc_id", "duration_ms", "n_frames", "frames_pixel_sum")
     )
 

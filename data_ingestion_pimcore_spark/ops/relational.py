@@ -962,15 +962,19 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sketch aggregations for 100-TB cardinality/quantile work: "
     "approx_count_distinct (HyperLogLog++) and approx_percentile "
     "(KLL-ish) — fixed-size sketches merge map-side, so the shuffle "
-    "carries O(sketch) bytes per group no matter the cardinality.",
+    "carries O(sketch) bytes per group no matter the cardinality. The "
+    "quantile sketch is projected into scalar p50/p95/p99 columns (no "
+    "complex-typed output columns registry-wide; see "
+    "tests/test_oracle_parity.py::_assert_scalar_schema).",
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.get(q, 0).alias("p50_price"),
+        F.get(q, 1).alias("p95_price"),
+        F.get(q, 2).alias("p99_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1071,7 +1075,8 @@ WITH g AS (
 )
 SELECT l_orderkey,
        CAST(LEN(qs) AS INT) AS n_lines,
-       list_sort(qs) AS sorted_qs,
+       array_to_string(list_transform(list_sort(qs), q -> CAST(q AS INT)), ',')
+         AS sorted_qs,
        CAST(qs[1] AS DOUBLE) AS first_qty,
        list_contains(qs, 1.0) AS has_unit_qty,
        CAST(list_sum(list_transform(qs, q -> q * 2)) AS DOUBLE) AS double_total
@@ -1079,7 +1084,10 @@ FROM g
 """,
     doc="Array scalar functions over grouped data: collect in declared "
     "order, sort, index, membership, transform+aggregate — all JVM "
-    "higher-order functions, no UDFs.",
+    "higher-order functions, no UDFs. The sorted array is emitted as a "
+    "comma-joined string (quantities are integral, so int-cast first): "
+    "complex-typed output columns are banned registry-wide because the "
+    "driver's canonicalizer cannot sort list cells.",
 )
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
@@ -1092,7 +1100,9 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "l_orderkey",
         F.size(qs).alias("n_lines"),
-        F.array_sort(qs).alias("sorted_qs"),
+        F.array_join(
+            F.transform(F.array_sort(qs), lambda q: q.cast("int")), ","
+        ).alias("sorted_qs"),
         F.get(qs, 0).alias("first_qty"),
         F.array_contains(qs, 1.0).alias("has_unit_qty"),
         F.aggregate(
@@ -1908,26 +1918,33 @@ def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_topk_array",
     oracle="""
+WITH s AS (
+  SELECT o_orderpriority,
+         list_sort(list(o_totalprice), 'DESC') AS prices
+  FROM orders GROUP BY o_orderpriority
+)
 SELECT o_orderpriority,
-       list_slice(list_sort(list(o_totalprice), 'DESC'), 1, 3) AS top3_prices
-FROM orders
-GROUP BY o_orderpriority
+       CAST(prices[1] AS DOUBLE) AS top1_price,
+       CAST(prices[2] AS DOUBLE) AS top2_price,
+       CAST(prices[3] AS DOUBLE) AS top3_price
+FROM s
 """,
     doc="Top-k VALUES as an array aggregate: collect, sort descending, "
-    "slice — the compact per-group leaderboard shape (contrast with "
-    "window_topk_per_group, which keeps whole rows via WindowGroupLimit "
-    "and is the right choice when k rows must survive). Scale caveat is "
-    "explicit: collect_list materializes each group in one executor, so "
-    "this form is for bounded-cardinality groups; unbounded groups "
-    "should pre-prune with the windowed top-k first and only then "
-    "collect k values.",
+    "slice, project the leaderboard into scalar top1/top2/top3 columns "
+    "(contrast with window_topk_per_group, which keeps whole rows via "
+    "WindowGroupLimit and is the right choice when k rows must "
+    "survive). Scale caveat is explicit: collect_list materializes "
+    "each group in one executor, so this form is for "
+    "bounded-cardinality groups; unbounded groups should pre-prune "
+    "with the windowed top-k first and only then collect k values.",
 )
 def agg_topk_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    top = F.slice(F.reverse(F.array_sort(F.collect_list("o_totalprice"))), 1, 3)
     return o.groupBy("o_orderpriority").agg(
-        F.slice(
-            F.reverse(F.array_sort(F.collect_list("o_totalprice"))), 1, 3
-        ).alias("top3_prices")
+        F.get(top, 0).alias("top1_price"),
+        F.get(top, 1).alias("top2_price"),
+        F.get(top, 2).alias("top3_price"),
     )
 
 

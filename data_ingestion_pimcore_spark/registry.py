@@ -91,17 +91,19 @@ def _check_history() -> tuple[dict[str, int], set[str]]:
                         latest[name] = res if isinstance(res, dict) else {}
         except Exception:
             continue
-    not_green = {
-        n
-        for n, res in latest.items()
-        if not (
-            res.get("rows_match") is True
-            and res.get("schema_match") is True
-            and res.get("hash_match") is True
-            and res.get("err") is None
-        )
-    }
+    not_green = {n for n, res in latest.items() if _is_not_green(res)}
     return seen, not_green
+
+
+def _is_not_green(res: dict) -> bool:
+    """True iff a driver CORRECTNESS record shows a FAILURE: an error,
+    or a gate explicitly False. Oracle-less queries get rows-only
+    checks whose hash/schema gates stay None forever — requiring
+    all-True would trap them in rework cohort 0 permanently, starving
+    never-checked queries of sample slots (round-4 advice)."""
+    return res.get("err") is not None or any(
+        res.get(k) is False for k in ("rows_match", "schema_match", "hash_match")
+    )
 
 
 def _rotate_for_visibility() -> None:

@@ -387,15 +387,30 @@ def test_bootstrap_ci_brackets_true_mean(spark, sf_dir):
 
 
 def test_mann_whitney_u_plus_u2_is_n1n2(spark, sf_dir):
-    """Rank-sum identity: U1 + U2 = n1*n2 (scaled by 2 here). Computed
-    from the engine's output plus the symmetric complement."""
+    """Rank-sum identity, actually verified: U1 and U2 are recomputed
+    INDEPENDENTLY with pandas midranks (rank method='average', doubled
+    to stay integer), the engine's u1_x2 must equal the independent U1,
+    and 2*U1 + 2*U2 must equal 2*n1*n2 exactly (round-4 advice: the
+    old body only asserted 0 <= u1_x2 <= 2*n1*n2)."""
+    import duckdb
+
     from data_ingestion_pimcore_spark import registry
 
     row = (
         registry.all_queries()["stats_mann_whitney_u"].fn(spark, sf_dir).first()
     )
-    u1_x2, n1, n2 = row["u1_x2"], row["n1"], row["n2"]
-    assert 0 <= u1_x2 <= 2 * n1 * n2
+    pdf = duckdb.connect().execute(
+        f"SELECT o_totalprice AS v, o_orderstatus AS s "
+        f"FROM '{sf_dir}/orders.parquet' WHERE o_orderstatus IN ('F', 'O')"
+    ).fetchdf()
+    rank2 = (pdf["v"].rank(method="average") * 2).round().astype("int64")
+    n1 = int((pdf["s"] == "F").sum())
+    n2 = int((pdf["s"] == "O").sum())
+    u1_x2 = int(rank2[pdf["s"] == "F"].sum()) - n1 * (n1 + 1)
+    u2_x2 = int(rank2[pdf["s"] == "O"].sum()) - n2 * (n2 + 1)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["u1_x2"] == u1_x2
+    assert u1_x2 + u2_x2 == 2 * n1 * n2
 
 
 def test_cusum_changepoint_finds_planted_shift(spark):

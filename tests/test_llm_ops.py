@@ -413,7 +413,8 @@ def test_agg_approx_within_tolerance(spark):
     for flag, e in exact.items():
         a = approx[flag]
         assert abs(a["approx_orders"] - e["orders"]) / e["orders"] < 0.05
-        for qa, qe in zip(a["price_quantiles"], e["qs"]):
+        quantiles = (a["p50_price"], a["p95_price"], a["p99_price"])
+        for qa, qe in zip(quantiles, e["qs"]):
             assert abs(qa - qe) / qe < 0.05
 
 
@@ -706,3 +707,71 @@ def test_webm_mux_demux_roundtrip_and_codec_gate():
     assert demux_webm(vp9)[1] == [(0, b"\x82vp9")]
     with pytest.raises(NotImplementedError, match="V_VP9"):
         sample_frames_batch(vp9, 1000)
+
+
+def test_webm_foreign_track_blocks_and_early_cluster_excluded():
+    """Matroska permits a Cluster before Tracks and interleaved
+    audio-track SimpleBlocks; the demuxer must resolve the video track
+    FIRST (two-pass) and return only that track's payloads, never
+    mixing foreign-track blocks in (round-4 advice, ebml.py)."""
+    import struct
+
+    from data_ingestion_pimcore_spark.ops import ebml as E
+
+    def track_entry(num, typ, codec):
+        return E._elem(
+            E._TRACK_ENTRY,
+            E._elem(E._TRACK_NUMBER, E._uint(num))
+            + E._elem(E._TRACK_TYPE, E._uint(typ))
+            + E._elem(E._CODEC_ID, codec.encode()),
+        )
+
+    def simple_block(track, rel, payload):
+        return E._elem(
+            E._SIMPLE_BLOCK,
+            E._enc_size(track) + struct.pack(">h", rel) + b"\x80" + payload,
+        )
+
+    def cluster(base_ts, blocks):
+        return E._elem(
+            E._CLUSTER, E._elem(E._TIMESTAMP, E._uint(base_ts)) + blocks
+        )
+
+    header = E._elem(E._EBML_HEADER, E._elem(E._DOC_TYPE, b"matroska"))
+    tracks = E._elem(
+        E._TRACKS,
+        track_entry(2, 2, "A_OPUS") + track_entry(1, 1, "V_BMPF"),
+    )
+    early = cluster(0, simple_block(2, 0, b"AUDIO-EARLY"))
+    mixed = cluster(
+        1000,
+        simple_block(2, 0, b"AUDIO-A")
+        + simple_block(1, 0, b"VID-0")
+        + simple_block(2, 20, b"AUDIO-B")
+        + simple_block(1, 250, b"VID-1"),
+    )
+    buf = header + E._elem(E._SEGMENT, early + tracks + mixed)
+    codec, out = E.demux_webm(buf)
+    assert codec == "V_BMPF"
+    assert out == [(1000, b"VID-0"), (1250, b"VID-1")]
+
+
+def test_stride_sample_non_divisible_frame_interval():
+    """1 frame/s sampling of a 30 fps (33 ms) stream must return ~1
+    frame per second — the first frame at-or-after each stride
+    boundary — not almost nothing (round-4 advice: exact-multiple
+    matching only worked when the interval divides the stride)."""
+    from data_ingestion_pimcore_spark.ops.ebml import mux_webm
+    from data_ingestion_pimcore_spark.ops.multimodal import (
+        _stride_sample,
+        sample_frames_batch,
+    )
+
+    n = 91  # 3 s of 33 ms frames
+    samples = [(i * 33, bytes([i % 251])) for i in range(n)]
+    picked = _stride_sample(samples, 1000)
+    assert [t for t, _ in picked] == [0, 1023, 2013]  # first >= 0/1000/2000
+
+    buf = mux_webm([p for _, p in samples], 33, "V_BMPF", cluster_len=16)
+    got = sample_frames_batch(buf, 1000)
+    assert [t for t, _ in got] == [0, 1023, 2013]

@@ -43,3 +43,18 @@ def test_named_property_tests_exist():
         assert f"def {test_name}(" in src, (
             f"{name}: named property test {ref} not found"
         )
+
+
+def test_rotation_green_predicate():
+    """Rework cohort 0 is for FAILURES only. A rows-only (no-oracle)
+    record — err None, match gates None — must count as green, or the
+    five oracle-less queries squat at the head of every driver sample
+    forever and never-checked queries starve (round-4 advice)."""
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None, "err": None}
+    erred = {"rows_match": None, "schema_match": None, "hash_match": None, "err": "boom"}
+    mismatch = {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+    assert not registry._is_not_green(green)
+    assert not registry._is_not_green(rows_only)
+    assert registry._is_not_green(erred)
+    assert registry._is_not_green(mismatch)
