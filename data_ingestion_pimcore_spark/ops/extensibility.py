@@ -593,9 +593,18 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact DECIMAL(15,2) the oracle sums) and the derived statistics "
     "repeat the oracle's IEEE double ops and ROUNDs. The grouped-map "
     "path ships each group once over Arrow — the escape hatch for "
-    "per-group model fitting the built-ins can't express; at 100 TB "
-    "the shuffle is the same one hash partitioning on the group key "
-    "the aggregate form uses, the Python stage just rides it.",
+    "per-group model fitting the built-ins can't express. SCALE "
+    "CAVEAT (this is a surface demo, deliberately kept on the shared "
+    "oracle's 3-value key): grouped-map materializes each WHOLE group "
+    "in one executor's memory, so at 100 TB a 3-group key means ~33 TB "
+    "per task — unusable. Production grouped-map fits need a key whose "
+    "group size stays bounded as data grows (per-entity keys like "
+    "l_partkey: ~30 lines/part at every SF), or the sufficient-"
+    "statistics aggregate form (stats_regression_by_group, "
+    "ops/analytics.py), which is the same math with O(1) state per "
+    "group and no Python stage. Use THAT shape at scale; this query "
+    "exists to prove the Arrow grouped-map path gives bit-identical "
+    "results when you genuinely need per-group Python.",
 )
 def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -955,3 +955,69 @@ def test_video_dedup_blobs_never_shuffle(spark):
     for m in _re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
         assert "payload" not in m.group(1) and "frame" not in m.group(1)
     assert "CartesianProduct" not in plan
+
+
+def test_mann_whitney_rides_ks_prefix_sum_shape(spark):
+    # same distributed prefix-sum as stats_ks_test: per-partition
+    # offsets broadcast-join the ranged table; never a sort-merge or
+    # cartesian anywhere in the statistic
+    tree = tree_of(spark, "stats_mann_whitney_u")
+    plan = plan_of(spark, "stats_mann_whitney_u")
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the only shuffles: per-value pre-aggregate, range partitioning
+    # for the prefix sum, offset aggregation, final statistic
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles <= 4, tree
+
+
+def test_bootstrap_ci_single_scan_two_agg_levels(spark):
+    # one pruned parquet scan feeds the resample Generate; replicate
+    # means collapse in one partial+final aggregate pair, then the CI
+    # quantile runs over B tiny rows
+    tree = tree_of(spark, "stats_bootstrap_ci")
+    plan = plan_of(spark, "stats_bootstrap_ci")
+    assert tree.count("Scan parquet") == 1
+    assert "Generate" in tree
+    m = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and all("o_orderdate" not in s and "o_comment" not in s for s in m)
+    assert "CartesianProduct" not in plan
+
+
+def test_ab_ztest_filter_pushed_single_scan(spark):
+    # the two-proportion z-test reads exactly (user_id, event_type),
+    # pushes the variant IN-filter to the scan, and collapses in
+    # hash aggregates — no join, no window over raw events
+    tree = tree_of(spark, "stats_ab_ztest")
+    plan = plan_of(spark, "stats_ab_ztest")
+    assert tree.count("Scan parquet") == 1
+    assert "In(event_type" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and set(m.group(1).split(",")) <= {"user_id:bigint", "event_type:string"}
+    assert "Join" not in tree
+
+
+def test_autocorrelation_one_scan_all_lags_one_window_exchange(spark):
+    # all six lag shifts ride ONE event_type-partitioned window over
+    # the hourly aggregate — the per-lag union of round 4 re-scanned
+    # events six times
+    tree = tree_of(spark, "ts_autocorrelation")
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 2  # hourly agg + window partitioning
+    assert "Union" not in tree
+    assert "Generate" in tree  # lag unpivot over the tiny aggregate
+
+
+def test_pareto_share_ranks_customers_not_orders(spark):
+    # the global rank window runs over the per-customer aggregate
+    # (bounded by dimension cardinality), after a partial+final
+    # aggregate pair collapses orders; single scan of two columns
+    tree = tree_of(spark, "stats_pareto_share")
+    plan = plan_of(spark, "stats_pareto_share")
+    assert tree.count("Scan parquet") == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and set(m.group(1).split(",")) == {"o_custkey:bigint", "o_totalprice:double"}
+    # window sits ABOVE the customer aggregate in the operator chain
+    agg_pos = tree.rindex("HashAggregate")
+    win_pos = tree.index("Window")
+    assert win_pos < agg_pos  # formatted tree lists downstream ops first
