@@ -318,6 +318,16 @@ def normalize_uri(path: str) -> str:
     return _SCHEME_MAP.get(scheme.lower(), scheme) + "://" + rest
 
 
+def _jvm_has_class(spark: SparkSession, cls: str) -> bool:
+    """True iff the JVM can load ``cls`` — how the json dispatch
+    detects whether the hadoop-aws s3a connector is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(cls)
+        return True
+    except Exception:
+        return False
+
+
 def load_source(spark: SparkSession, request: IngestRequest) -> DataFrame:
     """O1 file-type dispatch (`ingestion_controllers.py:45-59`), minus
     the HTTP shell: each validated file_type maps to a source connector.
@@ -337,16 +347,30 @@ def load_source(spark: SparkSession, request: IngestRequest) -> DataFrame:
           file_path = "s3a://bucket/exports/products_*.json"
 
     * The Python-side streaming readers (giant-array ``json_array``
-      files, xlsx) use stdlib IO: ``file://`` URIs are resolved
-      locally (tested end-to-end); object-store URIs for those two
-      formats should land via a copy/distcp stage first — at 100 TB
-      the giant-array parse is the bottleneck anyway, not the copy.
+      files, xlsx) use stdlib IO: ``file://`` URIs resolve locally;
+      ``s3://`` objects stream through sources/object_store.py (s3fs
+      when installed, else anonymous GET against the AWS_ENDPOINT_URL
+      endpoint — tested end-to-end against an in-process S3 stub).
+      When the JVM lacks hadoop-aws, s3 JSON-array requests fall back
+      to that Python streaming source automatically.
     """
     from .sources import read_excel, read_json_array
+    from .sources.object_store import is_s3_uri
 
     ft = request.file_type
     path = normalize_uri(request.file_path)
     if ft == "json":
+        if is_s3_uri(path) and not _jvm_has_class(
+            spark, "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        ):
+            from .sources.json_source import read_json_array_streaming
+
+            values = read_json_array_streaming(spark, request.file_path)
+            # Dataset[String] JSON entry: full-scan schema inference +
+            # parse — the same two-pass semantics (and cost) as the JVM
+            # multiLine reader. The RDD hop is this connector edge only,
+            # never a registered-query operator.
+            return spark.read.json(values.rdd.map(lambda r: r[0]))
         return read_json_array(spark, path)
     if ft == "excel":
         return read_excel(spark, path)

@@ -143,13 +143,27 @@ def _excel_serial_to_iso(serial: float, date1904: bool) -> str:
     return dt.replace(microsecond=round(dt.microsecond, -3) % 1_000_000).isoformat()
 
 
+def _zip_open(path: str) -> zipfile.ZipFile:
+    """Open a workbook from a local path or an s3 URI. xlsx is a zip —
+    random access required — so object-store workbooks are fetched
+    whole into memory (bounded by workbook size, which the format
+    already caps well below partition scale)."""
+    from .object_store import fetch_bytes, is_s3_uri
+
+    if is_s3_uri(path):
+        import io
+
+        return zipfile.ZipFile(io.BytesIO(fetch_bytes(path)))
+    return zipfile.ZipFile(path)
+
+
 def sheet_names_and_paths(path: str) -> list[tuple[str, str]]:
     """All worksheets of a workbook as (name, archive path), in
     workbook order — the ``wb.sheetnames`` surface (the reference only
     ever reads ``wb.active``; multi-sheet is a beyond-reference
     extension; parallelism unit at scale = one task per sheet, since a
     single worksheet stream is unsplittable)."""
-    with zipfile.ZipFile(path) as zf:
+    with _zip_open(path) as zf:
         wb = ET.fromstring(zf.read("xl/workbook.xml"))
         sheets = wb.find(f"{_NS}sheets")
         if sheets is None or len(sheets) == 0:
@@ -172,7 +186,7 @@ def _iter_raw_rows(path: str, sheet_path: str | None = None) -> Iterator[list[An
     streaming: O(row) memory via iterparse, like openpyxl read_only.
     ``sheet_path`` selects a worksheet by archive path (default: the
     active sheet, reference semantics)."""
-    with zipfile.ZipFile(path) as zf:
+    with _zip_open(path) as zf:
         shared = _parse_shared_strings(zf)
         date_styles = _parse_date_styles(zf)
         wb = ET.fromstring(zf.read("xl/workbook.xml"))
@@ -263,9 +277,13 @@ def iter_excel_records(
 def excel_paths(path: str) -> list[str]:
     """Directory → recursive ``**/*.xlsx`` glob in sorted order (the
     S2 semantics applied to workbooks); file → itself. ``file://``
-    URIs resolve to local paths (the zip reader is stdlib-side)."""
+    URIs resolve to local paths (the zip reader is stdlib-side);
+    object-store URIs pass through verbatim (one object per task)."""
     from .json_source import local_path
+    from .object_store import is_s3_uri
 
+    if is_s3_uri(path):
+        return [path]
     path = local_path(path)
     if os.path.isdir(path):
         return sorted(
@@ -290,6 +308,10 @@ class _ExcelReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("excel source requires a path")
+        # endpoint config travels with the plan as an option (see
+        # json_source._JsonArrayReader for why env capture won't do)
+        ep = options.get("s3_endpoint")
+        self._s3_env = {"AWS_ENDPOINT_URL_S3": ep} if ep else {}
 
     def partitions(self):
         # One partition per workbook: a single xlsx is unsplittable
@@ -297,6 +319,7 @@ class _ExcelReader(DataSourceReader):
         return [_FilePartition(p) for p in excel_paths(self.path)]
 
     def read(self, partition: _FilePartition):
+        os.environ.update(self._s3_env)
         fields = [f.name for f in self.schema.fields]
         for rec in iter_excel_records(partition.path):
             yield tuple(_to_string(rec.get(f)) for f in fields)
@@ -323,6 +346,9 @@ class ExcelDataSource(DataSource):
         return "excel"
 
     def schema(self) -> str:
+        ep = self.options.get("s3_endpoint")
+        if ep:  # schema inference also runs in a planning worker
+            os.environ["AWS_ENDPOINT_URL_S3"] = ep
         paths = excel_paths(self.options.get("path", ""))
         if not paths:
             raise ValueError("no .xlsx files at path")
@@ -338,5 +364,11 @@ class ExcelDataSource(DataSource):
 
 def read_excel(spark, path: str):
     """Convenience: register (idempotent) + read."""
+    from .object_store import configured_endpoint
+
     spark.dataSource.register(ExcelDataSource)
-    return spark.read.format("excel").load(path)
+    reader = spark.read.format("excel")
+    ep = configured_endpoint()
+    if ep:
+        reader = reader.option("s3_endpoint", ep)
+    return reader.load(path)

@@ -39,6 +39,8 @@ from typing import Any, Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+from .object_store import configured_endpoint
+
 _DECODER = json.JSONDecoder()
 _WS = " \t\n\r"
 _READ_SIZE = 1 << 20  # 1 MiB refill
@@ -50,9 +52,12 @@ def iter_json_array(path: str, read_size: int = _READ_SIZE) -> Iterator[Any]:
     Stdlib equivalent of ``ijson.items(f, "item")``: maintain a sliding
     text buffer, ``raw_decode`` one element at a time, refill on
     underrun. Memory is O(largest element + read_size), independent of
-    file size.
+    file size. Local paths, ``file://`` URIs, and ``s3://`` objects
+    (via sources/object_store.py) all stream through the same loop.
     """
-    with open(path, "r", encoding="utf-8") as f:
+    from .object_store import open_uri_text
+
+    with open_uri_text(path) as f:
         buf = ""
         pos = 0
 
@@ -113,7 +118,13 @@ def local_path(path: str) -> str:
 
 def json_paths(path: str) -> list[str]:
     """S2: directory → recursive ``**/*.json`` glob (sorted, the
-    glob-order contract of `json_reader.py:55-60`); file → itself."""
+    glob-order contract of `json_reader.py:55-60`); file → itself.
+    Object-store URIs pass through verbatim (one object = one
+    partition; bucket LISTing belongs to the JVM scan or a manifest)."""
+    from .object_store import is_s3_uri
+
+    if is_s3_uri(path):
+        return [path]
     path = local_path(path)
     if os.path.isdir(path):
         return sorted(_glob.glob(os.path.join(path, "**", "*.json"), recursive=True))
@@ -138,11 +149,19 @@ class _JsonArrayReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("json_array source requires a path")
+        # Object-store endpoint config travels WITH the plan as a
+        # DataSource option (set driver-side by read_json_array_
+        # streaming): DataSource planning AND reading both run in
+        # Python workers that don't see driver env set after JVM
+        # start, so env capture here would be too late.
+        ep = options.get("s3_endpoint")
+        self._s3_env = {"AWS_ENDPOINT_URL_S3": ep} if ep else {}
 
     def partitions(self):
         return [_FilePartition(p) for p in json_paths(self.path)]
 
     def read(self, partition: _FilePartition):
+        os.environ.update(self._s3_env)
         for obj in iter_json_array(partition.path):
             # canonical separators → compact stable strings
             yield (json.dumps(obj, separators=(",", ":"), sort_keys=False),)
@@ -166,4 +185,10 @@ class JsonArrayDataSource(DataSource):
 def read_json_array_streaming(spark: SparkSession, path: str) -> DataFrame:
     """Bounded-memory scan of giant array files via the Python source."""
     spark.dataSource.register(JsonArrayDataSource)
-    return spark.read.format("json_array").load(path)
+    reader = spark.read.format("json_array")
+    ep = configured_endpoint()
+    if ep:
+        # forward the driver's endpoint config into the plan (workers
+        # don't inherit driver env set after JVM start)
+        reader = reader.option("s3_endpoint", ep)
+    return reader.load(path)

@@ -1,0 +1,142 @@
+"""S3 seam tests: the Python-side streaming readers executed end to end
+through ``s3://`` URIs against an in-process S3-compatible HTTP stub
+(anonymous path-style GET — the API surface MinIO/localstack/on-prem
+gateways speak), wired via the standard ``AWS_ENDPOINT_URL_S3`` env
+var. This is the first *executed* cloud-path coverage: the scheme
+rewrite (``normalize_uri``) was already unit-tested; here real bytes
+flow ``s3:// → HTTP → parser → chunker → ACKed chunk stream``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import pytest
+
+from data_ingestion_pimcore_spark.config import IngestRequest
+from data_ingestion_pimcore_spark.pipeline import run_ingestion
+from data_ingestion_pimcore_spark.sink import ChunkValidator
+from data_ingestion_pimcore_spark.sources.json_source import (
+    iter_json_array,
+    json_paths,
+)
+from data_ingestion_pimcore_spark.sources.object_store import (
+    fetch_bytes,
+    is_s3_uri,
+)
+from data_ingestion_pimcore_spark.state import IngestionStateStore
+
+
+class _S3StubHandler(BaseHTTPRequestHandler):
+    """GET /bucket/key → bytes from root/bucket/key; 404 otherwise."""
+
+    root: Path  # set on the class by the fixture
+
+    def do_GET(self):
+        target = (self.root / self.path.lstrip("/")).resolve()
+        if not str(target).startswith(str(self.root.resolve())) or not target.is_file():
+            self.send_response(404)
+            self.end_headers()
+            return
+        body = target.read_bytes()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("Content-Type", "application/octet-stream")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture()
+def s3_stub(tmp_path, monkeypatch):
+    """An S3-compatible endpoint serving tmp_path; yields the bucket dir."""
+    handler = type("H", (_S3StubHandler,), {"root": tmp_path})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    monkeypatch.setenv(
+        "AWS_ENDPOINT_URL_S3", f"http://127.0.0.1:{srv.server_address[1]}"
+    )
+    bucket = tmp_path / "pim"
+    bucket.mkdir()
+    try:
+        yield bucket
+    finally:
+        srv.shutdown()
+
+
+def _products(n=100):
+    return [
+        {
+            "product_id": i,
+            "sku": f"SKU-{i:08d}",
+            "name": f"Product {i}",
+            "price": round(1.5 * i + 0.25, 2),
+        }
+        for i in range(1, n + 1)
+    ]
+
+
+def test_s3_uri_passthrough_and_fetch(s3_stub):
+    (s3_stub / "blob.bin").write_bytes(b"\x00\x01payload")
+    assert is_s3_uri("s3://pim/blob.bin") and is_s3_uri("s3a://pim/x")
+    assert not is_s3_uri("/local/path") and not is_s3_uri("file:///x")
+    # object URIs are one-object partitions, never globbed
+    assert json_paths("s3://pim/data.json") == ["s3://pim/data.json"]
+    assert fetch_bytes("s3://pim/blob.bin") == b"\x00\x01payload"
+
+
+def test_iter_json_array_streams_from_s3(s3_stub):
+    recs = _products(25)
+    (s3_stub / "data.json").write_text(json.dumps(recs))
+    got = list(iter_json_array("s3://pim/data.json", read_size=64))
+    assert got == recs  # small read_size proves the incremental refill path
+
+
+def test_endpoint_unset_is_a_clear_error(monkeypatch):
+    monkeypatch.delenv("AWS_ENDPOINT_URL_S3", raising=False)
+    monkeypatch.delenv("AWS_ENDPOINT_URL", raising=False)
+    with pytest.raises(OSError, match="AWS_ENDPOINT_URL"):
+        fetch_bytes("s3://pim/x.json")
+
+
+def test_ingestion_chunk_stream_through_s3(spark, tmp_path, s3_stub):
+    """The verdict-5 e2e: a JSON-array object behind an s3:// URI runs
+    the FULL pipeline — Python streaming parse (JVM has no hadoop-aws
+    here, so load_source falls back automatically), chunking,
+    integrity, ordered ACK-gated delivery — and produces the identical
+    golden chunk stream the local-file run produces."""
+    (s3_stub / "products.json").write_text(json.dumps(_products(100)))
+    validator = ChunkValidator()
+    state = IngestionStateStore(str(tmp_path / "state.parquet"))
+    req = IngestRequest(
+        file_path="s3://pim/products.json",
+        file_type="json",
+        chunk_size_by_records=10,
+        order_cols=("product_id",),
+    )
+    s = run_ingestion(spark, req, state, validator)
+    assert s.status == "COMPLETED"
+    assert s.chunks_sent == 10 and s.total_records == 100
+    assert validator.received_chunks == list(range(10))
+    assert [len(r) for r in validator.received_records] == [10] * 10
+    ids = [r["product_id"] for chunk in validator.received_records for r in chunk]
+    assert ids == list(range(1, 101))
+
+
+def test_excel_workbook_through_s3(spark, s3_stub, tmp_path):
+    from data_ingestion_pimcore_spark.sources import read_excel
+    from data_ingestion_pimcore_spark.sources.xlsx_writer import write_xlsx
+
+    local = str(tmp_path / "book.xlsx")
+    write_xlsx(local, [["k", "v"], [1, "a"], [2, "b"]])
+    (s3_stub / "book.xlsx").write_bytes(Path(local).read_bytes())
+    rows = read_excel(spark, "s3://pim/book.xlsx").orderBy("k").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("1", "a"), ("2", "b")] or [
+        (r["k"], r["v"]) for r in rows
+    ] == [(1.0, "a"), (2.0, "b")]
