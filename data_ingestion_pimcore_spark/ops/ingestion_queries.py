@@ -1493,3 +1493,107 @@ FROM cum GROUP BY cb - bf
 
 
 _bind_cdc_oracle()
+
+
+# ------------------------------------------- checksum reconciliation
+
+_RECON_HASH = (
+    "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || "
+    "CAST(cents AS VARCHAR) || '|' || o_orderstatus), 1, 15) AS BIGINT)"
+)
+
+_RECON_SQL = f"""
+WITH a AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 613 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM a WHERE o_orderkey % 1009 <> 0
+),
+ba AS (
+  SELECT o_orderkey % 256 AS bucket, COUNT(*) AS n_a,
+         bit_xor({_RECON_HASH}) AS x_a, SUM({_RECON_HASH}) AS s_a
+  FROM a GROUP BY o_orderkey % 256
+),
+bb AS (
+  SELECT o_orderkey % 256 AS bucket, COUNT(*) AS n_b,
+         bit_xor({_RECON_HASH}) AS x_b, SUM({_RECON_HASH}) AS s_b
+  FROM b GROUP BY o_orderkey % 256
+)
+SELECT CAST(ba.bucket AS BIGINT) AS bucket,
+       CAST(ba.n_a AS BIGINT) AS n_a,
+       CAST(COALESCE(bb.n_b, 0) AS BIGINT) AS n_b
+FROM ba LEFT JOIN bb ON ba.bucket = bb.bucket
+WHERE bb.bucket IS NULL OR ba.n_a <> bb.n_b
+   OR ba.x_a <> bb.x_b OR ba.s_a <> bb.s_b
+"""
+
+
+@register(
+    "ingest_checksum_reconcile",
+    oracle=_RECON_SQL,
+    doc="Merkle-style table reconciliation — the anti-entropy check "
+    "that makes 100 TB replica comparison affordable: instead of a "
+    "row-level diff (ingest_cdc_diff, O(|table|) shuffle), each side "
+    "collapses to 256 bucket digests (count + bit-XOR + sum of a "
+    "60-bit md5 row hash, all mergeable map-side), and only buckets "
+    "whose digests disagree are reported for targeted re-scan — the "
+    "shuffle carries O(buckets), not O(rows). Two independent "
+    "digests (xor + sum) make coincidental cancellation of multiple "
+    "row edits within a bucket astronomically unlikely. The fixture "
+    "replica deterministically drops every 1009th key and perturbs "
+    "every 613th price, so the mismatching bucket set is exact. Row "
+    "hashes use integer CENTS (double*100 rounds identically in both "
+    "engines) so the canonical string is representation-stable.",
+)
+def ingest_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import md5_hash60
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    b = orders.where(F.col("o_orderkey") % 1009 != 0).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 613 == 0, F.col("cents") + 100
+        ).otherwise(F.col("cents")),
+    )
+
+    def digests(side: DataFrame, tag: str) -> DataFrame:
+        h = md5_hash60(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("cents").cast("string"),
+                F.col("o_orderstatus"),
+            )
+        )
+        return (
+            side.select((F.col("o_orderkey") % 256).alias("bucket"), h.alias("h"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias(f"n_{tag}"),
+                F.expr("bit_xor(h)").alias(f"x_{tag}"),
+                # decimal(38,0): 60-bit hashes overflow int64 after ~8
+                # rows; DuckDB's SUM(BIGINT) widens to HUGEINT the same
+                # way. The sums are compared, never output.
+                F.sum(F.col("h").cast("decimal(38,0)")).alias(f"s_{tag}"),
+            )
+        )
+    da, db = digests(orders, "a"), digests(b, "b")
+    joined = da.join(db, "bucket", "left")
+    return joined.where(
+        F.col("n_b").isNull()
+        | (F.col("n_a") != F.col("n_b"))
+        | (F.col("x_a") != F.col("x_b"))
+        | (F.col("s_a") != F.col("s_b"))
+    ).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+    )

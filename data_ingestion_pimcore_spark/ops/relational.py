@@ -2622,3 +2622,128 @@ GROUP BY l_returnflag
 def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_FILTER_CLAUSE_SQL)
+
+
+@register(
+    "skyline_pareto_front",
+    oracle="""
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+""",
+    doc="Skyline / Pareto-front query: the parts no other part "
+    "dominates on (minimize retail price, maximize size) — the "
+    "classic multi-criteria shortlist operator. The oracle is the "
+    "quadratic NOT-EXISTS dominance spec; the engine computes the "
+    "same set in ONE linear pass over sorted distinct prices: "
+    "pre-aggregate max size per distinct price (hash aggregate, "
+    "bounded by price cardinality), take the running max over "
+    "strictly-cheaper prices (lag of the cummax), and a part is on "
+    "the skyline iff it is the max-size at its price AND beats every "
+    "strictly-cheaper price's best size. The single ordered window "
+    "runs over DISTINCT PRICES, not parts — dimension-bounded like "
+    "stats_pareto_share; at unbounded price domains, run the same "
+    "filter per partition first (a local skyline is a superset of "
+    "the global one) and merge the survivors.",
+)
+def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("pmax")
+    )
+    wo = Window.partitionBy().orderBy("p_retailprice")
+    # two steps: a window function can't be an argument of another
+    run = per_price.withColumn(
+        "cmax",
+        F.max("pmax").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("strictmax", F.lag("cmax").over(wo))
+    joined = part.join(F.broadcast(run), "p_retailprice")
+    return joined.where(
+        (F.col("p_size") == F.col("pmax"))
+        & (F.col("strictmax").isNull() | (F.col("strictmax") < F.col("p_size")))
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 14 AS INTEGER) AS e
+  FROM orders WHERE o_orderkey < 3000
+),
+a AS (SELECT * FROM o WHERE st = 'F'),
+b AS (SELECT * FROM o WHERE st = 'O')
+SELECT strftime(GREATEST(a.s, b.s), '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(DATEDIFF('day', GREATEST(a.s, b.s), LEAST(a.e, b.e)) + 1)
+            AS BIGINT) AS overlap_days
+FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+GROUP BY 1
+""",
+    doc="Interval-overlap join WITHOUT an equi key — the "
+    "genomics/uptime-window/session-intersection shape a naive plan "
+    "turns into a cartesian product. Engine strategy is bin-and-"
+    "prune: each interval explodes to the calendar months it covers "
+    "(bounded fan-out: span/bin + 1), the join becomes an EQUI join "
+    "on the month bin, and the true overlap predicate filters bin "
+    "collisions. Double counting of pairs spanning several shared "
+    "months is eliminated WITHOUT a distinct: a pair is credited "
+    "only in the month of GREATEST(start) — a point both intervals "
+    "contain whenever they overlap, so each overlapping pair "
+    "survives in exactly one bin. The oracle is the direct "
+    "inequality join (DuckDB's IEJoin); the engine never builds it. "
+    "At scale, pick the bin width ~ median interval span so per-bin "
+    "occupancy (the quadratic term) stays bounded.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 3000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.to_date("o_orderdate").alias("s"),
+            F.date_add(
+                F.to_date("o_orderdate"),
+                (F.col("o_orderkey") % 14).cast("int"),
+            ).alias("e"),
+        )
+    )
+
+    def binned(side: DataFrame, tag: str) -> DataFrame:
+        months = F.sequence(
+            F.trunc(F.col("s"), "month"),
+            F.trunc(F.col("e"), "month"),
+            F.expr("interval 1 month"),
+        )
+        return side.select(
+            F.col("k").alias(f"k_{tag}"),
+            F.col("s").alias(f"s_{tag}"),
+            F.col("e").alias(f"e_{tag}"),
+            F.explode(months).alias("bin"),
+        )
+
+    a = binned(o.where(F.col("st") == "F"), "a")
+    b = binned(o.where(F.col("st") == "O"), "b")
+    start_max = F.greatest("s_a", "s_b")
+    pairs = a.join(b, "bin").where(
+        (F.col("s_a") <= F.col("e_b"))
+        & (F.col("s_b") <= F.col("e_a"))
+        & (F.trunc(start_max, "month") == F.col("bin"))
+    )
+    return pairs.groupBy(
+        F.date_format(start_max, "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(
+            F.datediff(F.least("e_a", "e_b"), start_max) + 1
+        ).cast("long").alias("overlap_days"),
+    )

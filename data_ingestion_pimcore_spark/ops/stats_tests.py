@@ -1313,3 +1313,67 @@ def stats_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("n").cast("long").alias("n_customers"),
     )
+
+
+# ------------------------------------------------- Gini coefficient
+
+_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+         COUNT(*) OVER () AS n
+  FROM rev
+)
+SELECT CAST(2 * SUM(i * cents) - (MAX(n) + 1) * SUM(cents) AS DOUBLE)
+         / CAST(MAX(n) * SUM(cents) AS DOUBLE) AS gini,
+       CAST(MAX(n) AS BIGINT) AS n_customers
+FROM ranked
+"""
+
+
+@register(
+    "stats_gini_coefficient",
+    oracle=_GINI_SQL,
+    doc="Gini coefficient of per-customer revenue — the canonical "
+    "inequality statistic (companion to stats_pareto_share's top-k "
+    "concentration). Revenue is aggregated to exact integer CENTS "
+    "(double*100 rounds identically in both engines — same product, "
+    "same half-up), ranks tie-break on customer id, and the closed "
+    "form G = (2*SUM(i*x_i) - (n+1)*SUM(x_i)) / (n*SUM(x_i)) keeps "
+    "numerator and denominator exact 64-bit integers until ONE double "
+    "division (int64 to double conversion is correctly rounded in "
+    "both engines). Like stats_pareto_share, the single ordered "
+    "window runs over the per-customer aggregate — bounded by "
+    "dimension cardinality, not fact-table size. Integer headroom: "
+    "SUM(i*cents) <= n^2 * avg_cents, safely under 2^63 through SF "
+    "100; beyond that, move the two sums to DECIMAL(38,0).",
+)
+def stats_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(wall.orderBy("cents", "o_custkey")).alias("i"),
+        F.count("*").over(wall).alias("n"),
+    )
+    return ranked.agg(
+        (
+            (
+                2 * F.sum(F.col("i") * F.col("cents"))
+                - (F.max("n") + 1) * F.sum("cents")
+            ).cast("double")
+            / (F.max("n") * F.sum("cents")).cast("double")
+        ).alias("gini"),
+        F.max("n").cast("long").alias("n_customers"),
+    )

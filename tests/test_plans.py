@@ -1021,3 +1021,47 @@ def test_pareto_share_ranks_customers_not_orders(spark):
     agg_pos = tree.rindex("HashAggregate")
     win_pos = tree.index("Window")
     assert win_pos < agg_pos  # formatted tree lists downstream ops first
+
+
+def test_gini_window_over_customer_aggregate(spark):
+    # rank window runs over the per-customer aggregate, never raw
+    # orders: aggregate pair collapses the fact table first
+    tree = tree_of(spark, "stats_gini_coefficient")
+    assert tree.count("Scan parquet") == 1
+    assert tree.index("Window") < tree.rindex("HashAggregate")
+    assert "CartesianProduct" not in tree
+
+
+def test_skyline_linear_not_quadratic(spark):
+    # the oracle is the quadratic NOT-EXISTS spec; the ENGINE must be
+    # the linear form — per-price aggregate + one window chain + an
+    # equi join back, never any nested-loop/cartesian shape
+    plan = plan_of(spark, "skyline_pareto_front")
+    tree = tree_of(spark, "skyline_pareto_front")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert tree.count("Window") == 2  # cummax + lag, nothing more
+
+
+def test_checksum_reconcile_shuffles_digests_not_rows(spark):
+    # each side collapses to per-bucket digests via a partial+final
+    # aggregate pair BEFORE the comparison join: the join input is
+    # O(buckets). Row-level data never crosses the compare join.
+    tree = tree_of(spark, "ingest_checksum_reconcile")
+    plan = plan_of(spark, "ingest_checksum_reconcile")
+    assert tree.count("HashAggregate") == 4  # partial+final per side
+    assert "CartesianProduct" not in plan
+    # the join consumes aggregate outputs directly (join sits above
+    # both final aggregates in the tree)
+    assert tree.index("Join") < tree.index("HashAggregate")
+
+
+def test_interval_overlap_is_equi_join_on_bin(spark):
+    # no equi key exists in the data; the month-bin explode must turn
+    # the interval predicate into an equi join — the naive plan here
+    # is a cartesian, which is banned
+    plan = plan_of(spark, "join_interval_overlap")
+    tree = tree_of(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert tree.count("Generate") == 2  # one bin-explode per side
