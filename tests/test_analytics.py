@@ -483,3 +483,32 @@ def test_content_defined_chunks_stable_under_deletion(spark, sf_dir):
     assert len(changed) <= 2, sorted(changed)[:5]
     # and the vast majority of chunks are byte-identical
     assert len(untouched_base & after) >= len(untouched_base) - 2
+
+
+def test_hilbert_rect_bijective_unit_steps(spark):
+    """The rectangular variant must keep BOTH Hilbert properties over
+    the full 2^bits_x x 2^bits_y rectangle: a bijection onto
+    [0, 2^(bx+by)) with consecutive indices always grid-adjacent —
+    including ACROSS super-cell boundaries, where continuity relies on
+    the square curve exiting at (s-1, 0) beside the next cell's (0,0)
+    entry."""
+    import pyspark.sql.functions as F
+
+    from data_ingestion_pimcore_spark.ops.layout import hilbert_frame_rect
+
+    bx, by = 5, 3  # 32 x 8 rectangle, 4 super-cells
+    nx, ny = 1 << bx, 1 << by
+    grid = spark.range(nx * ny).select(
+        (F.col("id") % nx).alias("gx"),
+        (F.col("id") / nx).cast("long").alias("gy"),
+    )
+    rows = (
+        hilbert_frame_rect(grid, F.col("gx"), F.col("gy"), bx, by)
+        .select("gx", "gy", "hval")
+        .collect()
+    )
+    pts = {r["hval"]: (r["gx"], r["gy"]) for r in rows}
+    assert sorted(pts) == list(range(nx * ny))  # bijection
+    for d in range(nx * ny - 1):
+        (x1, y1), (x2, y2) = pts[d], pts[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pts[d], pts[d + 1])
