@@ -265,9 +265,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Broadcasting adj keeps BOTH adjacency attachments map-side: the
     # array-carrying intermediate rows never shuffle, and the whole
     # intersect+sum pipeline runs in the edges' own tasks. adj is the
-    # compressed graph itself (O(nodes + edges) longs) — fine to
-    # broadcast up to ~10⁷ edges; past that drop the hint and both
-    # attachments become shuffle joins on src, still never wedge-sized.
+    # compressed graph itself (O(nodes + edges) longs). Measured at
+    # 13.8M edges / 200k nodes (10x bench scale, interleaved A/B,
+    # logs/ab_triangle_10x.out): broadcast 3.7-4.8 s vs shuffle-join
+    # 7.1-11.5 s warm — the hint still wins ~2-3x past the 10⁷-edge
+    # note below, because single-JVM broadcast is a memcpy. On a real
+    # multi-executor cluster the crossover comes earlier (the
+    # broadcast fans out over the network per executor): drop the
+    # hint once |adj| approaches executor memory — both attachments
+    # degrade gracefully to shuffle joins on src, never wedge-sized.
     closed = (
         oriented.join(
             F.broadcast(adj.withColumnRenamed("src", "u")),
