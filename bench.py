@@ -128,6 +128,14 @@ HEADLINE = [
     # surfaced by the round-4 BENCH_ALL sweep as a hidden 12 s outlier
     # (codegen-budget blowout), reworked; benched so it stays visible
     "dedup_embedding_lsh",
+    # round-5 additions: Merkle reconciliation, skyline, interval
+    # overlap join, Gini, rectangular Hilbert, single-scan ACF rework
+    "ingest_checksum_reconcile",
+    "skyline_pareto_front",
+    "join_interval_overlap",
+    "stats_gini_coefficient",
+    "layout_hilbert_rect",
+    "ts_autocorrelation",
     # round-4 third wave: drift gate, LTTB downsampling, nearest as-of,
     # spherical k-means
     "stats_tv_drift",

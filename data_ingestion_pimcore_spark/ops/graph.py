@@ -314,3 +314,84 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "supp_a", "supp_b")
         .limit(CN_TOPK)
     )
+
+
+# ------------------------------------------------- label propagation
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous LPA round (DuckDB CTE body): each node takes the
+    most frequent label among its neighbors, ties to the SMALLEST
+    label — the total-order tie-break that makes LPA deterministic."""
+    return f"""
+n_{out} AS (
+    SELECT b.src AS v, l.lbl, COUNT(*) AS c
+    FROM bi b JOIN {prev} l ON l.v = b.dst
+    GROUP BY b.src, l.lbl
+),
+{out} AS (
+    SELECT v, lbl FROM (
+        SELECT v, lbl,
+               ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+        FROM n_{out}
+    ) WHERE rn = 1
+)"""
+
+
+_LPA_SQL = (
+    "WITH "
+    + _SQL_GRAPH
+    + ", l0 AS (SELECT src AS v, src AS lbl FROM deg),"
+    + ",".join(_lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(_LPA_ROUNDS))
+    + f"""
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM l{_LPA_ROUNDS}
+GROUP BY lbl
+"""
+)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_LPA_SQL,
+    doc=f"Community detection by synchronous label propagation over "
+    f"the trade graph, {_LPA_ROUNDS} rounds: every node adopts the "
+    "most frequent label among its neighbors, ties broken to the "
+    "smallest label — the deterministic total-order variant (classic "
+    "LPA's random tie-break makes runs incomparable; min-label ties "
+    "keep the result a pure function of the graph, hence a full hash "
+    "oracle). Each round is the Pregel-as-join shape the module's "
+    "header describes: one equi-join of edges to the label table on "
+    "dst, one (node,label) count aggregate, one max_by per node — "
+    "all shuffles on the edge/node key, no adjacency materialized, "
+    "lineage truncated per round. max_by(struct(c, -lbl)) compiles "
+    "the argmax+tie-break into a single aggregate (no window over "
+    "the neighbor-label table).",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bi, deg = _trade_graph(spark, sf_dir)
+    labels = deg.select(F.col("src").alias("v"), F.col("src").alias("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        nbr = (
+            bi.join(labels, bi["dst"] == labels["v"])
+            .groupBy(bi["src"].alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        # argmax count, tie -> smallest label: max of (c, -lbl)
+        labels = (
+            nbr.groupBy("node")
+            .agg(
+                F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias(
+                    "best"
+                )
+            )
+            .select(
+                F.col("node").alias("v"), (-F.col("best.neg")).alias("lbl")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )

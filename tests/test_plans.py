@@ -1065,3 +1065,31 @@ def test_interval_overlap_is_equi_join_on_bin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert tree.count("Generate") == 2  # one bin-explode per side
+
+
+def test_lpa_round_is_equi_join_plus_aggregates_no_window(spark):
+    # one LPA round (pre-checkpoint, pinned directly because the full
+    # query's localCheckpoint hides earlier rounds): edges equi-join
+    # the label table, then two hash aggregates (neighbor-label counts,
+    # argmax via max_by struct) — no window over the neighbor table,
+    # no cartesian, no nested-loop
+    from data_ingestion_pimcore_spark.ops.graph import _trade_graph
+
+    bi, deg = _trade_graph(spark, SF)
+    labels = deg.select(F.col("src").alias("v"), F.col("src").alias("lbl"))
+    nbr = (
+        bi.join(labels, bi["dst"] == labels["v"])
+        .groupBy(bi["src"].alias("node"), "lbl")
+        .agg(F.count("*").alias("c"))
+    )
+    best = nbr.groupBy("node").agg(
+        F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("best")
+    )
+    plan = best._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = plan.split("\n\n(1)")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in tree
+    assert tree.count("HashAggregate") >= 3  # partial+final counts, argmax
