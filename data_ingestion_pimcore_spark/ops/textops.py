@@ -878,3 +878,94 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(_BPE_TOP_K)
     )
+
+
+# --------------------------------------------- boilerplate removal
+
+BP_SEG = 2  # words per segment ("line" stand-in for the fixture corpus)
+BP_MIN_DOCS = 15  # segment is boilerplate when >= this many docs carry it
+
+
+@register(
+    "text_remove_boilerplate",
+    oracle=f"""
+WITH segs AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS seg_idx,
+         array_to_string(list_slice(string_split(text, ' '),
+             CAST(t.i * {BP_SEG} + 1 AS INTEGER),
+             CAST(t.i * {BP_SEG} + {BP_SEG} AS INTEGER)), ' ') AS seg
+  FROM documents,
+       UNNEST(range(0, CAST(CEIL(LEN(string_split(text, ' '))
+                / CAST({BP_SEG} AS DOUBLE)) AS BIGINT))) AS t(i)
+),
+freq AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg
+),
+flagged AS (
+  SELECT s.doc_id, s.seg_idx, s.seg,
+         f.nd >= {BP_MIN_DOCS} AS is_bp,
+         LEN(string_split(s.seg, ' ')) AS seg_words
+  FROM segs s JOIN freq f USING (seg)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN is_bp THEN 0 ELSE seg_words END) AS BIGINT)
+           AS cleaned_tokens,
+       {sql_md5_hash60(
+           "COALESCE(string_agg(CASE WHEN NOT is_bp THEN seg END, "
+           "' ' ORDER BY seg_idx), '')"
+       )} AS cleaned_fp
+FROM flagged
+GROUP BY doc_id
+""",
+    doc="Boilerplate REMOVAL with reassembly — the cleaning step after "
+    "detection (dedup_substring_exact finds repeated spans; this op "
+    "deletes them and rebuilds the document): segment each doc into "
+    f"{BP_SEG}-word units, count DISTINCT docs per segment (one hash "
+    f"aggregate), mark segments carried by >= {BP_MIN_DOCS} docs as "
+    "boilerplate (headers/footers/nav chrome in a real crawl), and "
+    "emit per-doc kept-segment counts, cleaned token count, and a "
+    "fingerprint of the REASSEMBLED cleaned text (order-preserving "
+    "listagg of kept segments) so the reconstruction itself is "
+    "hash-checked. Scale shape: segments shuffle once on segment "
+    "text for the frequency count and once back on doc_id — both "
+    "combiner-friendly; no per-doc Python, no windows over raw "
+    "tokens. The segment-frequency table can be bloom/broadcast-"
+    "pruned to only >=threshold entries at 100 TB.",
+)
+def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(BP_SEG)).cast("int")
+    seg_list = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * BP_SEG + 1, BP_SEG), " "
+        ),
+    )
+    segs = d.select(
+        "doc_id", F.posexplode(seg_list).alias("seg_idx", "seg")
+    )
+    freq = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    flagged = segs.join(freq, "seg").select(
+        "doc_id",
+        "seg_idx",
+        "seg",
+        (F.col("nd") >= BP_MIN_DOCS).alias("is_bp"),
+        F.size(F.split(F.col("seg"), " ")).alias("seg_words"),
+    )
+    kept_text = F.expr(
+        "listagg(CASE WHEN NOT is_bp THEN seg END, ' ') "
+        "WITHIN GROUP (ORDER BY seg_idx)"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(F.col("is_bp").cast("int")).cast("long").alias("n_removed"),
+        F.sum(F.when(F.col("is_bp"), 0).otherwise(F.col("seg_words")))
+        .cast("long")
+        .alias("cleaned_tokens"),
+        md5_hash60(F.coalesce(kept_text, F.lit(""))).alias("cleaned_fp"),
+    )

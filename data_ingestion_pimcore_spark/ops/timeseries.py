@@ -2315,3 +2315,76 @@ def ts_gap_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("max_gap_hours").cast("long").alias("max_gap_hours"),
     )
+
+
+# ----------------------------------------------- calendar proration
+
+PRORATE_SPAN_MOD = 14  # synthetic span: o_orderkey % 14 + 1 days
+
+
+@register(
+    "ts_calendar_proration",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS s,
+         o_orderkey % {PRORATE_SPAN_MOD} + 1 AS days,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 2000
+),
+alloc AS (
+  SELECT k, s + CAST(t.i AS INTEGER) AS day, days, cents,
+         cents // days + CASE WHEN t.i < cents % days THEN 1 ELSE 0 END
+             AS day_cents
+  FROM o, UNNEST(range(0, days)) AS t(i)
+)
+SELECT strftime(day, '%Y-%m') AS month,
+       CAST(SUM(day_cents) AS BIGINT) AS alloc_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_order_days
+FROM alloc GROUP BY 1
+""",
+    doc="Calendarization / revenue proration — the finance-warehouse "
+    "allocate-across-periods operator: each order's value spreads "
+    "evenly over its service interval, and monthly revenue is the "
+    "sum of the day slices that fall in the month. Allocation is "
+    "EXACT penny arithmetic (no floats): cents//days per day plus "
+    "one extra cent to the first cents%days days, so per-order "
+    "slices always re-sum to the original total (property-tested) "
+    "and both engines agree bit-for-bit. Shape: one bounded explode "
+    "(span <= 14 days) then one hash aggregate on month — the "
+    "fan-out is span/row, not a join; at 100 TB pick the period "
+    "granularity so fan-out stays O(periods per row).",
+)
+def ts_calendar_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select(
+            F.to_date("o_orderdate").alias("s"),
+            (F.col("o_orderkey") % PRORATE_SPAN_MOD + 1).alias("days"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    # generators can't nest: project the explode, derive in the next select
+    ex = o.select(
+        "s",
+        "days",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.col("days") - 1)).alias("i"),
+    )
+    alloc = ex.select(
+        F.date_format(
+            F.date_add(F.col("s"), F.col("i").cast("int")), "yyyy-MM"
+        ).alias("month"),
+        (
+            # exact integer division (double-divide + floor can stray
+            # near integer boundaries; DuckDB's // is integer-exact)
+            F.expr("cents div days")
+            + F.when(F.col("i") < F.col("cents") % F.col("days"), 1).otherwise(0)
+        ).alias("day_cents"),
+    )
+    return alloc.groupBy("month").agg(
+        F.sum("day_cents").cast("long").alias("alloc_cents"),
+        F.count("*").cast("long").alias("n_order_days"),
+    )

@@ -512,3 +512,81 @@ def test_hilbert_rect_bijective_unit_steps(spark):
     for d in range(nx * ny - 1):
         (x1, y1), (x2, y2) = pts[d], pts[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pts[d], pts[d + 1])
+
+
+def test_calendar_proration_conserves_pennies_per_order(spark):
+    """The penny-allocation rule must re-sum each order's day slices to
+    EXACTLY the original cents — the invariant that makes proration a
+    reallocation, not an approximation."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pimcore_spark.ops.timeseries import PRORATE_SPAN_MOD
+    from data_ingestion_pimcore_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    o = (
+        load(spark, sf, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % PRORATE_SPAN_MOD + 1).alias("days"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    ex = o.select(
+        "o_orderkey",
+        "days",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.col("days") - 1)).alias("i"),
+    )
+    per_order = (
+        ex.select(
+            "o_orderkey",
+            "cents",
+            (
+                F.expr("cents div days")
+                + F.when(F.col("i") < F.col("cents") % F.col("days"), 1)
+                .otherwise(0)
+            ).alias("day_cents"),
+        )
+        .groupBy("o_orderkey", "cents")
+        .agg(F.sum("day_cents").alias("total"))
+    )
+    assert per_order.where(F.col("total") != F.col("cents")).count() == 0
+
+
+def test_lpa_disjoint_cliques_never_mix(spark):
+    """Label propagation on two disjoint trade cliques must never leak
+    a label across components (communities are subsets of connected
+    components by construction), and each biclique resolves to at most
+    one customer-side + one supplier-side label after 2 synchronous
+    rounds (bipartite oscillation keeps the sides distinct — the
+    deterministic min-label tie-break pins which)."""
+    import os
+    import tempfile
+
+    from data_ingestion_pimcore_spark.ops.graph import graph_label_propagation
+
+    # clique A: customers 1,2 x suppliers 1,2; clique B: 3,4 x 3,4
+    orders, lineitem, oid = [], [], 0
+    for custs, supps in ([(1, 2), (1, 2)], [(3, 4), (3, 4)]):
+        for c in custs:
+            for s_ in supps:
+                oid += 1
+                orders.append((oid, c))
+                lineitem.append((oid, s_))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long"
+        ).write.parquet(os.path.join(tmp, "orders.parquet"))
+        spark.createDataFrame(
+            lineitem, "l_orderkey long, l_suppkey long"
+        ).write.parquet(os.path.join(tmp, "lineitem.parquet"))
+        out = graph_label_propagation(spark, tmp).collect()
+    labels = {r["community"] for r in out}
+    # node ids: clique A spans {2,4,3,5}, clique B {6,8,7,9}
+    a_labels = {l for l in labels if l < 6}
+    b_labels = {l for l in labels if l >= 6}
+    assert a_labels and b_labels and a_labels.isdisjoint(b_labels)
+    assert len(a_labels) <= 2 and len(b_labels) <= 2
+    assert sum(r["n_nodes"] for r in out) == 8

@@ -1093,3 +1093,24 @@ def test_lpa_round_is_equi_join_plus_aggregates_no_window(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in tree
     assert tree.count("HashAggregate") >= 3  # partial+final counts, argmax
+
+
+def test_boilerplate_removal_two_keyed_shuffles_no_raw_window(spark):
+    # segments shuffle once on segment text (frequency) and once back
+    # on doc_id (reassembly aggregate); the reassembly listagg is an
+    # aggregate, never a window over the token table
+    tree = tree_of(spark, "text_remove_boilerplate")
+    plan = plan_of(spark, "text_remove_boilerplate")
+    assert "Window" not in tree
+    assert "CartesianProduct" not in plan
+    assert tree.count("Generate") >= 1  # the segment posexplode
+
+
+def test_calendar_proration_is_explode_plus_one_aggregate(spark):
+    # bounded fan-out explode (span <= 14) then one partial+final
+    # month aggregate; no join, no window
+    tree = tree_of(spark, "ts_calendar_proration")
+    assert tree.count("Scan parquet") == 1
+    assert "Generate" in tree
+    assert "Join" not in tree and "Window" not in tree
+    assert tree.count("HashAggregate") == 2
