@@ -2388,3 +2388,87 @@ def ts_calendar_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("day_cents").cast("long").alias("alloc_cents"),
         F.count("*").cast("long").alias("n_order_days"),
     )
+
+
+# ------------------------------------------------- attribution
+
+ATTR_WINDOW_DAYS = 7
+
+
+@register(
+    "ts_attribution_last_touch",
+    oracle=f"""
+WITH conv AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+tch AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+  SELECT c.event_id AS cid, t.event_type,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM conv c JOIN tch t
+    ON t.user_id = c.user_id AND t.ts < c.ts
+   AND t.ts >= c.ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+)
+SELECT COALESCE(p.event_type, 'direct') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       {sql_dsum("c.value", "attributed_value")}
+FROM conv c LEFT JOIN (SELECT cid, event_type FROM pairs WHERE rn = 1) p
+  ON p.cid = c.event_id
+GROUP BY 1
+""",
+    doc="Last-touch marketing attribution: each purchase credits the "
+    f"most recent view/click by the same user within "
+    f"{ATTR_WINDOW_DAYS} days strictly before it (ties on timestamp "
+    "break to the larger event id); purchases with no qualifying "
+    "touch attribute to 'direct'. Engine shape is the single "
+    "union-sort-window as-of pass this module's as-of joins use: "
+    "touches and conversions interleave in ONE user-partitioned "
+    "ordered window (conversions sort before same-instant touches, "
+    "enforcing strictly-before for free) and last_value(ignorenulls) "
+    "carries the latest touch forward — one shuffle on user_id, no "
+    "join. The oracle is the independent JOIN-based spec "
+    "(touch-conversion pairs ranked per conversion), so two different "
+    "constructions must agree bit-for-bit; attributed value sums "
+    "through the exact-decimal trick.",
+)
+def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    rows = ev.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "*",
+        F.when(F.col("event_type") == "purchase", 0)
+        .otherwise(1)
+        .alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_ts = F.last(
+        F.when(F.col("kind") == 1, F.col("ts")), ignorenulls=True
+    ).over(w)
+    touch_type = F.last(
+        F.when(F.col("kind") == 1, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    conv = rows.select(
+        "event_id", "ts", "value", "kind",
+        touch_ts.alias("t_ts"),
+        touch_type.alias("t_type"),
+    ).where(F.col("kind") == 0)
+    channel = F.when(
+        F.col("t_ts") >= F.col("ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAY"),
+        F.col("t_type"),
+    ).otherwise(F.lit("direct"))
+    return conv.groupBy(channel.alias("channel")).agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        dsum("value", "attributed_value"),
+    )

@@ -590,3 +590,49 @@ def test_lpa_disjoint_cliques_never_mix(spark):
     assert a_labels and b_labels and a_labels.isdisjoint(b_labels)
     assert len(a_labels) <= 2 and len(b_labels) <= 2
     assert sum(r["n_nodes"] for r in out) == 8
+
+
+def test_attribution_boundary_semantics(spark):
+    """Strictly-before: a touch at the purchase instant must NOT get
+    credit. Window edge: a touch exactly 7 days before qualifies; one
+    second older falls to 'direct'. Tie-break: two touches at the same
+    instant credit the larger event_id's channel."""
+    import os
+    import tempfile
+
+    from data_ingestion_pimcore_spark.ops.timeseries import (
+        ts_attribution_last_touch,
+    )
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def s(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    day = 86400
+    rows = [
+        # user 1: touch at the same instant as purchase -> direct
+        (1, s(0), 1, "click", 0.0, "{}"),
+        (2, s(0), 1, "purchase", 10.0, "{}"),
+        # user 2: touch exactly 7 days before -> credited to view
+        (3, s(0), 2, "view", 0.0, "{}"),
+        (4, s(7 * day), 2, "purchase", 20.0, "{}"),
+        # user 3: touch 7 days + 1 s before -> direct
+        (5, s(0), 3, "click", 0.0, "{}"),
+        (6, s(7 * day + 1), 3, "purchase", 30.0, "{}"),
+        # user 4: view and click at the same instant -> larger event_id
+        (7, s(0), 4, "view", 0.0, "{}"),
+        (8, s(0), 4, "click", 0.0, "{}"),
+        (9, s(60), 4, "purchase", 40.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(spark, rows, tmp)
+        got = {
+            r["channel"]: (r["n_conversions"], r["attributed_value"])
+            for r in ts_attribution_last_touch(spark, tmp).collect()
+        }
+    assert got == {
+        "direct": (2, 40.0),  # users 1 and 3
+        "view": (1, 20.0),    # user 2, boundary-inclusive
+        "click": (1, 40.0),   # user 4, tie to event_id 8
+    }

@@ -1114,3 +1114,14 @@ def test_calendar_proration_is_explode_plus_one_aggregate(spark):
     assert "Generate" in tree
     assert "Join" not in tree and "Window" not in tree
     assert tree.count("HashAggregate") == 2
+
+
+def test_attribution_is_one_user_window_no_join(spark):
+    # the as-of carry-forward: ONE exchange (hash on user_id) feeds the
+    # interleaved window; the oracle's pair join never appears in the
+    # engine plan
+    tree = tree_of(spark, "ts_attribution_last_touch")
+    plan = plan_of(spark, "ts_attribution_last_touch")
+    assert "Join" not in tree
+    assert "hashpartitioning(user_id" in plan
+    assert tree.count("Window") == 1
