@@ -600,3 +600,87 @@ def reshape_interleave_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
             pos.cast("bigint").alias("position"),
         )
     )
+
+
+# -------------------------------------------- temperature mixing
+
+MIX_TEMP_TARGET = 200  # total docs the tempered mix selects
+
+
+@register(
+    "reshape_mix_temperature",
+    oracle=f"""
+WITH srcs AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+  FROM documents GROUP BY source
+),
+sq AS (
+  SELECT source, n_docs, chars, chars * chars AS sqw,
+         SUM(chars * chars) OVER () AS totsq
+  FROM srcs
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS rn
+  FROM documents
+)
+SELECT s.source,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN r.rn * s.totsq <= {MIX_TEMP_TARGET} * s.sqw
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN r.rn * s.totsq <= {MIX_TEMP_TARGET} * s.sqw
+                     THEN r.doc_id ELSE 0 END) AS BIGINT) AS sel_id_sum
+FROM ranked r JOIN sq s USING (source)
+GROUP BY s.source, s.n_docs
+""",
+    doc="Temperature-weighted source mixing at alpha=2 (the "
+    "upweight-the-heavy-sources counterpart of temperature sampling; "
+    "alpha=2 because integer SQUARES keep every weight exact where "
+    "fractional alphas need pow()): each source's quota is "
+    f"floor({MIX_TEMP_TARGET} * chars_s^2 / sum(chars^2)), selection "
+    "is the quota-prefix of a deterministic md5 shuffle within the "
+    "source, and the quota test is INTEGER cross-multiplication "
+    "(rn * totsq <= N * sq_s) — no division, no floats, bit-exact "
+    "parity. Emits per-source selected counts plus the selected-id "
+    "sum so the exact membership is hash-checked. Shape: one source "
+    "aggregate (tiny), one per-source rank window, one broadcast "
+    "join — the fact table shuffles once on source. Integer "
+    "headroom: rn * sum(chars^2) stays under 2^63 while per-source "
+    "chars < ~3e9 / sqrt(|sources|); move to DECIMAL(38,0) beyond.",
+)
+def reshape_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    srcs = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    sq = srcs.select(
+        "source",
+        "n_docs",
+        (F.col("chars") * F.col("chars")).alias("sqw"),
+    ).withColumn("totsq", F.sum("sqw").over(Window.partitionBy()))
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rn"),
+    )
+    j = ranked.join(F.broadcast(sq), "source")
+    sel = F.col("rn") * F.col("totsq") <= MIX_TEMP_TARGET * F.col("sqw")
+    return j.groupBy("source", "n_docs").agg(
+        F.sum(sel.cast("int")).cast("long").alias("n_selected"),
+        F.sum(F.when(sel, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("sel_id_sum"),
+    ).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_selected",
+        "sel_id_sum",
+    )

@@ -2472,3 +2472,83 @@ def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_conversions"),
         dsum("value", "attributed_value"),
     )
+
+
+# ------------------------------------------------- SLO burn rate
+
+BURN_SHORT_NUM, BURN_SHORT_DEN = 1, 8  # short window trips above 12.5%
+BURN_LONG_NUM, BURN_LONG_DEN = 1, 10  # 6-hour window trips above 10%
+BURN_LONG_HOURS = 6
+
+
+@register(
+    "ts_slo_burn_rate",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+         COUNT(*) AS total
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT h, errors, total,
+         SUM(errors) OVER (ORDER BY h ROWS BETWEEN {BURN_LONG_HOURS - 1}
+                           PRECEDING AND CURRENT ROW) AS err6,
+         SUM(total) OVER (ORDER BY h ROWS BETWEEN {BURN_LONG_HOURS - 1}
+                          PRECEDING AND CURRENT ROW) AS tot6
+  FROM hourly
+)
+SELECT strftime(h, '%Y-%m-%d %H:00') AS hour,
+       CAST(errors AS BIGINT) AS errors,
+       CAST(total AS BIGINT) AS total,
+       CAST(err6 AS BIGINT) AS err6,
+       CAST(tot6 AS BIGINT) AS tot6
+FROM win
+WHERE errors * {BURN_SHORT_DEN} > total * {BURN_SHORT_NUM}
+  AND err6 * {BURN_LONG_DEN} > tot6 * {BURN_LONG_NUM}
+ORDER BY h
+""",
+    doc="Multi-window SLO burn-rate alerting (the Google SRE workbook "
+    "pattern): an hour alerts only when BOTH the short (1 h > "
+    f"{BURN_SHORT_NUM}/{BURN_SHORT_DEN}) and long ({BURN_LONG_HOURS} h "
+    f"trailing > {BURN_LONG_NUM}/{BURN_LONG_DEN}) error rates burn "
+    "above budget — the short window for fast detection, the long one "
+    "to suppress blips. Rates compare by INTEGER cross-multiplication "
+    "(errors*den > total*num), so no division ever happens and parity "
+    "is exact. Raw events collapse to one hourly aggregate; the "
+    "trailing window runs over O(hours) rows — dimension-bounded like "
+    "every report in this family. At 100 TB the hourly pre-aggregate "
+    "is the only pass over the fact table.",
+)
+def ts_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum((F.col("event_type") == "error").cast("int")).alias("errors"),
+        F.count("*").alias("total"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("h")
+        .rowsBetween(-(BURN_LONG_HOURS - 1), Window.currentRow)
+    )
+    win = hourly.select(
+        "h",
+        "errors",
+        "total",
+        F.sum("errors").over(w).alias("err6"),
+        F.sum("total").over(w).alias("tot6"),
+    )
+    return (
+        win.where(
+            (F.col("errors") * BURN_SHORT_DEN > F.col("total") * BURN_SHORT_NUM)
+            & (F.col("err6") * BURN_LONG_DEN > F.col("tot6") * BURN_LONG_NUM)
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            F.col("errors").cast("long").alias("errors"),
+            F.col("total").cast("long").alias("total"),
+            F.col("err6").cast("long").alias("err6"),
+            F.col("tot6").cast("long").alias("tot6"),
+        )
+        .orderBy("hour")
+    )

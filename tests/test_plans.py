@@ -1125,3 +1125,25 @@ def test_attribution_is_one_user_window_no_join(spark):
     assert "Join" not in tree
     assert "hashpartitioning(user_id" in plan
     assert tree.count("Window") == 1
+
+
+def test_slo_burn_rate_single_scan_hourly_then_tiny_window(spark):
+    # one pass over events (hourly aggregate pair); the trailing-6h
+    # window runs over O(hours) rows; integer cross-multiply filter,
+    # no division, no join
+    tree = tree_of(spark, "ts_slo_burn_rate")
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
+    assert tree.count("HashAggregate") == 2
+    assert tree.index("Window") < tree.rindex("HashAggregate")
+
+
+def test_mix_temperature_one_fact_shuffle_broadcast_quotas(spark):
+    # the fact table shuffles once on source for the rank window; the
+    # per-source quota table broadcasts back; quota test is pure
+    # integer arithmetic in the projection
+    tree = tree_of(spark, "reshape_mix_temperature")
+    plan = plan_of(spark, "reshape_mix_temperature")
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(source" in plan
