@@ -2747,3 +2747,44 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.least("e_a", "e_b"), start_max) + 1
         ).cast("long").alias("overlap_days"),
     )
+
+
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01' AS m
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < DATE '2001-08-01'
+),
+monthly AS (
+  SELECT substr(CAST(o_orderdate AS STRING), 1, 7) AS month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT substr(CAST(m AS STRING), 1, 7) AS month,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       COALESCE(revenue, CAST(0 AS DOUBLE)) AS revenue
+FROM months LEFT JOIN monthly ON monthly.month = substr(CAST(m AS STRING), 1, 7)
+"""
+
+
+@register(
+    "sql_recursive_cte_spine",
+    oracle=_RECURSIVE_SPINE_SQL,
+    doc="ANSI WITH RECURSIVE executed NATIVELY by the engine (Spark "
+    "4's recursive CTE support — UnionLoop in the plan), same text as "
+    "the DuckDB oracle like sql_api_passthrough: a month spine "
+    "generated by recursion (the calendar-dimension idiom every "
+    "warehouse needs) left-joined to monthly order revenue so empty "
+    "months survive with zero rows. Recursion depth is the month "
+    "count (80 here, under spark.sql.cteRecursionLevelLimit's 100 "
+    "default); each iteration carries ONE row, so the loop is "
+    "driver-cheap while the monthly aggregate stays a normal "
+    "partial+final pass over the fact table. Exact-decimal revenue; "
+    "date arithmetic in the date domain; month keys as ISO string "
+    "prefixes (identical CAST in both engines).",
+)
+def sql_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SPINE_SQL)
