@@ -1147,3 +1147,52 @@ def test_mix_temperature_one_fact_shuffle_broadcast_quotas(spark):
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """Spark's runtime row-level bloom filter (the automatic cousin of
+    join_bloom_prefilter's manual build): with a selective filter on
+    the creation side, the optimizer injects bloom_filter_agg /
+    might_contain around the fact scan so probe-side rows drop BEFORE
+    the join shuffle. Default thresholds target 10 GB scans, so this
+    pin lowers them to demonstrate the 100 TB behavior at test scale;
+    confs restore afterwards."""
+    from data_ingestion_pimcore_spark.tables import load
+
+    keep = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        # force a shuffle join: runtime bloom only pays off when the
+        # probe side would otherwise shuffle in full
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = (
+            load(spark, SF, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)
