@@ -1196,3 +1196,50 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
     finally:
         for k, v in keep.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's automatic skew-join handling (the runtime complement of
+    join_salted_skew's manual salting): with one key carrying half the
+    rows, the executed plan must mark SortMergeJoin(skew=true) and
+    read the hot shuffle partition through AQEShuffleRead as split
+    sub-partitions. Thresholds are lowered to trip at test scale
+    (defaults target 256 MB partitions); confs restore afterwards."""
+    keep = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 2 == 0, 0)
+            .otherwise(F.col("id") % 997)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(997).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 400_000  # executes j's own plan
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)
