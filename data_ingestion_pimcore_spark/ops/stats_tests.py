@@ -1377,3 +1377,87 @@ def stats_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.max("n").cast("long").alias("n_customers"),
     )
+
+
+# --------------------------------------------------- M4 downsampling
+
+M4_BUCKET_MIN = 60  # one pixel bucket per hour
+
+
+@register(
+    "ts_downsample_m4",
+    oracle=f"""
+WITH pts AS (
+  SELECT date_trunc('hour', ts) AS b, ts, event_id, value
+  FROM events WHERE event_type = 'view'
+),
+r AS (
+  SELECT b, value,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY ts, event_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY ts DESC, event_id DESC)
+             AS rl,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY value, event_id) AS rmin,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY value DESC, event_id DESC)
+             AS rmax
+  FROM pts
+)
+SELECT substr(CAST(b AS STRING), 1, 13) AS bucket,
+       CAST(MAX(CASE WHEN rf = 1 THEN value END) AS DOUBLE) AS v_first,
+       CAST(MAX(CASE WHEN rl = 1 THEN value END) AS DOUBLE) AS v_last,
+       CAST(MAX(CASE WHEN rmin = 1 THEN value END) AS DOUBLE) AS v_min,
+       CAST(MAX(CASE WHEN rmax = 1 THEN value END) AS DOUBLE) AS v_max,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r GROUP BY b
+""",
+    doc="M4 time-series downsampling — the error-free visualization "
+    "reducer (Jugel et al., VLDB 2014): per pixel bucket keep exactly "
+    "first/last/min/max, which provably reproduces the line "
+    "rendering; LTTB (ts_downsample_lttb) is the perceptual cousin, "
+    "M4 the exact one. Selection ties break on event_id, so every "
+    "kept point is a deterministic function of the data — full hash "
+    "oracle. Engine shape: one shuffle on the bucket key feeds four "
+    "rank windows SHARING that single exchange plus the final "
+    "aggregate — at any SF the state per bucket is four ranks, and "
+    "buckets parallelize perfectly. (A min_by/max_by aggregate form "
+    "would drop the windows entirely but loses the first/last "
+    "ORDER BY ts semantics under ties; ranked selection keeps all "
+    "four picks uniform.)",
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("b"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+    wb = Window.partitionBy("b")
+    r = ev.select(
+        "b",
+        "value",
+        F.row_number().over(wb.orderBy("ts", "event_id")).alias("rf"),
+        F.row_number()
+        .over(wb.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rl"),
+        F.row_number().over(wb.orderBy("value", "event_id")).alias("rmin"),
+        F.row_number()
+        .over(wb.orderBy(F.col("value").desc(), F.col("event_id").desc()))
+        .alias("rmax"),
+    )
+    return r.groupBy("b").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("v_first"),
+        F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("v_last"),
+        F.max(F.when(F.col("rmin") == 1, F.col("value"))).alias("v_min"),
+        F.max(F.when(F.col("rmax") == 1, F.col("value"))).alias("v_max"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        F.substring(F.col("b").cast("string"), 1, 13).alias("bucket"),
+        "v_first",
+        "v_last",
+        "v_min",
+        "v_max",
+        "n",
+    )

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import io
 import os
+import time
+import urllib.error
 import urllib.request
 from urllib.parse import urlparse
 
@@ -77,11 +79,17 @@ def _bucket_key(uri: str) -> tuple[str, str]:
     return p.netloc, p.path.lstrip("/")
 
 
+_GET_RETRIES = 3  # bounded like the sink's chunk retry (sink.py)
+
+
 def open_s3_binary(uri: str):
     """Streaming binary reader for one object. Prefers s3fs when
     importable (full auth); otherwise anonymous path-style GET against
-    the configured endpoint. Returns a file-like (non-seekable on the
-    stdlib path — callers needing random access use fetch_bytes)."""
+    the configured endpoint, with bounded retry on transient failures
+    (5xx / connection resets — at fleet scale some GETs always flake;
+    4xx are permanent and raise immediately). Returns a file-like
+    (non-seekable on the stdlib path — callers needing random access
+    use fetch_bytes)."""
     try:  # the reference's stack, when present
         import s3fs  # type: ignore
 
@@ -89,7 +97,19 @@ def open_s3_binary(uri: str):
     except ImportError:
         pass
     bucket, key = _bucket_key(uri)
-    return urllib.request.urlopen(f"{s3_endpoint()}/{bucket}/{key}")
+    url = f"{s3_endpoint()}/{bucket}/{key}"
+    last: Exception | None = None
+    for attempt in range(_GET_RETRIES):
+        try:
+            return urllib.request.urlopen(url)
+        except urllib.error.HTTPError as e:
+            if e.code < 500:
+                raise  # permanent: 403/404/…
+            last = e
+        except urllib.error.URLError as e:
+            last = e
+        time.sleep(0.05 * (2**attempt))
+    raise OSError(f"S3 GET failed after {_GET_RETRIES} attempts: {url}") from last
 
 
 def fetch_bytes(uri: str) -> bytes:

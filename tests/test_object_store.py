@@ -140,3 +140,47 @@ def test_excel_workbook_through_s3(spark, s3_stub, tmp_path):
     assert [(r["k"], r["v"]) for r in rows] == [("1", "a"), ("2", "b")] or [
         (r["k"], r["v"]) for r in rows
     ] == [(1.0, "a"), (2.0, "b")]
+
+
+def test_s3_get_retries_transient_500s(tmp_path, monkeypatch):
+    """A GET that 500s twice then succeeds must stream the object; a
+    404 must raise immediately (permanent, no retry)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    calls = {"n": 0}
+
+    class Flaky(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/b/missing":
+                self.send_response(404)
+                self.end_headers()
+                return
+            calls["n"] += 1
+            if calls["n"] <= 2:
+                self.send_response(503)
+                self.end_headers()
+                return
+            body = b"recovered"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Flaky)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    monkeypatch.setenv(
+        "AWS_ENDPOINT_URL_S3", f"http://127.0.0.1:{srv.server_address[1]}"
+    )
+    try:
+        assert fetch_bytes("s3://b/flaky.bin") == b"recovered"
+        assert calls["n"] == 3
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            fetch_bytes("s3://b/missing")
+    finally:
+        srv.shutdown()

@@ -1243,3 +1243,13 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in keep.items():
             spark.conf.set(k, v)
+
+
+def test_m4_four_rank_windows_share_one_bucket_exchange(spark):
+    # all four rank windows partition on the bucket key: ONE exchange
+    # feeds the whole selection + final aggregate
+    tree = tree_of(spark, "ts_downsample_m4")
+    plan = plan_of(spark, "ts_downsample_m4")
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(b" in plan
+    assert "Join" not in tree
