@@ -1307,3 +1307,153 @@ def mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_copies"),
         F.min("doc_id").cast("long").alias("keep_doc_id"),
     )
+
+
+# ------------------------------------------------ image near-dup pairs
+
+HAM_T = 3  # hamming threshold; 4 bands of 16 bits => pigeonhole-exact
+
+
+def attach_image_payload_near_dup(d: DataFrame) -> DataFrame:
+    """Image fixture with NEAR-duplicates: content seed cid = doc_id %
+    100 (5 re-uploads per content at doc_id < 500) and a per-copy
+    perturbation of ONE source pixel ((0,0) += copy index, mod 256) —
+    the re-encode/brightness-tweak situation perceptual dedup exists
+    for. Every copy shares the base image's dimensions."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                px = synth_pixels(i % 100).copy()
+                px[0, 0] = (int(px[0, 0]) + i // 100) % 256
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return d.select("doc_id").mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+@register(
+    "mm_image_near_dup",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id, doc_id % 100 AS cid, doc_id // 100 AS k,
+         4 + (doc_id % 100) % 13 AS w, 4 + (doc_id % 100) % 7 AS h
+  FROM documents WHERE doc_id < 500
+),
+xs AS (SELECT UNNEST(range(0, {RESIZE_W})) AS x),
+ys AS (SELECT UNNEST(range(0, {RESIZE_H})) AS y),
+px AS (
+  SELECT doc_id, y, x,
+         CASE WHEN (x * w) // {RESIZE_W} = 0 AND (y * h) // {RESIZE_H} = 0
+              THEN (cid * 31 + k) % 256
+              ELSE (cid * 31 + ((x * w) // {RESIZE_W}) * 7
+                    + ((y * h) // {RESIZE_H}) * 13) % 256 END AS v
+  FROM dims, xs, ys
+),
+tots AS (SELECT doc_id, SUM(v) AS total FROM px GROUP BY doc_id),
+bits AS (
+  SELECT p.doc_id, (p.y * {RESIZE_W} + p.x) // 16 AS b,
+         CASE WHEN p.v * {RESIZE_W * RESIZE_H} >= t.total
+              THEN (CAST(1 AS BIGINT)
+                    << (15 - (p.y * {RESIZE_W} + p.x) % 16))
+              ELSE 0 END AS wgt
+  FROM px p JOIN tots t USING (doc_id)
+),
+bands AS (SELECT doc_id, b, SUM(wgt) AS bv FROM bits GROUP BY doc_id, b),
+hb AS (
+  SELECT doc_id,
+         MAX(CASE WHEN b = 0 THEN bv END) AS b0,
+         MAX(CASE WHEN b = 1 THEN bv END) AS b1,
+         MAX(CASE WHEN b = 2 THEN bv END) AS b2,
+         MAX(CASE WHEN b = 3 THEN bv END) AS b3
+  FROM bands GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+          AS INTEGER) AS hamming
+FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= {HAM_T}
+""",
+    doc="Perceptual image NEAR-dup pairs by banded aHash Hamming "
+    "distance — the distance-tolerant upgrade of mm_image_ahash's "
+    "exact-equal clustering: real BMP decode → 8x8 aHash packed into "
+    f"four 16-bit band integers → candidate pairs via EQUI join on "
+    f"(band index, band value) → verify Hamming <= {HAM_T} with "
+    "bit_count(xor). The banding is pigeonhole-EXACT at this "
+    f"threshold ({HAM_T} flipped bits cannot touch all 4 bands), so "
+    "the engine's banded join provably equals the oracle's "
+    "brute-force all-pairs spec — LSH with zero false negatives, "
+    "verified construction-vs-spec. Blobs never shuffle (decode is "
+    "mapInPandas); candidates shuffle on 16-bit band keys exactly "
+    "like dedup_minhash_pairs' (band,hash) join, so the everywhere-"
+    "pairs term is bounded by band-bucket occupancy at any scale.",
+)
+def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_bmp(bytes(buf))
+                small = resize_nearest(px, RESIZE_W, RESIZE_H).astype(np.int64)
+                bits = (small * small.size >= small.sum()).astype(np.uint8).ravel()
+                bands = [
+                    int("".join(map(str, bits[b * 16 : (b + 1) * 16])), 2)
+                    for b in range(4)
+                ]
+                rows.append((int(doc_id), *bands))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    hashes = attach_image_payload_near_dup(d).mapInPandas(
+        run, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    bcols = ["b0", "b1", "b2", "b3"]
+    banded = hashes.select(
+        "doc_id",
+        *bcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"), F.col(c).alias("bv")
+                    )
+                    for i, c in enumerate(bcols)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", *bcols, "band.bi", "band.bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
+        for c in bcols
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= HAM_T)
+        .distinct()
+    )
+    return pairs

@@ -1253,3 +1253,15 @@ def test_m4_four_rank_windows_share_one_bucket_exchange(spark):
     assert tree.count("Exchange") == 1
     assert "hashpartitioning(b" in plan
     assert "Join" not in tree
+
+
+def test_image_near_dup_banded_equi_join_blobs_stay_local(spark):
+    # candidate pairs come from an EQUI join on (band, value) — never a
+    # cartesian/NL all-pairs — and the binary payload column never
+    # crosses an exchange (decode is map-side, only band ints shuffle)
+    tree = tree_of(spark, "mm_image_near_dup")
+    plan = plan_of(spark, "mm_image_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    ex_sections = re.findall(r"\(\d+\) Exchange[^(]*Arguments: [^\n]*", plan)
+    assert ex_sections and all("payload" not in s for s in ex_sections)
