@@ -1265,3 +1265,11 @@ def test_image_near_dup_banded_equi_join_blobs_stay_local(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     ex_sections = re.findall(r"\(\d+\) Exchange[^(]*Arguments: [^\n]*", plan)
     assert ex_sections and all("payload" not in s for s in ex_sections)
+
+
+def test_entity_resolution_block_join_is_equi(spark):
+    # the block step must compile to an equi join on the block key —
+    # an ER pipeline that cartesians the entity table is dead at scale
+    plan = plan_of(spark, "dedup_entity_resolution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
