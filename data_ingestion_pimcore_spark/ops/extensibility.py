@@ -657,3 +657,69 @@ def _bind_grouped_regression_oracle() -> None:
 
 
 _bind_grouped_regression_oracle()
+
+
+MANIFEST_BUCKETS = 8
+
+
+@register(
+    "profile_partition_manifest",
+    oracle=f"""
+SELECT CAST(o_orderkey % {MANIFEST_BUCKETS} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+FROM orders
+GROUP BY 1
+""",
+    doc="Data-skipping manifest built from the FILE METADATA column: "
+    f"orders is written partitioned by bucket (o_orderkey % "
+    f"{MANIFEST_BUCKETS}), read back, and the per-partition stats "
+    "(row count, key min/max, priority cardinality) are keyed by the "
+    "bucket value parsed out of Spark's hidden _metadata.file_path — "
+    "the manifest every lakehouse table format maintains so scans can "
+    "prune files by predicate before reading a byte. Matching the "
+    "oracle computed directly on the source proves the partitioned "
+    "layout is lossless AND the metadata-column plumbing reports the "
+    "true file-to-partition mapping. Per-bucket stats are "
+    "deterministic (bucket = key mod); per-FILE counts deliberately "
+    "are not emitted (files per bucket depend on write parallelism).",
+)
+def profile_partition_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(tempfile.mkdtemp(prefix="manifest_"), "orders")
+    try:
+        (
+            load(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                (F.col("o_orderkey") % MANIFEST_BUCKETS).alias("bucket"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out)
+        )
+        back = spark.read.parquet(out).select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"bucket=(\d+)", 1
+            )
+            .cast("long")
+            .alias("bucket"),
+        )
+        return (
+            back.groupBy("bucket")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+                F.countDistinct("o_orderpriority")
+                .cast("long")
+                .alias("n_priorities"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)

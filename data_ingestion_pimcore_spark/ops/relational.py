@@ -2788,3 +2788,95 @@ FROM months LEFT JOIN monthly ON monthly.month = substr(CAST(m AS STRING), 1, 7)
 def sql_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+PATTERN_MIN_RUN = 3  # detect runs of >= 3 strictly-declining orders
+
+
+@register(
+    "window_pattern_declining_runs",
+    oracle=f"""
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         LAG(o_totalprice) OVER w AS prev_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+flags AS (
+  SELECT o_custkey, o_orderkey,
+         CASE WHEN prev_price IS NOT NULL AND o_totalprice < prev_price
+              THEN 1 ELSE 0 END AS declining
+  FROM seq
+),
+isl AS (
+  SELECT o_custkey, declining,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey) AS rn_all,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, declining
+                            ORDER BY o_orderkey) AS rn_grp
+  FROM flags
+),
+runs AS (
+  SELECT o_custkey, COUNT(*) AS decline_steps
+  FROM isl WHERE declining = 1
+  GROUP BY o_custkey, rn_all - rn_grp
+)
+SELECT CAST(decline_steps + 1 AS INTEGER) AS run_len,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM runs
+WHERE decline_steps + 1 >= {PATTERN_MIN_RUN}
+GROUP BY decline_steps
+""",
+    doc="Sequence-pattern detection (the MATCH_RECOGNIZE "
+    "strictly-decreasing idiom, expressed portably): per customer, "
+    "orders in date order are flagged declining vs the previous "
+    "order, and gaps-and-islands (rn_all - rn_grp) groups consecutive "
+    f"declines into runs; runs of >= {PATTERN_MIN_RUN} orders are the "
+    "churn-risk signature. Ordering ties break on o_orderkey, so run "
+    "boundaries are deterministic. All three windows partition on "
+    "o_custkey — one customer-keyed exchange feeds the whole "
+    "detection, and the quadratic-looking pattern costs O(orders per "
+    "customer) window state at any SF.",
+)
+def window_pattern_declining_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flags = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(
+            F.lag("o_totalprice").over(wseq).isNotNull()
+            & (F.col("o_totalprice") < F.lag("o_totalprice").over(wseq)),
+            1,
+        )
+        .otherwise(0)
+        .alias("declining"),
+    )
+    isl = flags.select(
+        "o_custkey",
+        "declining",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderkey"))
+        .alias("rn_all"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey", "declining").orderBy("o_orderkey")
+        )
+        .alias("rn_grp"),
+    )
+    runs = (
+        isl.where(F.col("declining") == 1)
+        .groupBy("o_custkey", (F.col("rn_all") - F.col("rn_grp")).alias("grp"))
+        .agg(F.count("*").alias("decline_steps"))
+    )
+    return (
+        runs.where(F.col("decline_steps") + 1 >= PATTERN_MIN_RUN)
+        .groupBy((F.col("decline_steps") + 1).cast("int").alias("run_len"))
+        .agg(
+            F.count("*").cast("long").alias("n_runs"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+    )

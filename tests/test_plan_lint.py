@@ -52,6 +52,7 @@ MATERIALIZED_EXEMPT = {
     "pipeline_cached_fanout",
     "pipeline_observe_metrics",
     "profile_column_stats",
+    "profile_partition_manifest",
     "reshape_split_leakage_safe",
     "sink_csv_roundtrip",
     "sink_jsonl_roundtrip",

@@ -1273,3 +1273,14 @@ def test_entity_resolution_block_join_is_equi(spark):
     plan = plan_of(spark, "dedup_entity_resolution")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pattern_declining_runs_one_customer_exchange(spark):
+    # sequence detection: all windows partition on o_custkey, so ONE
+    # customer-keyed exchange feeds flagging + islands; the run
+    # grouping and report are hash aggregates
+    tree = tree_of(spark, "window_pattern_declining_runs")
+    plan = plan_of(spark, "window_pattern_declining_runs")
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
+    assert plan.count("hashpartitioning(o_custkey") >= 1
