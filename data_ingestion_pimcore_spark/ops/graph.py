@@ -395,3 +395,73 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count("*").cast("long").alias("n_nodes")
     )
+
+
+# ------------------------------------------------------ k-core peeling
+
+KCORE_K = 8
+KCORE_ROUNDS = 4
+
+
+def _kcore_round_sql(prev: str, out: str) -> str:
+    """One peeling round (DuckDB CTE body): drop nodes with degree <
+    k, keep only edges between survivors."""
+    return f"""
+d_{out} AS (
+    SELECT src, COUNT(*) AS deg FROM {prev} GROUP BY src
+),
+k_{out} AS (SELECT src FROM d_{out} WHERE deg >= {KCORE_K}),
+{out} AS (
+    SELECT e.src, e.dst FROM {prev} e
+    JOIN k_{out} a ON a.src = e.src
+    JOIN k_{out} b ON b.src = e.dst
+)"""
+
+
+_KCORE_SQL = (
+    "WITH "
+    + _SQL_GRAPH
+    + ", e0 AS (SELECT src, dst FROM bi),"
+    + ",".join(
+        _kcore_round_sql(f"e{i}", f"e{i + 1}") for i in range(KCORE_ROUNDS)
+    )
+    + f"""
+SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_core_nodes,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_core_edges
+FROM e{KCORE_ROUNDS}
+"""
+)
+
+
+@register(
+    "graph_k_core",
+    oracle=_KCORE_SQL,
+    doc=f"k-core peeling (k={KCORE_K}, {KCORE_ROUNDS} synchronous "
+    "rounds — bounded like graph_bfs_hops' hop cap, so the result is "
+    "a deterministic pure function of the graph rather than a "
+    "data-dependent fixpoint): each round drops nodes whose CURRENT "
+    "degree is below k and keeps only edges between survivors — the "
+    "standard densest-region extractor (spam rings, core community "
+    "mining). Each round is one degree aggregate plus two semi-"
+    "join-shaped equi joins on the edge endpoints; lineage truncates "
+    "per round. At most log-ish rounds reach the true core in "
+    "practice; raise KCORE_ROUNDS for adversarial chains (the chain "
+    "graph needs O(n) — documented bound, same contract as BFS).",
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bi, _deg = _trade_graph(spark, sf_dir)
+    edges = bi
+    for _ in range(KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= KCORE_K).select("src")
+        edges = (
+            edges.join(keep.withColumnRenamed("src", "u"), edges["src"] == F.col("u"))
+            .drop("u")
+            .join(keep.withColumnRenamed("src", "u"), edges["dst"] == F.col("u"))
+            .drop("u")
+            .localCheckpoint(eager=False)
+        )
+    return edges.agg(
+        F.countDistinct("src").cast("long").alias("n_core_nodes"),
+        (F.count("*") / 2).cast("long").alias("n_core_edges"),
+    )

@@ -2880,3 +2880,54 @@ def window_pattern_declining_runs(spark: SparkSession, sf_dir: str) -> DataFrame
             F.countDistinct("o_custkey").cast("long").alias("n_customers"),
         )
     )
+
+
+@register(
+    "window_month_over_month",
+    oracle="""
+WITH monthly AS (
+  SELECT substr(CAST(o_orderdate AS STRING), 1, 7) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(rev_cents - LAG(rev_cents) OVER (ORDER BY month) AS BIGINT)
+           AS delta_cents,
+       ROUND(CAST(rev_cents - LAG(rev_cents) OVER (ORDER BY month)
+                  AS DOUBLE)
+             / CAST(LAG(rev_cents) OVER (ORDER BY month) AS DOUBLE), 9)
+           AS mom_change
+FROM monthly
+""",
+    doc="Month-over-month revenue change — the standard BI trend "
+    "report: monthly revenue in exact integer CENTS, the delta as an "
+    "exact integer, and the relative change as ONE double division of "
+    "two exact integers, rounded at a scale where both engines' "
+    "ROUNDs are exact. The lag window runs over the monthly aggregate "
+    "(O(months) rows) — dimension-bounded; the fact table collapses "
+    "in one partial+final aggregate pass.",
+)
+def window_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias("month"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    monthly = o.groupBy("month").agg(
+        F.sum("cents").alias("rev_cents"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.partitionBy().orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "month",
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.col("rev_cents") - prev).cast("long").alias("delta_cents"),
+        F.round(
+            (F.col("rev_cents") - prev).cast("double") / prev.cast("double"), 9
+        ).alias("mom_change"),
+    )

@@ -1284,3 +1284,18 @@ def test_pattern_declining_runs_one_customer_exchange(spark):
     assert tree.count("Scan parquet") == 1
     assert "Join" not in tree
     assert plan.count("hashpartitioning(o_custkey") >= 1
+
+
+def test_k_core_rounds_are_joins_and_aggregates_no_cartesian(spark):
+    plan = plan_of(spark, "graph_k_core")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_month_over_month_window_over_monthly_aggregate(spark):
+    # the lag window runs over the monthly aggregate (O(months) rows),
+    # never raw orders; fact table collapses in one aggregate pair
+    tree = tree_of(spark, "window_month_over_month")
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("HashAggregate") == 2
+    assert tree.index("Window") < tree.rindex("HashAggregate")
