@@ -2931,3 +2931,63 @@ def window_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_cents") - prev).cast("double") / prev.cast("double"), 9
         ).alias("mom_change"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+WITH pts AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, v, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tot
+  FROM pts
+)
+SELECT flag AS l_returnflag,
+       CAST(MIN(CASE WHEN 2 * cw >= tot THEN v END) AS DOUBLE)
+           AS weighted_median_price,
+       CAST(MAX(tot) AS BIGINT) AS total_weight
+FROM cum
+GROUP BY flag
+""",
+    doc="Exact WEIGHTED median (quantity-weighted lower median of "
+    "extended price per return flag — the 'median dollar' rather than "
+    "the median line): per-(group, value) pre-aggregation collapses "
+    "the fact table first, then a cumulative-weight window over "
+    "DISTINCT VALUES finds the first value whose doubled running "
+    "weight reaches the total — integer weights and the 2*cw >= tot "
+    "cross-multiplication keep the definition exact with no halving "
+    "division. The group-partitioned window is bounded by per-group "
+    "distinct-price cardinality, not row count — the same "
+    "pre-aggregate discipline as stats_ks_test/stats_mann_whitney_u.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    pts = li.groupBy("flag", "v").agg(F.sum("q").alias("w"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pts.select(
+        "flag",
+        "v",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tot"),
+    )
+    return cum.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("v")))
+        .cast("double")
+        .alias("weighted_median_price"),
+        F.max("tot").cast("long").alias("total_weight"),
+    )

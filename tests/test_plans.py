@@ -1299,3 +1299,12 @@ def test_month_over_month_window_over_monthly_aggregate(spark):
     assert tree.count("Scan parquet") == 1
     assert tree.count("HashAggregate") == 2
     assert tree.index("Window") < tree.rindex("HashAggregate")
+
+
+def test_weighted_median_window_over_distinct_values(spark):
+    # the cumulative-weight window runs over the per-(group,value)
+    # aggregate — the fact table collapses in one aggregate pair first
+    tree = tree_of(spark, "agg_weighted_median")
+    assert tree.count("Scan parquet") == 1
+    assert tree.index("Window") < tree.rindex("HashAggregate")
+    assert "Join" not in tree
