@@ -636,3 +636,123 @@ def test_attribution_boundary_semantics(spark):
         "view": (1, 20.0),    # user 2, boundary-inclusive
         "click": (1, 40.0),   # user 4, tie to event_id 8
     }
+
+
+def test_skyline_dominance_properties_random(spark):
+    """On random (price, size) clouds: every returned part must be
+    non-dominated, every omitted part dominated — the full skyline
+    definition, checked against brute force in Python."""
+    import os
+    import tempfile
+
+    from hypothesis import given, settings, strategies as st
+
+    from data_ingestion_pimcore_spark.ops.relational import skyline_pareto_front
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 40), st.integers(1, 12)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def run(pts):
+        rows = [
+            (i, float(p), s) for i, (p, s) in enumerate(pts)
+        ]
+        with tempfile.TemporaryDirectory() as tmp:
+            spark.createDataFrame(
+                rows, "p_partkey long, p_retailprice double, p_size int"
+            ).write.parquet(os.path.join(tmp, "part.parquet"))
+            got = {
+                r["p_partkey"] for r in skyline_pareto_front(spark, tmp).collect()
+            }
+        def dominated(i):
+            pi, si = pts[i]
+            return any(
+                (pj <= pi and sj >= si) and (pj < pi or sj > si)
+                for j, (pj, sj) in enumerate(pts)
+                if j != i
+            )
+        expect = {i for i in range(len(pts)) if not dominated(i)}
+        assert got == expect
+
+    run()
+
+
+def test_boilerplate_removal_planted_segment(spark):
+    """A 2-word segment planted across >= BP_MIN_DOCS docs must be
+    removed from every doc; each doc's unique tail must survive, and
+    the cleaned fingerprint must equal the hash of the hand-cleaned
+    text."""
+    import hashlib
+    import os
+    import tempfile
+
+    from data_ingestion_pimcore_spark.ops.textops import (
+        BP_MIN_DOCS,
+        text_remove_boilerplate,
+    )
+
+    n = BP_MIN_DOCS + 2
+    rows = []
+    for i in range(n):
+        # segments: ["copy right", "unique<i> tail<i>"]
+        text = f"copy right unique{i} tail{i}"
+        rows.append((i, text, "en", "src", len(text)))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r["doc_id"]: r for r in text_remove_boilerplate(spark, tmp).collect()}
+    for i in range(n):
+        r = out[i]
+        assert r["n_segments"] == 2 and r["n_removed"] == 1
+        assert r["cleaned_tokens"] == 2  # the unique segment survives
+        cleaned = f"unique{i} tail{i}"
+        expect_fp = int(hashlib.md5(cleaned.encode()).hexdigest()[:15], 16)
+        assert r["cleaned_fp"] == expect_fp
+
+
+def test_weighted_median_matches_numpy_random(spark):
+    """Quantity-weighted lower median vs an independent expansion-based
+    computation (repeat each value by its weight, take the lower
+    median) on random data."""
+    import os
+    import tempfile
+
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from data_ingestion_pimcore_spark.ops.relational import agg_weighted_median
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.floats(1, 100, width=16), st.integers(1, 9)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def run(items):
+        rows = [
+            (i, 1, "A", float(v), float(q))
+            for i, (v, q) in enumerate(items)
+        ]
+        with tempfile.TemporaryDirectory() as tmp:
+            spark.createDataFrame(
+                rows,
+                "l_orderkey long, l_linenumber int, l_returnflag string, "
+                "l_extendedprice double, l_quantity double",
+            ).write.parquet(os.path.join(tmp, "lineitem.parquet"))
+            (r,) = agg_weighted_median(spark, tmp).collect()
+        expanded = np.repeat(
+            [v for v, q in items], [int(q) for v, q in items]
+        )
+        expanded.sort()
+        lower_median = expanded[(len(expanded) + 1) // 2 - 1]
+        assert r["weighted_median_price"] == float(lower_median)
+        assert r["total_weight"] == int(sum(q for _, q in items))
+
+    run()
