@@ -756,3 +756,89 @@ def test_weighted_median_matches_numpy_random(spark):
         assert r["total_weight"] == int(sum(q for _, q in items))
 
     run()
+
+
+def test_interval_overlap_counts_each_pair_once_random(spark):
+    """Random interval sets: total pairs found by the binned join must
+    equal the brute-force count of overlapping (F, O) pairs — each
+    counted exactly once despite multi-month spans (the
+    GREATEST(start)-bin crediting rule)."""
+    import os
+    import tempfile
+
+    from hypothesis import given, settings, strategies as st
+
+    from data_ingestion_pimcore_spark.ops.relational import join_interval_overlap
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 160), st.sampled_from(["F", "O"])),
+            min_size=2,
+            max_size=40,
+        )
+    )
+    def run(items):
+        base = datetime.date(2024, 1, 1)
+        rows = [
+            (
+                k,
+                st_,
+                datetime.datetime(2024, 1, 1)
+                + datetime.timedelta(days=day),
+                0.0,
+            )
+            for k, (day, st_) in enumerate(items)
+        ]
+        with tempfile.TemporaryDirectory() as tmp:
+            spark.createDataFrame(
+                rows,
+                "o_orderkey long, o_orderstatus string, "
+                "o_orderdate timestamp, o_totalprice double",
+            ).write.parquet(os.path.join(tmp, "orders.parquet"))
+            got = join_interval_overlap(spark, tmp).collect()
+        total_pairs = sum(r["n_pairs"] for r in got)
+        # brute force: interval k = [day, day + k % 14]
+        ivs = [
+            (day, day + k % 14, st_)
+            for k, (day, st_) in enumerate(items)
+        ]
+        brute = sum(
+            1
+            for i, (s1, e1, t1) in enumerate(ivs)
+            if t1 == "F"
+            for j, (s2, e2, t2) in enumerate(ivs)
+            if t2 == "O" and s1 <= e2 and s2 <= e1
+        )
+        assert total_pairs == brute
+
+    run()
+
+
+def test_gini_closed_forms(spark):
+    """Gini identities: all-equal revenues give G = 0 exactly; one
+    customer owning everything gives G = (n-1)/n."""
+    import os
+    import tempfile
+
+    from data_ingestion_pimcore_spark.ops.stats_tests import stats_gini_coefficient
+
+    def run_case(rows, expect):
+        with tempfile.TemporaryDirectory() as tmp:
+            spark.createDataFrame(
+                rows, "o_custkey long, o_totalprice double"
+            ).write.parquet(os.path.join(tmp, "orders.parquet"))
+            (r,) = stats_gini_coefficient(spark, tmp).collect()
+        assert r["gini"] == expect, (r, expect)
+
+    run_case([(i, 10.0) for i in range(8)], 0.0)
+    # one owner: others get one cent (zero-cent totals keep G defined
+    # but the textbook (n-1)/n needs strictly-one-owner mass; use
+    # 0.01-cent floors and a dominant holder, expect close to 7/8)
+    rows = [(i, 0.0) for i in range(7)] + [(7, 100.0)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "o_custkey long, o_totalprice double"
+        ).write.parquet(os.path.join(tmp, "orders.parquet"))
+        (r,) = stats_gini_coefficient(spark, tmp).collect()
+    assert r["gini"] == (8 - 1) / 8  # exact: integer cents make it 7/8
