@@ -1308,3 +1308,12 @@ def test_weighted_median_window_over_distinct_values(spark):
     assert tree.count("Scan parquet") == 1
     assert tree.index("Window") < tree.rindex("HashAggregate")
     assert "Join" not in tree
+
+
+def test_recursive_cte_runs_natively_as_union_loop(spark):
+    # WITH RECURSIVE must reach the physical plan as Spark 4's native
+    # UnionLoop/UnionLoopRef recursion — not get rewritten away — while
+    # the fact side keeps a normal pruned aggregate
+    tree = tree_of(spark, "sql_recursive_cte_spine")
+    assert "UnionLoop" in tree and "UnionLoopRef" in tree
+    assert tree.count("Scan parquet") == 1
