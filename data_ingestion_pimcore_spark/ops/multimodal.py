@@ -412,7 +412,11 @@ def _stride_sample(
     1000 ms would silently return almost nothing. Demuxers emit
     samples in presentation order, which this relies on."""
     out: list[tuple[int, bytes]] = []
-    last_bucket = -1
+    # None sentinel, NOT -1: webm SimpleBlock timestamps are
+    # cluster_ts + signed relative and can be negative, so a first
+    # frame with ts in [-stride_ms, 0) legitimately lands in bucket -1
+    # and must not be dropped.
+    last_bucket: int | None = None
     for ts, payload in samples:
         bucket = ts // stride_ms
         if bucket != last_bucket:

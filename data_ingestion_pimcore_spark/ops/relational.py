@@ -2797,13 +2797,13 @@ PATTERN_MIN_RUN = 3  # detect runs of >= 3 strictly-declining orders
     "window_pattern_declining_runs",
     oracle=f"""
 WITH seq AS (
-  SELECT o_custkey, o_orderkey, o_totalprice,
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
          LAG(o_totalprice) OVER w AS prev_price
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ),
 flags AS (
-  SELECT o_custkey, o_orderkey,
+  SELECT o_custkey, o_orderkey, o_orderdate,
          CASE WHEN prev_price IS NOT NULL AND o_totalprice < prev_price
               THEN 1 ELSE 0 END AS declining
   FROM seq
@@ -2811,9 +2811,9 @@ flags AS (
 isl AS (
   SELECT o_custkey, declining,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
-                            ORDER BY o_orderkey) AS rn_all,
+                            ORDER BY o_orderdate, o_orderkey) AS rn_all,
          ROW_NUMBER() OVER (PARTITION BY o_custkey, declining
-                            ORDER BY o_orderkey) AS rn_grp
+                            ORDER BY o_orderdate, o_orderkey) AS rn_grp
   FROM flags
 ),
 runs AS (
@@ -2847,6 +2847,7 @@ def window_pattern_declining_runs(spark: SparkSession, sf_dir: str) -> DataFrame
     flags = o.select(
         "o_custkey",
         "o_orderkey",
+        "o_orderdate",
         F.when(
             F.lag("o_totalprice").over(wseq).isNotNull()
             & (F.col("o_totalprice") < F.lag("o_totalprice").over(wseq)),
@@ -2859,11 +2860,15 @@ def window_pattern_declining_runs(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_custkey",
         "declining",
         F.row_number()
-        .over(Window.partitionBy("o_custkey").orderBy("o_orderkey"))
+        .over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        )
         .alias("rn_all"),
         F.row_number()
         .over(
-            Window.partitionBy("o_custkey", "declining").orderBy("o_orderkey")
+            Window.partitionBy("o_custkey", "declining").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
         )
         .alias("rn_grp"),
     )

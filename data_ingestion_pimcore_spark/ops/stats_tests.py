@@ -1351,8 +1351,10 @@ FROM ranked
     "both engines). Like stats_pareto_share, the single ordered "
     "window runs over the per-customer aggregate — bounded by "
     "dimension cardinality, not fact-table size. Integer headroom: "
-    "SUM(i*cents) <= n^2 * avg_cents, safely under 2^63 through SF "
-    "100; beyond that, move the two sums to DECIMAL(38,0).",
+    "SUM(i*cents) ~ n^2 * avg_cents / 2 crosses 2^63 near SF 10 "
+    "(~1.5M customers x ~1.5e7 avg cents), so BOTH sums run in "
+    "DECIMAL(38,0) on the Spark side — matching DuckDB's silent "
+    "HUGEINT widening — and only the final division is double.",
 )
 def stats_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -1367,13 +1369,14 @@ def stats_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wall.orderBy("cents", "o_custkey")).alias("i"),
         F.count("*").over(wall).alias("n"),
     )
+    dec = "decimal(38,0)"
+    sum_ix = F.sum((F.col("i") * F.col("cents")).cast(dec))
+    sum_x = F.sum(F.col("cents").cast(dec))
+    n_dec = F.max("n").cast(dec)
     return ranked.agg(
         (
-            (
-                2 * F.sum(F.col("i") * F.col("cents"))
-                - (F.max("n") + 1) * F.sum("cents")
-            ).cast("double")
-            / (F.max("n") * F.sum("cents")).cast("double")
+            (2 * sum_ix - (n_dec + 1) * sum_x).cast("double")
+            / (n_dec * sum_x).cast("double")
         ).alias("gini"),
         F.max("n").cast("long").alias("n_customers"),
     )

@@ -2492,9 +2492,11 @@ WITH hourly AS (
 ),
 win AS (
   SELECT h, errors, total,
-         SUM(errors) OVER (ORDER BY h ROWS BETWEEN {BURN_LONG_HOURS - 1}
+         SUM(errors) OVER (ORDER BY CAST(epoch(h) AS BIGINT) // 3600
+                           RANGE BETWEEN {BURN_LONG_HOURS - 1}
                            PRECEDING AND CURRENT ROW) AS err6,
-         SUM(total) OVER (ORDER BY h ROWS BETWEEN {BURN_LONG_HOURS - 1}
+         SUM(total) OVER (ORDER BY CAST(epoch(h) AS BIGINT) // 3600
+                          RANGE BETWEEN {BURN_LONG_HOURS - 1}
                           PRECEDING AND CURRENT ROW) AS tot6
   FROM hourly
 )
@@ -2515,10 +2517,15 @@ ORDER BY h
     "above budget — the short window for fast detection, the long one "
     "to suppress blips. Rates compare by INTEGER cross-multiplication "
     "(errors*den > total*num), so no division ever happens and parity "
-    "is exact. Raw events collapse to one hourly aggregate; the "
-    "trailing window runs over O(hours) rows — dimension-bounded like "
-    "every report in this family. At 100 TB the hourly pre-aggregate "
-    "is the only pass over the fact table.",
+    "is exact. The trailing window is a RANGE frame over an integer "
+    "hour index (epoch/3600), so it spans exactly "
+    f"{BURN_LONG_HOURS} WALL-CLOCK hours even when zero-event hours "
+    "are absent from the hourly aggregate — absent hours contribute "
+    "nothing, which equals densify-then-zero-fill without the spine "
+    "join. Raw events collapse to one hourly aggregate; the window "
+    "runs over O(hours) rows — dimension-bounded like every report in "
+    "this family. At 100 TB the hourly pre-aggregate is the only pass "
+    "over the fact table.",
 )
 def ts_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("ts", "event_type")
@@ -2526,10 +2533,13 @@ def ts_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == "error").cast("int")).alias("errors"),
         F.count("*").alias("total"),
     )
+    hourly = hourly.withColumn(
+        "hidx", (F.unix_timestamp("h") / 3600).cast("long")
+    )
     w = (
         Window.partitionBy()
-        .orderBy("h")
-        .rowsBetween(-(BURN_LONG_HOURS - 1), Window.currentRow)
+        .orderBy("hidx")
+        .rangeBetween(-(BURN_LONG_HOURS - 1), Window.currentRow)
     )
     win = hourly.select(
         "h",

@@ -33,7 +33,7 @@ import os
 import time
 import urllib.error
 import urllib.request
-from urllib.parse import urlparse
+from urllib.parse import quote, urlparse
 
 _S3_SCHEMES = {"s3", "s3a", "s3n"}
 
@@ -97,7 +97,10 @@ def open_s3_binary(uri: str):
     except ImportError:
         pass
     bucket, key = _bucket_key(uri)
-    url = f"{s3_endpoint()}/{bucket}/{key}"
+    # Percent-encode per the S3 REST API: keys may contain spaces,
+    # '#', '?', '+', … which would otherwise truncate or corrupt the
+    # request path ('/' stays — it separates key segments).
+    url = f"{s3_endpoint()}/{quote(bucket, safe='')}/{quote(key, safe='/')}"
     last: Exception | None = None
     for attempt in range(_GET_RETRIES):
         try:
