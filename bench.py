@@ -199,13 +199,17 @@ def bench_ingest_e2e(spark, sf_dir: str) -> tuple[float, float]:
 
     warm_ingest(spark, like=li, like_order_cols=req.order_cols)
     # First full execution still JIT-compiles this plan's codegen; the
-    # steady state a long-running service sees is the min of two
-    # follow-up runs (min, not mean: transient co-tenant CPU contention
-    # only ever adds time, so min is the least-noisy estimator).
+    # steady state a long-running service sees is summarized over THREE
+    # follow-up runs. Single readings on this co-tenant container swing
+    # ±40% (BENCH_r05 vs its same-round sweep), so the headline is the
+    # MEDIAN of three with the min/max band recorded alongside —
+    # a regression is real only when the bands separate.
     cold, _ = run_once()
-    (a, total), (b, _) = run_once(), run_once()
-    dt = min(a, b)
-    return dt, cold, total / dt
+    runs = [run_once() for _ in range(3)]
+    total = runs[0][1]
+    rps = sorted(r[1] / r[0] for r in runs)
+    dt = sorted(r[0] for r in runs)[1]
+    return dt, cold, rps, total
 
 
 _TEN_X_SCRIPT = r"""
@@ -244,12 +248,11 @@ def run_once():
     return s.total_records / dt
 
 run_once()  # discarded: pays JIT + heap growth, exactly like the sf cold run
-a, b = run_once(), run_once()
-print(json.dumps({{"rps10x": max(a, b)}}))
+print(json.dumps({{"rps10x_runs": [run_once() for _ in range(3)]}}))
 """
 
 
-def bench_ingest_10x(sf_dir: str) -> float | None:
+def bench_ingest_10x(sf_dir: str) -> list[float] | None:
     """Scale check: the same pipeline at 10× the bench rows (distinct
     keys per replica). Fixed costs (sampling, job launch, drain-job
     scheduling, first-batch latency) amortize with size, so steady-
@@ -261,9 +264,12 @@ def bench_ingest_10x(sf_dir: str) -> float | None:
     run inherits accumulated JVM state (broadcast blocks, shuffle
     files, GC debt) that slows it ~2×, the same effect that makes the
     sf ingest run first. Methodology mirrors the sf metric: one
-    discarded full run (JIT + heap growth), then the best of two
-    follow-ups. Returns None (metric omitted) if the subprocess fails
-    — a scale probe must never fail the whole bench."""
+    discarded full run (JIT + heap growth), then THREE measured runs
+    returned sorted (caller reports median + min/max band — single
+    readings have swung ±40% with co-tenant load, BENCH_r05 vs its
+    same-round sweep). Returns None (metric omitted) if the
+    subprocess fails — a scale probe must never fail the whole
+    bench."""
     import shutil
     import subprocess
     import tempfile
@@ -286,7 +292,9 @@ def bench_ingest_10x(sf_dir: str) -> float | None:
         )
         for line in reversed(out.stdout.splitlines()):
             if line.startswith("{"):
-                return float(json.loads(line)["rps10x"])
+                return sorted(
+                    float(v) for v in json.loads(line)["rps10x_runs"]
+                )
         return None
     except Exception:
         return None
@@ -325,19 +333,32 @@ def main() -> None:
     # accumulated JVM state (broadcast blocks, shuffle files, GC debt
     # from dozens of prior queries made it read 3x slower than the same
     # pipeline in a fresh session, even after clearCache + System.gc).
-    ingest_sec, ingest_cold, rps = bench_ingest_e2e(spark, sf_dir)
+    ingest_sec, ingest_cold, rps_runs, _ = bench_ingest_e2e(spark, sf_dir)
     timings["ingest_e2e"] = round(ingest_sec, 3)
     timings["ingest_e2e_cold"] = round(ingest_cold, 3)
-    timings["ingest_records_per_sec"] = round(rps, 1)
+    # Median of 3 + min/max band (rps_runs comes back sorted): the
+    # median is the headline; the band is what makes cross-round
+    # regression detection possible on a ±40% co-tenant container —
+    # a change is real only when the bands don't overlap.
+    timings["ingest_records_per_sec"] = round(rps_runs[1], 1)
+    timings["ingest_records_per_sec_min"] = round(rps_runs[0], 1)
+    timings["ingest_records_per_sec_max"] = round(rps_runs[-1], 1)
     print(
-        f"# ingest_e2e: {ingest_sec:.2f}s steady / {ingest_cold:.2f}s cold "
-        f"({rps:,.0f} rec/s)",
+        f"# ingest_e2e: {ingest_sec:.2f}s median / {ingest_cold:.2f}s cold "
+        f"({rps_runs[1]:,.0f} rec/s median, band "
+        f"[{rps_runs[0]:,.0f}, {rps_runs[-1]:,.0f}])",
         file=sys.stderr,
     )
     rps10 = bench_ingest_10x(sf_dir)
     if rps10 is not None:
-        timings["ingest_records_per_sec_10x"] = round(rps10, 1)
-        print(f"# ingest_10x: {rps10:,.0f} rec/s at 10x rows", file=sys.stderr)
+        timings["ingest_records_per_sec_10x"] = round(rps10[1], 1)
+        timings["ingest_records_per_sec_10x_min"] = round(rps10[0], 1)
+        timings["ingest_records_per_sec_10x_max"] = round(rps10[-1], 1)
+        print(
+            f"# ingest_10x: {rps10[1]:,.0f} rec/s median at 10x rows, band "
+            f"[{rps10[0]:,.0f}, {rps10[-1]:,.0f}]",
+            file=sys.stderr,
+        )
 
     all_q = registry.all_queries()
     names = sorted(all_q) if os.environ.get("BENCH_ALL") else HEADLINE
@@ -361,7 +382,11 @@ def main() -> None:
 
     _NON_TIMING = (
         "ingest_records_per_sec",
+        "ingest_records_per_sec_min",
+        "ingest_records_per_sec_max",
         "ingest_records_per_sec_10x",
+        "ingest_records_per_sec_10x_min",
+        "ingest_records_per_sec_10x_max",
         "ingest_e2e_cold",
     )
     total = round(
@@ -408,7 +433,14 @@ def main() -> None:
     except OSError:
         pass
     compact_q = {k: v for k, v in timings.items() if k in _CORE}
-    for extra in ("ingest_records_per_sec", "ingest_records_per_sec_10x"):
+    for extra in (
+        "ingest_records_per_sec",
+        "ingest_records_per_sec_min",
+        "ingest_records_per_sec_max",
+        "ingest_records_per_sec_10x",
+        "ingest_records_per_sec_10x_min",
+        "ingest_records_per_sec_10x_max",
+    ):
         if extra in timings:
             compact_q[extra] = timings[extra]
     sys.stdout.flush()
