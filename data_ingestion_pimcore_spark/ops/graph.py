@@ -400,28 +400,30 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ k-core peeling
 
 KCORE_K = 8
-KCORE_ROUNDS = 4
+KCORE_ROUNDS = 12
 
 
 def _kcore_round_sql(prev: str, out: str) -> str:
     """One peeling round (DuckDB CTE body): drop nodes with degree <
-    k, keep only edges between survivors."""
+    k, keep only edges between survivors. Each round's edge set is
+    MATERIALIZED: every round references its predecessor three times,
+    so inlined CTEs would expand 3^rounds scans — at the 12-round cap
+    that's half a million parquet opens. Materialization makes the
+    unrolled oracle O(rounds), same as the engine loop."""
     return f"""
-d_{out} AS (
-    SELECT src, COUNT(*) AS deg FROM {prev} GROUP BY src
-),
-k_{out} AS (SELECT src FROM d_{out} WHERE deg >= {KCORE_K}),
-{out} AS (
+{out} AS MATERIALIZED (
     SELECT e.src, e.dst FROM {prev} e
-    JOIN k_{out} a ON a.src = e.src
-    JOIN k_{out} b ON b.src = e.dst
+    JOIN (SELECT src FROM {prev} GROUP BY src
+          HAVING COUNT(*) >= {KCORE_K}) a ON a.src = e.src
+    JOIN (SELECT src FROM {prev} GROUP BY src
+          HAVING COUNT(*) >= {KCORE_K}) b ON b.src = e.dst
 )"""
 
 
 _KCORE_SQL = (
     "WITH "
     + _SQL_GRAPH
-    + ", e0 AS (SELECT src, dst FROM bi),"
+    + ", e0 AS MATERIALIZED (SELECT src, dst FROM bi),"
     + ",".join(
         _kcore_round_sql(f"e{i}", f"e{i + 1}") for i in range(KCORE_ROUNDS)
     )
@@ -433,27 +435,26 @@ FROM e{KCORE_ROUNDS}
 )
 
 
-@register(
-    "graph_k_core",
-    oracle=_KCORE_SQL,
-    doc=f"k-core peeling (k={KCORE_K}, {KCORE_ROUNDS} synchronous "
-    "rounds — bounded like graph_bfs_hops' hop cap, so the result is "
-    "a deterministic pure function of the graph rather than a "
-    "data-dependent fixpoint): each round drops nodes whose CURRENT "
-    "degree is below k and keeps only edges between survivors — the "
-    "standard densest-region extractor (spam rings, core community "
-    "mining). Each round is one degree aggregate plus two semi-"
-    "join-shaped equi joins on the edge endpoints; lineage truncates "
-    "per round. At most log-ish rounds reach the true core in "
-    "practice; raise KCORE_ROUNDS for adversarial chains (the chain "
-    "graph needs O(n) — documented bound, same contract as BFS).",
-)
-def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bi, _deg = _trade_graph(spark, sf_dir)
-    edges = bi
-    for _ in range(KCORE_ROUNDS):
+def _kcore_peel(edges: DataFrame, k: int, max_rounds: int) -> tuple[DataFrame, int]:
+    """Peel until the edge set stops changing or the round cap hits.
+
+    Convergence is detected by the same order-independent edge-set
+    fingerprint (COUNT + BIT_XOR of xxhash64) the star connected-
+    components loop uses (ops/dedup._edge_fingerprint) — one extra
+    single-job aggregate per round buys an exact fixpoint on any graph
+    the cap reaches, so the cap is a safety BOUND, not the termination
+    rule. A converged round is idempotent, so stopping at fingerprint
+    repeat equals running every remaining round. Returns (core edges,
+    rounds actually executed)."""
+    from data_ingestion_pimcore_spark.ops.dedup import _edge_fingerprint
+
+    fp = _edge_fingerprint(edges)
+    rounds = 0
+    for _ in range(max_rounds):
+        if fp[0] == 0:  # already empty — nothing left to peel
+            break
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        keep = deg.where(F.col("deg") >= KCORE_K).select("src")
+        keep = deg.where(F.col("deg") >= k).select("src")
         edges = (
             edges.join(keep.withColumnRenamed("src", "u"), edges["src"] == F.col("u"))
             .drop("u")
@@ -461,6 +462,36 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("u")
             .localCheckpoint(eager=False)
         )
+        rounds += 1
+        new_fp = _edge_fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    return edges, rounds
+
+
+@register(
+    "graph_k_core",
+    oracle=_KCORE_SQL,
+    doc=f"k-core peeling (k={KCORE_K}): each round drops nodes whose "
+    "CURRENT degree is below k and keeps only edges between survivors "
+    "— the standard densest-region extractor (spam rings, core "
+    "community mining). The loop runs to the exact fixpoint, detected "
+    "by edge-set fingerprint repeat (COUNT + BIT_XOR of xxhash64, the "
+    "same convergence test as dedup_connected_components_star), with "
+    f"KCORE_ROUNDS={KCORE_ROUNDS} as a safety BOUND only — a "
+    "converged round is idempotent, so early-stop equals running "
+    "every remaining round, and the unrolled-CTE oracle at the cap "
+    "agrees wherever the fixpoint is reached within it (adversarial "
+    "chains needing O(n) rounds would need the cap raised — the one "
+    "remaining documented bound, same contract as BFS' hop cap). Each "
+    "round is one degree aggregate plus two semi-join-shaped equi "
+    "joins on the edge endpoints plus one fingerprint aggregate; "
+    "lineage truncates per round.",
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bi, _deg = _trade_graph(spark, sf_dir)
+    edges, _rounds = _kcore_peel(bi, KCORE_K, KCORE_ROUNDS)
     return edges.agg(
         F.countDistinct("src").cast("long").alias("n_core_nodes"),
         (F.count("*") / 2).cast("long").alias("n_core_edges"),

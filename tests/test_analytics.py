@@ -592,6 +592,43 @@ def test_lpa_disjoint_cliques_never_mix(spark):
     assert sum(r["n_nodes"] for r in out) == 8
 
 
+def test_kcore_chain_converges_before_cap(spark):
+    """Adversarial chain for k=2: peeling removes only the two
+    endpoints per round, so a 12-node path needs 6 rounds to empty —
+    the shape a fixed small round cap silently truncates. The
+    fingerprint early-stop must reach the exact (empty) fixpoint and
+    report it converged strictly before an over-sized cap."""
+    from data_ingestion_pimcore_spark.ops.graph import _kcore_peel
+
+    n = 12
+    und = [(i, i + 1) for i in range(n - 1)]
+    bi = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    edges, rounds = _kcore_peel(bi, k=2, max_rounds=100)
+    assert edges.count() == 0  # a path has no 2-core
+    # 6 peel rounds empty it; the loop stops on the empty-set check
+    # (or fingerprint repeat) far before the 100-round cap.
+    assert rounds <= n // 2 + 1
+
+
+def test_kcore_cycle_is_fixpoint_in_one_round(spark):
+    """A cycle IS its own 2-core: the first peel changes nothing, the
+    fingerprint repeats, and the loop must stop after exactly one
+    round with every edge intact — early-stop as the termination rule,
+    not the cap."""
+    from data_ingestion_pimcore_spark.ops.graph import _kcore_peel
+
+    n = 10
+    und = [(i, (i + 1) % n) for i in range(n)]
+    bi = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    edges, rounds = _kcore_peel(bi, k=2, max_rounds=100)
+    assert edges.count() == 2 * n
+    assert rounds == 1
+
+
 def test_attribution_boundary_semantics(spark):
     """Strictly-before: a touch at the purchase instant must NOT get
     credit. Window edge: a touch exactly 7 days before qualifies; one
