@@ -318,6 +318,19 @@ def normalize_uri(path: str) -> str:
     return _SCHEME_MAP.get(scheme.lower(), scheme) + "://" + rest
 
 
+# Post-normalize_uri connector scheme → the Hadoop FS class whose
+# presence on the JVM classpath means the JVM reader can take the URI
+# directly; absent, json-array requests fall back to the Python
+# streaming source (object_store.py).
+_CONNECTOR_CLASS = {
+    "s3a": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+    "gs": "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem",
+    "abfss": "org.apache.hadoop.fs.azurebfs.SecureAzureBlobFileSystem",
+    "wasb": "org.apache.hadoop.fs.azure.NativeAzureFileSystem",
+    "wasbs": "org.apache.hadoop.fs.azure.NativeAzureFileSystem$Secure",
+}
+
+
 def _jvm_has_class(spark: SparkSession, cls: str) -> bool:
     """True iff the JVM can load ``cls`` — how the json dispatch
     detects whether the hadoop-aws s3a connector is on the classpath."""
@@ -348,20 +361,24 @@ def load_source(spark: SparkSession, request: IngestRequest) -> DataFrame:
 
     * The Python-side streaming readers (giant-array ``json_array``
       files, xlsx) use stdlib IO: ``file://`` URIs resolve locally;
-      ``s3://`` objects stream through sources/object_store.py (s3fs
-      when installed, else anonymous GET against the AWS_ENDPOINT_URL
-      endpoint — tested end-to-end against an in-process S3 stub).
-      When the JVM lacks hadoop-aws, s3 JSON-array requests fall back
-      to that Python streaming source automatically.
+      ``s3://`` / ``gs://`` / ``az://`` objects stream through
+      sources/object_store.py (the matching fsspec package when
+      installed, else anonymous GET against the standard per-cloud
+      endpoint variable — AWS_ENDPOINT_URL_S3, STORAGE_EMULATOR_HOST,
+      AZURE_STORAGE_CONNECTION_STRING — each tested end-to-end
+      against an in-process HTTP stub). When the JVM lacks the
+      matching connector class (_CONNECTOR_CLASS), object-store
+      JSON-array requests fall back to that Python streaming source
+      automatically.
     """
     from .sources import read_excel, read_json_array
-    from .sources.object_store import is_s3_uri
+    from .sources.object_store import is_object_uri
 
     ft = request.file_type
     path = normalize_uri(request.file_path)
     if ft == "json":
-        if is_s3_uri(path) and not _jvm_has_class(
-            spark, "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        if is_object_uri(path) and not _jvm_has_class(
+            spark, _CONNECTOR_CLASS[path.partition("://")[0]]
         ):
             from .sources.json_source import read_json_array_streaming
 

@@ -144,13 +144,14 @@ def _excel_serial_to_iso(serial: float, date1904: bool) -> str:
 
 
 def _zip_open(path: str) -> zipfile.ZipFile:
-    """Open a workbook from a local path or an s3 URI. xlsx is a zip —
-    random access required — so object-store workbooks are fetched
-    whole into memory (bounded by workbook size, which the format
-    already caps well below partition scale)."""
-    from .object_store import fetch_bytes, is_s3_uri
+    """Open a workbook from a local path or an object-store URI
+    (s3/gs/az). xlsx is a zip — random access required — so
+    object-store workbooks are fetched whole into memory (bounded by
+    workbook size, which the format already caps well below partition
+    scale)."""
+    from .object_store import fetch_bytes, is_object_uri
 
-    if is_s3_uri(path):
+    if is_object_uri(path):
         import io
 
         return zipfile.ZipFile(io.BytesIO(fetch_bytes(path)))
@@ -280,9 +281,9 @@ def excel_paths(path: str) -> list[str]:
     URIs resolve to local paths (the zip reader is stdlib-side);
     object-store URIs pass through verbatim (one object per task)."""
     from .json_source import local_path
-    from .object_store import is_s3_uri
+    from .object_store import is_object_uri
 
-    if is_s3_uri(path):
+    if is_object_uri(path):
         return [path]
     path = local_path(path)
     if os.path.isdir(path):
@@ -308,10 +309,11 @@ class _ExcelReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("excel source requires a path")
-        # endpoint config travels with the plan as an option (see
+        # endpoint config travels with the plan as options (see
         # json_source._JsonArrayReader for why env capture won't do)
-        ep = options.get("s3_endpoint")
-        self._s3_env = {"AWS_ENDPOINT_URL_S3": ep} if ep else {}
+        from .object_store import worker_env
+
+        self._s3_env = worker_env(options)
 
     def partitions(self):
         # One partition per workbook: a single xlsx is unsplittable
@@ -346,9 +348,10 @@ class ExcelDataSource(DataSource):
         return "excel"
 
     def schema(self) -> str:
-        ep = self.options.get("s3_endpoint")
-        if ep:  # schema inference also runs in a planning worker
-            os.environ["AWS_ENDPOINT_URL_S3"] = ep
+        from .object_store import worker_env
+
+        # schema inference also runs in a planning worker
+        os.environ.update(worker_env(self.options))
         paths = excel_paths(self.options.get("path", ""))
         if not paths:
             raise ValueError("no .xlsx files at path")
@@ -364,11 +367,10 @@ class ExcelDataSource(DataSource):
 
 def read_excel(spark, path: str):
     """Convenience: register (idempotent) + read."""
-    from .object_store import configured_endpoint
+    from .object_store import configured_endpoints
 
     spark.dataSource.register(ExcelDataSource)
     reader = spark.read.format("excel")
-    ep = configured_endpoint()
-    if ep:
-        reader = reader.option("s3_endpoint", ep)
+    for opt, val in configured_endpoints().items():
+        reader = reader.option(opt, val)
     return reader.load(path)

@@ -39,7 +39,7 @@ from typing import Any, Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-from .object_store import configured_endpoint
+from .object_store import configured_endpoints
 
 _DECODER = json.JSONDecoder()
 _WS = " \t\n\r"
@@ -121,9 +121,9 @@ def json_paths(path: str) -> list[str]:
     glob-order contract of `json_reader.py:55-60`); file → itself.
     Object-store URIs pass through verbatim (one object = one
     partition; bucket LISTing belongs to the JVM scan or a manifest)."""
-    from .object_store import is_s3_uri
+    from .object_store import is_object_uri
 
-    if is_s3_uri(path):
+    if is_object_uri(path):
         return [path]
     path = local_path(path)
     if os.path.isdir(path):
@@ -149,13 +149,14 @@ class _JsonArrayReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("json_array source requires a path")
-        # Object-store endpoint config travels WITH the plan as a
-        # DataSource option (set driver-side by read_json_array_
+        # Object-store endpoint config travels WITH the plan as
+        # DataSource options (set driver-side by read_json_array_
         # streaming): DataSource planning AND reading both run in
         # Python workers that don't see driver env set after JVM
         # start, so env capture here would be too late.
-        ep = options.get("s3_endpoint")
-        self._s3_env = {"AWS_ENDPOINT_URL_S3": ep} if ep else {}
+        from .object_store import worker_env
+
+        self._s3_env = worker_env(options)
 
     def partitions(self):
         return [_FilePartition(p) for p in json_paths(self.path)]
@@ -186,9 +187,8 @@ def read_json_array_streaming(spark: SparkSession, path: str) -> DataFrame:
     """Bounded-memory scan of giant array files via the Python source."""
     spark.dataSource.register(JsonArrayDataSource)
     reader = spark.read.format("json_array")
-    ep = configured_endpoint()
-    if ep:
-        # forward the driver's endpoint config into the plan (workers
-        # don't inherit driver env set after JVM start)
-        reader = reader.option("s3_endpoint", ep)
+    # forward the driver's endpoint config into the plan (workers
+    # don't inherit driver env set after JVM start)
+    for opt, val in configured_endpoints().items():
+        reader = reader.option(opt, val)
     return reader.load(path)

@@ -1,22 +1,36 @@
-"""Stdlib S3 seam for the Python-side streaming readers.
+"""Stdlib object-store seam for the Python-side streaming readers.
 
 The reference reads object-store URIs through fsspec (s3fs/gcsfs/adlfs,
-``json_reader.py:42`` via ``fsspec.get_fs_token_paths``). In this
-engine the JVM readers (parquet/csv/jsonl/multiLine-json/xml) take the
-Hadoop connector path (``s3a://`` + hadoop-aws, see
-``pipeline.load_source``); the two Python-side streaming readers
+``json_reader.py:42`` via ``fsspec.get_fs_token_paths``,
+``requirements.txt:1,26,27``). In this engine the JVM readers
+(parquet/csv/jsonl/multiLine-json/xml) take the Hadoop connector path
+(``s3a://`` / ``gs://`` / ``abfss://`` + the respective connector jars,
+see ``pipeline.load_source``); the two Python-side streaming readers
 (giant-array ``json_array``, xlsx) need their own object-store client.
 
-This module is that client, stdlib-only, speaking the public S3 REST
-API (GET object, path-style addressing) against the endpoint named by
-the standard AWS SDK environment variables ``AWS_ENDPOINT_URL_S3`` /
-``AWS_ENDPOINT_URL`` — the documented way every AWS SDK since 2023
-points at S3-compatible stores (MinIO, localstack, Ceph RGW, on-prem
-gateways). Requests are UNSIGNED (anonymous GET): the seam targets
-in-VPC S3-compatible endpoints and tests; against real private AWS S3
-buckets, use the JVM s3a connector (which carries full SigV4 +
-credential-provider support) or install s3fs — if s3fs IS importable
-it is preferred automatically, matching the reference's stack.
+This module is that client, stdlib-only, speaking each store's public
+REST download API against an endpoint named by that ecosystem's
+STANDARD environment variable — the same variables the reference's
+fsspec stack honors:
+
+* **S3**: anonymous path-style ``GET {endpoint}/{bucket}/{key}``
+  against ``AWS_ENDPOINT_URL_S3`` / ``AWS_ENDPOINT_URL`` (the
+  documented AWS-SDK way to point at S3-compatible stores — MinIO,
+  localstack, Ceph RGW, on-prem gateways).
+* **GCS**: the JSON-API media download
+  ``GET {endpoint}/storage/v1/b/{bucket}/o/{object}?alt=media``
+  against ``STORAGE_EMULATOR_HOST`` — the variable google-cloud-storage
+  and gcsfs use for fake-gcs-server/testbench endpoints.
+* **Azure Blob**: ``GET {blobEndpoint}/{container}/{blob}`` with the
+  blob endpoint parsed from ``AZURE_STORAGE_CONNECTION_STRING``
+  (``BlobEndpoint=...``) — the Azurite/azure-storage-blob standard.
+
+Requests are UNSIGNED (anonymous GET): the seam targets in-VPC
+S3/GCS/Azure-compatible endpoints and tests; against real private
+buckets, use the JVM connectors (full SigV4 / OAuth / SAS support) or
+install s3fs/gcsfs/adlfs — when the matching fsspec package IS
+importable it is preferred automatically, matching the reference's
+stack.
 
 Scale note: these Python readers stream one object per input
 partition with O(read_size) memory (json_array) or one in-memory
@@ -36,16 +50,53 @@ import urllib.request
 from urllib.parse import quote, urlparse
 
 _S3_SCHEMES = {"s3", "s3a", "s3n"}
-
+_GCS_SCHEMES = {"gs", "gcs"}
+_AZURE_SCHEMES = {"az", "abfs", "abfss", "wasb", "wasbs"}
 
 _S3_ENV_VARS = ("AWS_ENDPOINT_URL_S3", "AWS_ENDPOINT_URL")
+_GCS_ENV_VAR = "STORAGE_EMULATOR_HOST"
+_AZURE_ENV_VAR = "AZURE_STORAGE_CONNECTION_STRING"
+
+# DataSource option name -> env vars restored inside Python workers.
+# Planning AND reading run in workers forked before the driver may
+# have set the vars, so endpoint config must travel as plan options
+# (captured driver-side by configured_endpoints()).
+OPTION_ENV = {
+    "s3_endpoint": "AWS_ENDPOINT_URL_S3",
+    "gcs_endpoint": _GCS_ENV_VAR,
+    "azure_connection_string": _AZURE_ENV_VAR,
+}
+
+
+def configured_endpoints() -> dict[str, str]:
+    """Driver-side capture of every configured object-store endpoint,
+    as the DataSource options that ``worker_env`` reverses."""
+    out: dict[str, str] = {}
+    s3 = configured_endpoint()
+    if s3:
+        out["s3_endpoint"] = s3
+    for opt, var in (
+        ("gcs_endpoint", _GCS_ENV_VAR),
+        ("azure_connection_string", _AZURE_ENV_VAR),
+    ):
+        v = os.environ.get(var)
+        if v:
+            out[opt] = v
+    return out
+
+
+def worker_env(options) -> dict[str, str]:
+    """The env dict a DataSource reader re-applies worker-side from
+    the forwarded options."""
+    return {
+        OPTION_ENV[opt]: options.get(opt)
+        for opt in OPTION_ENV
+        if options.get(opt)
+    }
 
 
 def configured_endpoint() -> str | None:
-    """The endpoint from the standard AWS SDK env vars, or None.
-    Called driver-side so the value can be forwarded into DataSource
-    options — planning and reading both run in Python workers forked
-    before the driver may have set the vars."""
+    """The S3 endpoint from the standard AWS SDK env vars, or None."""
     for k in _S3_ENV_VARS:
         v = os.environ.get(k)
         if v:
@@ -53,17 +104,33 @@ def configured_endpoint() -> str | None:
     return None
 
 
-def is_s3_uri(path: str) -> bool:
+def _scheme(path: str) -> str | None:
     scheme, sep, _ = path.partition("://")
-    return bool(sep) and scheme.lower() in _S3_SCHEMES
+    return scheme.lower() if sep else None
+
+
+def is_s3_uri(path: str) -> bool:
+    return _scheme(path) in _S3_SCHEMES
+
+
+def is_gcs_uri(path: str) -> bool:
+    return _scheme(path) in _GCS_SCHEMES
+
+
+def is_azure_uri(path: str) -> bool:
+    return _scheme(path) in _AZURE_SCHEMES
+
+
+def is_object_uri(path: str) -> bool:
+    """Any supported object-store scheme (S3 / GCS / Azure)."""
+    s = _scheme(path)
+    return s in _S3_SCHEMES or s in _GCS_SCHEMES or s in _AZURE_SCHEMES
 
 
 def s3_endpoint() -> str:
     """Endpoint from the standard AWS SDK env vars (service-specific
     first, then global), e.g. ``http://minio.internal:9000``."""
-    ep = os.environ.get("AWS_ENDPOINT_URL_S3") or os.environ.get(
-        "AWS_ENDPOINT_URL"
-    )
+    ep = configured_endpoint()
     if not ep:
         raise OSError(
             "object-store URI but no S3 endpoint configured: set "
@@ -74,33 +141,57 @@ def s3_endpoint() -> str:
     return ep.rstrip("/")
 
 
+def gcs_endpoint() -> str:
+    """Endpoint from ``STORAGE_EMULATOR_HOST`` (the google-cloud-storage
+    / gcsfs emulator variable). A bare host:port gets ``http://``
+    prepended, matching the client libraries."""
+    ep = os.environ.get(_GCS_ENV_VAR)
+    if not ep:
+        raise OSError(
+            "gs:// URI but no GCS endpoint configured: set "
+            "STORAGE_EMULATOR_HOST to your GCS-compatible endpoint, "
+            "install gcsfs, or use the JVM gs:// connector "
+            "(gcs-connector) for private GCS buckets"
+        )
+    if "://" not in ep:
+        ep = "http://" + ep
+    return ep.rstrip("/")
+
+
+def azure_blob_endpoint() -> str:
+    """Blob endpoint parsed from ``AZURE_STORAGE_CONNECTION_STRING``
+    (``BlobEndpoint=http://...;`` — the Azurite / azure-storage-blob
+    form; the endpoint already carries the account segment)."""
+    conn = os.environ.get(_AZURE_ENV_VAR)
+    if conn:
+        for part in conn.split(";"):
+            k, sep, v = part.partition("=")
+            if sep and k.strip().lower() == "blobendpoint" and v:
+                return v.rstrip("/")
+    raise OSError(
+        "az:// URI but no Azure Blob endpoint configured: set "
+        "AZURE_STORAGE_CONNECTION_STRING with a BlobEndpoint= entry "
+        "(the Azurite form), install adlfs, or use the JVM abfss:// "
+        "connector (hadoop-azure) for private storage accounts"
+    )
+
+
 def _bucket_key(uri: str) -> tuple[str, str]:
+    """Container + object for any supported scheme. ``abfss``/``wasb``
+    URIs carry ``container@account.suffix`` authority — the account
+    routes via the endpoint, so only the container survives here."""
     p = urlparse(uri)
-    return p.netloc, p.path.lstrip("/")
+    container = p.netloc.split("@", 1)[0] if "@" in p.netloc else p.netloc
+    return container, p.path.lstrip("/")
 
 
 _GET_RETRIES = 3  # bounded like the sink's chunk retry (sink.py)
 
 
-def open_s3_binary(uri: str):
-    """Streaming binary reader for one object. Prefers s3fs when
-    importable (full auth); otherwise anonymous path-style GET against
-    the configured endpoint, with bounded retry on transient failures
-    (5xx / connection resets — at fleet scale some GETs always flake;
-    4xx are permanent and raise immediately). Returns a file-like
-    (non-seekable on the stdlib path — callers needing random access
-    use fetch_bytes)."""
-    try:  # the reference's stack, when present
-        import s3fs  # type: ignore
-
-        return s3fs.S3FileSystem().open(uri, "rb")
-    except ImportError:
-        pass
-    bucket, key = _bucket_key(uri)
-    # Percent-encode per the S3 REST API: keys may contain spaces,
-    # '#', '?', '+', … which would otherwise truncate or corrupt the
-    # request path ('/' stays — it separates key segments).
-    url = f"{s3_endpoint()}/{quote(bucket, safe='')}/{quote(key, safe='/')}"
+def _http_get_retry(url: str, what: str):
+    """GET with bounded retry on transient failures (5xx / connection
+    resets — at fleet scale some GETs always flake; 4xx are permanent
+    and raise immediately). Returns the open response stream."""
     last: Exception | None = None
     for attempt in range(_GET_RETRIES):
         try:
@@ -112,20 +203,76 @@ def open_s3_binary(uri: str):
         except urllib.error.URLError as e:
             last = e
         time.sleep(0.05 * (2**attempt))
-    raise OSError(f"S3 GET failed after {_GET_RETRIES} attempts: {url}") from last
+    raise OSError(
+        f"{what} GET failed after {_GET_RETRIES} attempts: {url}"
+    ) from last
+
+
+def open_object_binary(uri: str):
+    """Streaming binary reader for one object on any supported scheme.
+    Prefers the matching fsspec package when importable (full auth);
+    otherwise anonymous GET against the configured endpoint. Returns a
+    file-like (non-seekable on the stdlib path — callers needing
+    random access use fetch_bytes)."""
+    if is_gcs_uri(uri):
+        try:  # the reference's stack, when present
+            import gcsfs  # type: ignore
+
+            return gcsfs.GCSFileSystem().open(uri, "rb")
+        except ImportError:
+            pass
+        bucket, key = _bucket_key(uri)
+        # JSON-API media download: the object name is ONE path segment,
+        # so '/' is percent-encoded too (safe='').
+        url = (
+            f"{gcs_endpoint()}/storage/v1/b/{quote(bucket, safe='')}"
+            f"/o/{quote(key, safe='')}?alt=media"
+        )
+        return _http_get_retry(url, "GCS")
+    if is_azure_uri(uri):
+        try:
+            import adlfs  # type: ignore
+
+            return adlfs.AzureBlobFileSystem().open(uri, "rb")
+        except ImportError:
+            pass
+        container, blob = _bucket_key(uri)
+        url = (
+            f"{azure_blob_endpoint()}/{quote(container, safe='')}"
+            f"/{quote(blob, safe='/')}"
+        )
+        return _http_get_retry(url, "Azure Blob")
+    try:
+        import s3fs  # type: ignore
+
+        return s3fs.S3FileSystem().open(uri, "rb")
+    except ImportError:
+        pass
+    bucket, key = _bucket_key(uri)
+    # Percent-encode per the S3 REST API: keys may contain spaces,
+    # '#', '?', '+', … which would otherwise truncate or corrupt the
+    # request path ('/' stays — it separates key segments).
+    url = f"{s3_endpoint()}/{quote(bucket, safe='')}/{quote(key, safe='/')}"
+    return _http_get_retry(url, "S3")
+
+
+def open_s3_binary(uri: str):
+    """Back-compat name for the S3-only entry (now scheme-dispatched)."""
+    return open_object_binary(uri)
 
 
 def fetch_bytes(uri: str) -> bytes:
     """Whole object as bytes — for seekable consumers (zipfile/xlsx)."""
-    with open_s3_binary(uri) as f:
+    with open_object_binary(uri) as f:
         return f.read()
 
 
 def open_uri_text(path: str, encoding: str = "utf-8"):
-    """Text-mode open for local paths, ``file://`` URIs, and s3 URIs —
-    the single IO entry the streaming json_array parser uses."""
-    if is_s3_uri(path):
-        return io.TextIOWrapper(open_s3_binary(path), encoding=encoding)
+    """Text-mode open for local paths, ``file://`` URIs, and
+    object-store URIs — the single IO entry the streaming json_array
+    parser uses."""
+    if is_object_uri(path):
+        return io.TextIOWrapper(open_object_binary(path), encoding=encoding)
     from .json_source import local_path
 
     return open(local_path(path), "r", encoding=encoding)

@@ -142,6 +142,190 @@ def test_excel_workbook_through_s3(spark, s3_stub, tmp_path):
     ] == [(1.0, "a"), (2.0, "b")]
 
 
+class _GcsStubHandler(BaseHTTPRequestHandler):
+    """GCS JSON-API media download: GET
+    /storage/v1/b/{bucket}/o/{urlencoded object}?alt=media — the
+    surface fake-gcs-server / the storage testbench implement."""
+
+    root: Path
+
+    def do_GET(self):
+        from urllib.parse import unquote, urlsplit
+
+        parts = urlsplit(self.path)
+        seg = parts.path.split("/")
+        # ['', 'storage', 'v1', 'b', bucket, 'o', object]
+        if (
+            len(seg) != 7
+            or seg[1:4] != ["storage", "v1", "b"]
+            or seg[5] != "o"
+            or "alt=media" not in (parts.query or "")
+        ):
+            self.send_response(400)
+            self.end_headers()
+            return
+        bucket, obj = seg[4], unquote(seg[6])
+        target = (self.root / bucket / obj).resolve()
+        if not str(target).startswith(str(self.root.resolve())) or not target.is_file():
+            self.send_response(404)
+            self.end_headers()
+            return
+        body = target.read_bytes()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def gcs_stub(tmp_path, monkeypatch):
+    """A GCS-compatible endpoint serving tmp_path via
+    STORAGE_EMULATOR_HOST (bare host:port, as the client libs set it);
+    yields the bucket dir."""
+    handler = type("H", (_GcsStubHandler,), {"root": tmp_path})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    monkeypatch.setenv(
+        "STORAGE_EMULATOR_HOST", f"127.0.0.1:{srv.server_address[1]}"
+    )
+    bucket = tmp_path / "pim"
+    bucket.mkdir()
+    try:
+        yield bucket
+    finally:
+        srv.shutdown()
+
+
+@pytest.fixture()
+def azure_stub(tmp_path, monkeypatch):
+    """An Azurite-shaped Blob endpoint: GET
+    {BlobEndpoint}/{container}/{blob} where BlobEndpoint carries the
+    account segment, wired via AZURE_STORAGE_CONNECTION_STRING —
+    yields the container dir."""
+    account = tmp_path / "devstoreaccount1"
+    account.mkdir()
+    handler = type("H", (_S3StubHandler,), {"root": tmp_path})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    ep = f"http://127.0.0.1:{srv.server_address[1]}/devstoreaccount1"
+    monkeypatch.setenv(
+        "AZURE_STORAGE_CONNECTION_STRING",
+        f"DefaultEndpointsProtocol=http;AccountName=devstoreaccount1;"
+        f"AccountKey=key;BlobEndpoint={ep};",
+    )
+    container = account / "pim"
+    container.mkdir()
+    try:
+        yield container
+    finally:
+        srv.shutdown()
+
+
+def test_gcs_fetch_and_stream(gcs_stub):
+    from data_ingestion_pimcore_spark.sources.object_store import is_gcs_uri
+
+    assert is_gcs_uri("gs://pim/x") and is_gcs_uri("gcs://pim/x")
+    assert not is_gcs_uri("s3://pim/x")
+    (gcs_stub / "blob.bin").write_bytes(b"\x07gcs-payload")
+    assert fetch_bytes("gs://pim/blob.bin") == b"\x07gcs-payload"
+    # nested keys exercise the safe='' single-segment encoding
+    (gcs_stub / "a").mkdir()
+    (gcs_stub / "a" / "b.json").write_text(json.dumps(_products(5)))
+    assert list(iter_json_array("gs://pim/a/b.json", read_size=32)) == _products(5)
+
+
+def test_azure_fetch_and_stream(azure_stub):
+    from data_ingestion_pimcore_spark.sources.object_store import is_azure_uri
+
+    assert is_azure_uri("az://pim/x") and is_azure_uri(
+        "abfss://pim@acct.dfs.core.windows.net/x"
+    )
+    assert not is_azure_uri("gs://pim/x")
+    (azure_stub / "blob.bin").write_bytes(b"\x07az-payload")
+    assert fetch_bytes("az://pim/blob.bin") == b"\x07az-payload"
+    # the abfss container@account authority resolves to the same object
+    assert (
+        fetch_bytes("abfss://pim@devstoreaccount1.dfs.core.windows.net/blob.bin")
+        == b"\x07az-payload"
+    )
+
+
+def test_ingestion_chunk_stream_through_gcs(spark, tmp_path, gcs_stub):
+    """The verdict-6 e2e, gs:// edition: a JSON-array object behind a
+    gs:// URI runs the FULL pipeline through the Python streaming
+    fallback (no gcs-connector on this JVM) and produces the identical
+    golden chunk stream the local-file and s3:// runs produce."""
+    (gcs_stub / "products.json").write_text(json.dumps(_products(100)))
+    validator = ChunkValidator()
+    state = IngestionStateStore(str(tmp_path / "state.parquet"))
+    req = IngestRequest(
+        file_path="gs://pim/products.json",
+        file_type="json",
+        chunk_size_by_records=10,
+        order_cols=("product_id",),
+    )
+    s = run_ingestion(spark, req, state, validator)
+    assert s.status == "COMPLETED"
+    assert s.chunks_sent == 10 and s.total_records == 100
+    assert validator.received_chunks == list(range(10))
+    ids = [r["product_id"] for chunk in validator.received_records for r in chunk]
+    assert ids == list(range(1, 101))
+
+
+def test_ingestion_chunk_stream_through_azure(spark, tmp_path, azure_stub):
+    """az:// edition of the e2e chunk-stream test (fsspec/adlfs URI
+    form → abfss normalization → no hadoop-azure on this JVM → Python
+    streaming fallback → ordered ACKed chunks)."""
+    (azure_stub / "products.json").write_text(json.dumps(_products(60)))
+    validator = ChunkValidator()
+    state = IngestionStateStore(str(tmp_path / "state.parquet"))
+    req = IngestRequest(
+        file_path="az://pim/products.json",
+        file_type="json",
+        chunk_size_by_records=20,
+        order_cols=("product_id",),
+    )
+    s = run_ingestion(spark, req, state, validator)
+    assert s.status == "COMPLETED"
+    assert s.chunks_sent == 3 and s.total_records == 60
+    assert validator.received_chunks == list(range(3))
+    ids = [r["product_id"] for chunk in validator.received_records for r in chunk]
+    assert ids == list(range(1, 61))
+
+
+def test_excel_workbook_through_gcs(spark, gcs_stub, tmp_path):
+    from data_ingestion_pimcore_spark.sources import read_excel
+    from data_ingestion_pimcore_spark.sources.xlsx_writer import write_xlsx
+
+    local = str(tmp_path / "book.xlsx")
+    write_xlsx(local, [["k", "v"], [1, "a"], [2, "b"]])
+    (gcs_stub / "book.xlsx").write_bytes(Path(local).read_bytes())
+    rows = read_excel(spark, "gs://pim/book.xlsx").orderBy("k").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("1", "a"), ("2", "b")]
+
+
+def test_endpoint_unset_is_clear_error_per_scheme(monkeypatch):
+    for var in (
+        "STORAGE_EMULATOR_HOST",
+        "AZURE_STORAGE_CONNECTION_STRING",
+    ):
+        monkeypatch.delenv(var, raising=False)
+    with pytest.raises(OSError, match="STORAGE_EMULATOR_HOST"):
+        fetch_bytes("gs://pim/x.json")
+    with pytest.raises(OSError, match="AZURE_STORAGE_CONNECTION_STRING"):
+        fetch_bytes("az://pim/x.json")
+    # a connection string WITHOUT BlobEndpoint is still unconfigured
+    monkeypatch.setenv(
+        "AZURE_STORAGE_CONNECTION_STRING",
+        "DefaultEndpointsProtocol=https;AccountName=a;AccountKey=k",
+    )
+    with pytest.raises(OSError, match="BlobEndpoint"):
+        fetch_bytes("az://pim/x.json")
+
+
 def test_s3_get_retries_transient_500s(tmp_path, monkeypatch):
     """A GET that 500s twice then succeeds must stream the object; a
     404 must raise immediately (permanent, no retry)."""
