@@ -39,6 +39,18 @@ class DateCell:
         self.serial = serial
 
 
+class FormulaCell:
+    """A cell carrying a ``<f>`` formula plus its cached ``<v>`` result
+    — what Excel writes after calculation. Readers with data_only
+    semantics (the reference's openpyxl ``data_only=True``,
+    ``excel_reader.py:38``) must surface the CACHED value and never
+    evaluate the formula text."""
+
+    def __init__(self, formula: str, cached: Any):
+        self.formula = formula
+        self.cached = cached
+
+
 def _col_letter(i: int) -> str:
     s = ""
     i += 1
@@ -62,10 +74,23 @@ def write_xlsx(
     shared: list[str] = []
     sidx: dict[str, int] = {}
 
+    def esc(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
     def cell_xml(r: int, c: int, v: Any) -> str:
         ref = f"{_col_letter(c)}{r + 1}"
         if isinstance(v, DateCell):
             return f'<c r="{ref}" s="1"><v>{v.serial}</v></c>'
+        if isinstance(v, FormulaCell):
+            f_xml = f"<f>{esc(v.formula)}</f>"
+            if isinstance(v.cached, (int, float)) and not isinstance(
+                v.cached, bool
+            ):
+                return f'<c r="{ref}">{f_xml}<v>{v.cached}</v></c>'
+            # string-valued formula result: t="str" per the spec
+            return (
+                f'<c r="{ref}" t="str">{f_xml}<v>{esc(str(v.cached))}</v></c>'
+            )
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
         if isinstance(v, (int, float)):
@@ -91,9 +116,6 @@ def write_xlsx(
 
     all_sheets = [rows] + list(more_sheets or [])
     sheet_parts = [sheet_xml(s) for s in all_sheets]
-
-    def esc(s: str) -> str:
-        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
     sst = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

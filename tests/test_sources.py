@@ -84,6 +84,35 @@ def test_excel_date_cell(tmp_path):
     assert recs[1]["when"].startswith("2024-01-01T12:00")
 
 
+def test_excel_formula_cells_read_cached_values(tmp_path):
+    """data_only=True semantics (reference excel_reader.py:38): a cell
+    saved with ``<f>`` + cached ``<v>`` surfaces the CACHED value. The
+    cached values here are deliberately WRONG for their formulas
+    (2+2 cached as 5; concat cached as 'stale'), so a reader that
+    evaluated formulas would visibly diverge — proving evaluation
+    never happens. Covers numeric, string (t=\"str\"), and float
+    cached results, plus a formula cell mixed among plain cells."""
+    from data_ingestion_pimcore_spark.sources.xlsx_writer import FormulaCell
+
+    p = write_xlsx(
+        str(tmp_path / "f.xlsx"),
+        [
+            ["a", "b", "calc", "label"],
+            [2, 2, FormulaCell("A2+B2", 5), FormulaCell('A2&"x"', "stale")],
+            [1, 4, FormulaCell("SUM(A3:B3)", 2.5), "plain"],
+        ],
+    )
+    recs = list(iter_excel_records(p))
+    assert recs[0] == {"a": 2, "b": 2, "calc": 5, "label": "stale"}
+    assert recs[1] == {"a": 1, "b": 4, "calc": 2.5, "label": "plain"}
+    # the raw sheet XML really does carry <f> elements (fixture sanity)
+    import zipfile
+
+    with zipfile.ZipFile(p) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "<f>A2+B2</f>" in sheet and '<f>A2&amp;"x"</f>' in sheet
+
+
 def test_excel_empty_header(tmp_path):
     p = write_xlsx(str(tmp_path / "e.xlsx"), [])
     with pytest.raises(EmptyHeaderError):
