@@ -100,8 +100,15 @@ def _is_not_green(res: dict) -> bool:
     or a gate explicitly False. Oracle-less queries get rows-only
     checks whose hash/schema gates stay None forever — requiring
     all-True would trap them in rework cohort 0 permanently, starving
-    never-checked queries of sample slots (round-4 advice)."""
-    return res.get("err") is not None or any(
+    never-checked queries of sample slots (round-4 advice). The driver
+    stamps those records ``err: "no_oracle"`` even when the Spark side
+    RAN and returned rows, so that one err value is green-by-design
+    (the query is property-tested instead, test_registry_guard)
+    whenever rows actually came back."""
+    err = res.get("err")
+    if err == "no_oracle" and res.get("spark_rows") is not None:
+        err = None
+    return err is not None or any(
         res.get(k) is False for k in ("rows_match", "schema_match", "hash_match")
     )
 
