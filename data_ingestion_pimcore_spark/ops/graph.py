@@ -374,8 +374,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi, deg = _trade_graph(spark, sf_dir)
     labels = deg.select(F.col("src").alias("v"), F.col("src").alias("lbl"))
     for _ in range(_LPA_ROUNDS):
+        # The label table is |V| rows (node, label) — broadcast it into
+        # the edge join like pagerank's contribs and BFS' frontier:
+        # interleaved A/B at sf0.1 (16k nodes / 1.17M edges) measured
+        # 2.4-3.1 s shuffle-join vs 1.4-1.7 s broadcast per run. At a
+        # node count too big to broadcast, drop the hint — the plan
+        # degrades to the edge-key shuffle join, nothing else changes.
         nbr = (
-            bi.join(labels, bi["dst"] == labels["v"])
+            bi.join(F.broadcast(labels), bi["dst"] == labels["v"])
             .groupBy(bi["src"].alias("node"), "lbl")
             .agg(F.count("*").alias("c"))
         )

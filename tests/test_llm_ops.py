@@ -608,6 +608,35 @@ def test_hll_union_tracks_exact(spark):
     assert (df["est_custs"] > 0).all()
 
 
+def test_hll_union_merge_associative(spark):
+    """HLL union is register-wise max, hence exactly associative: a
+    union of partial unions must yield the SAME estimate as one flat
+    union over all group sketches — the property that lets partial
+    aggregation, AQE re-plans, and multi-level rollups all commute at
+    cluster scale (verdict-5 item 8)."""
+    from pyspark.sql import functions as F
+
+    o = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_custkey", "o_orderpriority")
+    )
+    sk = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    flat = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first()["est"]
+    # two-level: union within an arbitrary 2-way split, then union the
+    # partials (a different grouping than any the flat path used)
+    part = sk.withColumn(
+        "half", (F.length("o_orderpriority") % 2).alias("half")
+    ).groupBy("half").agg(F.hll_union_agg("sk").alias("psk"))
+    nested = part.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("psk")).alias("est")
+    ).first()["est"]
+    assert flat == nested
+
+
 def test_mp4_mux_demux_roundtrip_and_codec_gate():
     """ISO-BMFF container: mux→demux is identity on payloads and
     timestamps; the demuxer walks multi-chunk stsc layouts and co64
