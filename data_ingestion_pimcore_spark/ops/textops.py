@@ -969,3 +969,230 @@ def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cleaned_tokens"),
         md5_hash60(F.coalesce(kept_text, F.lit(""))).alias("cleaned_fp"),
     )
+
+
+# --------------------------------------------------- BM25 retrieval
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "window", "hash")
+BM25_TOPK = 5
+
+# Shared constants, written identically in both engines so every
+# floating-point operation is the same correctly-rounded IEEE op on
+# the same operands: 1-b = 0.25 and b = 0.75 are exactly
+# representable; 1.2 / 2.2 parse to the same nearest double from the
+# same decimal literal in Spark and DuckDB.
+_BM25_SQL = f"""
+WITH stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS total_dl
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words WHERE term IN {BM25_TERMS!r}
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM words WHERE term IN {BM25_TERMS!r}
+  GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+         ((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+          / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+            / (CAST(tf AS DOUBLE)
+               + CAST(1.2 AS DOUBLE)
+                 * (CAST(0.25 AS DOUBLE)
+                    + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE))
+                      / (CAST(total_dl AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE))))) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+)
+SELECT term, doc_id, tf, dl, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY term ORDER BY score DESC, doc_id
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= {BM25_TOPK}
+"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_BM25_SQL,
+    doc=f"Okapi BM25 retrieval (k1={BM25_K1}, b={BM25_B}) for a fixed "
+    f"query term set, top-{BM25_TOPK} documents per term — the "
+    "classic lexical ranker next to text_tfidf_top_terms and "
+    "sim_maxsim_late_interaction. IDF uses the RATIO inside the "
+    "canonical log, (N-df+0.5)/(df+0.5), without the log — monotone "
+    "in df so rankings are identical, and libm never touches compared "
+    "output (module determinism rule). Every float op is written with "
+    "the same association in both engines over exact-integer inputs "
+    "(tf, dl, df, N, total_dl), so scores are bit-identical. Engine "
+    "shape: one explode + term filter pushed to the scan side, two "
+    "hash aggregates (tf, df), a broadcast-sized df/stats join, dl "
+    "from the same cheap scan, and a per-term top-k window (Spark "
+    "plants WindowGroupLimit — no global sort). At 100 TB the only "
+    "full pass is the word explode; query terms prune before the "
+    "shuffle.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    dl = d.select("doc_id", F.size(w).cast("long").alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(w)).cast("long").alias("total_dl"),
+    )
+    words = d.select("doc_id", F.explode(w).alias("term")).where(
+        F.col("term").isin(*BM25_TERMS)
+    )
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = words.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    avgdl = dbl(F.col("total_dl")) / dbl(F.col("n_docs"))
+    idf = (dbl(F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (
+        dbl(F.col("df")) + F.lit(0.5)
+    )
+    norm = F.lit(0.25) + (F.lit(0.75) * dbl(F.col("dl"))) / avgdl
+    score = idf * (
+        (dbl(F.col("tf")) * F.lit(2.2))
+        / (dbl(F.col("tf")) + F.lit(1.2) * norm)
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("term", "doc_id", "tf", "dl", score.alias("score"))
+    )
+    wnd = Window.partitionBy("term").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wnd))
+        .where(F.col("rnk") <= BM25_TOPK)
+        .select("term", "doc_id", "tf", "dl", "score")
+    )
+
+
+# ----------------------------------------- Gopher quality filters
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3, 10
+GOPHER_MIN_STOPWORDS = 2
+
+
+@register(
+    "text_gopher_quality_filters",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS sum_len,
+         CAST(LEN(list_filter(string_split(text, ' '),
+                              x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+              AS BIGINT) AS n_sym,
+         CAST(LEN(list_intersect(list_distinct(string_split(text, ' ')),
+                                 [{_SQL_STOPLIST}])) AS BIGINT)
+             AS n_stop_kinds
+  FROM documents
+)
+SELECT doc_id, n_words,
+       n_words >= {GOPHER_MIN_WORDS}
+         AND n_words <= {GOPHER_MAX_WORDS} AS r_word_count,
+       sum_len >= {GOPHER_MIN_MWL} * n_words
+         AND sum_len <= {GOPHER_MAX_MWL} * n_words AS r_mean_word_len,
+       5 * n_alpha > 4 * n_words AS r_alpha_words,
+       10 * n_sym < n_words AS r_symbol_ratio,
+       n_stop_kinds >= {GOPHER_MIN_STOPWORDS} AS r_stopwords,
+       CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                 AND n_words <= {GOPHER_MAX_WORDS}
+                 AND sum_len >= {GOPHER_MIN_MWL} * n_words
+                 AND sum_len <= {GOPHER_MAX_MWL} * n_words
+                 AND 5 * n_alpha > 4 * n_words
+                 AND 10 * n_sym < n_words
+                 AND n_stop_kinds >= {GOPHER_MIN_STOPWORDS}
+            THEN 'keep' ELSE 'drop' END AS verdict
+FROM t
+""",
+    doc="The published Gopher document-quality heuristics (Rae et al. "
+    "2021, table A1 subset): word-count bounds "
+    f"[{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean word length in "
+    f"[{GOPHER_MIN_MWL}, {GOPHER_MAX_MWL}], >80% of words containing "
+    "an alphabetic character, symbol-to-word ratio < 0.1, and at "
+    f"least {GOPHER_MIN_STOPWORDS} distinct stopwords present — the "
+    "standard LLM-corpus pre-filter next to text_quality_score's "
+    "composite score and text_repetition_filter. Every ratio rule "
+    "compares by INTEGER cross-multiplication (sum_len >= 3*n_words, "
+    "5*n_alpha > 4*n_words, 10*n_sym < n_words), so no division and "
+    "exact parity. One scan, all-codegen array exprs, no shuffle at "
+    "all — embarrassingly parallel at any SF.",
+)
+def text_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    t = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("long")
+        .alias("sum_len"),
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+        )
+        .cast("long")
+        .alias("n_sym"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(w), F.array(*[F.lit(s) for s in STOPWORDS])
+            )
+        )
+        .cast("long")
+        .alias("n_stop_kinds"),
+    )
+    r_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    r_mwl = (F.col("sum_len") >= GOPHER_MIN_MWL * F.col("n_words")) & (
+        F.col("sum_len") <= GOPHER_MAX_MWL * F.col("n_words")
+    )
+    r_alpha = 5 * F.col("n_alpha") > 4 * F.col("n_words")
+    r_sym = 10 * F.col("n_sym") < F.col("n_words")
+    r_stop = F.col("n_stop_kinds") >= GOPHER_MIN_STOPWORDS
+    keep = r_wc & r_mwl & r_alpha & r_sym & r_stop
+    return t.select(
+        "doc_id",
+        "n_words",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_words"),
+        r_sym.alias("r_symbol_ratio"),
+        r_stop.alias("r_stopwords"),
+        F.when(keep, "keep").otherwise("drop").alias("verdict"),
+    )

@@ -252,6 +252,25 @@ def test_tfidf_topk_plants_window_group_limit(spark):
     assert "CartesianProduct" not in tree
 
 
+def test_bm25_topk_plan_shape(spark):
+    """BM25: per-term top-k plants WindowGroupLimit (partial below the
+    exchange too), the df/stats sides broadcast, and nothing goes
+    cartesian (the 1-row stats cross-join must be a broadcast NL)."""
+    tree = tree_of(spark, "text_bm25_topk")
+    assert tree.count("WindowGroupLimit") == 2, tree
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_gopher_filters_plan_is_shuffle_free_scan(spark):
+    """The Gopher rules are one projection over the docs scan — no
+    exchange, no join, no Python: embarrassingly parallel at any SF."""
+    tree = tree_of(spark, "text_gopher_quality_filters")
+    assert "Exchange" not in tree, tree
+    assert "BatchEvalPython" not in tree
+    assert "Join" not in tree
+
+
 def test_theta_join_is_broadcast_nl_not_cartesian(spark):
     """Inequality-only join: with a broadcast hint on the tiny side the
     planner must pick BroadcastNestedLoopJoin, never CartesianProduct
