@@ -1053,13 +1053,29 @@ def test_gini_window_over_customer_aggregate(spark):
 
 def test_skyline_linear_not_quadratic(spark):
     # the oracle is the quadratic NOT-EXISTS spec; the ENGINE must be
-    # the linear form — per-price aggregate + one window chain + an
-    # equi join back, never any nested-loop/cartesian shape
+    # the linear form — per-price aggregate, the range-bucket prune
+    # (per-bucket max aggregate + a lag-of-cummax window over O(1024)
+    # bucket rows), the global cummax + lag chain over the pruned
+    # survivors, and an equi join back — never any nested-loop/
+    # cartesian shape, and never a window partitioned on a physical
+    # partition id (that shape reshuffles the whole per-price table)
     plan = plan_of(spark, "skyline_pareto_front")
     tree = tree_of(spark, "skyline_pareto_front")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert tree.count("Window") == 2  # cummax + lag, nothing more
+    # two BNLJs are fine: both are keyless joins against the 1-ROW
+    # bounds aggregate (O(n) probe, the standard tiny-cross shape)
+    assert tree.count("BroadcastNestedLoopJoin") <= 2
+    assert tree.count("Window") == 4  # (cummax, lag) x (bucket, global)
+    assert "spark_partition_id" not in plan
+    # the per-price shuffle must appear ONCE (the r6 rework computed
+    # bucket maxima off the raw scan precisely so this aggregate's
+    # exchange never duplicates)
+    assert plan.count("hashpartitioning(p_retailprice") <= 1, plan
+    # single-partition exchanges feed only bounded inputs: the 1-row
+    # bounds agg (statically duplicated under each of its two BNLJ
+    # consumers), the <=SKYLINE_BUCKETS bucket window, the pruned
+    # survivor window
+    assert plan.count("SinglePartition") <= 4, plan
 
 
 def test_checksum_reconcile_shuffles_digests_not_rows(spark):
