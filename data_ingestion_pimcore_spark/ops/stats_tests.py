@@ -1275,24 +1275,37 @@ FROM ranked
     "ceil-integer arithmetic ((n+99)//100, no float percent); shares "
     "sum in exact decimal with one double division each. The global "
     "rank runs over the ALREADY-AGGREGATED per-customer table — "
-    "|customers| rows, not |orders| — so the single ordered window is "
-    "bounded by dimension cardinality at any fact-table scale "
-    "(the oracle's window is the same).",
+    "|customers| rows, not |orders| — and is DISTRIBUTED (since r6): "
+    "the chunker's range-partitioned row_number + broadcast offsets "
+    "replaces the single-partition window, so the rank parallelizes "
+    "even at SF100k customer counts. The rank VALUES are identical "
+    "to the oracle's window by construction (same total order).",
 )
 def stats_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..chunker import global_row_number
+
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    rev = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    # Multiple consumers below (1-row totals, counts pass, rank pass):
+    # materialize the per-customer aggregate once instead of
+    # recomputing the orders scan per consumer.
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+        .localCheckpoint(eager=False)
     )
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        "r",
-        F.row_number()
-        .over(Window.orderBy(F.col("r").desc(), F.col("o_custkey")))
-        .alias("rk"),
-        F.count("*").over(wall).alias("n"),
-        F.sum("r").over(wall).alias("tot"),
+    # DISTRIBUTED descending rank (range-partitioned local row_number +
+    # broadcast offsets — the chunker's global ordering machinery): no
+    # single-partition sort of the customer table, so the rank scales
+    # past dimension-bounded (15B customers at SF100k would serialize
+    # through one task under a global window). Descending = ascending
+    # on the negated revenue; o_custkey breaks ties totally.
+    ranked = global_row_number(
+        rev.withColumn("negr", -F.col("r")), ["negr", "o_custkey"], "rk"
     )
+    stats = rev.agg(
+        F.count("*").alias("n"), F.sum("r").alias("tot")
+    )
+    ranked = ranked.join(F.broadcast(stats))
     zero = F.lit(0).cast("decimal(18,2)")
     top1 = F.sum(
         F.when(F.col("rk") <= F.expr("(n + 99) div 100"), F.col("r")).otherwise(
@@ -1348,37 +1361,48 @@ FROM ranked
     "form G = (2*SUM(i*x_i) - (n+1)*SUM(x_i)) / (n*SUM(x_i)) keeps "
     "numerator and denominator exact 64-bit integers until ONE double "
     "division (int64 to double conversion is correctly rounded in "
-    "both engines). Like stats_pareto_share, the single ordered "
-    "window runs over the per-customer aggregate — bounded by "
-    "dimension cardinality, not fact-table size. Integer headroom: "
+    "both engines). Like stats_pareto_share, the rank runs over the "
+    "per-customer aggregate and is DISTRIBUTED (since r6): the "
+    "chunker's range-partitioned row_number + broadcast offsets "
+    "yields the identical 1..n ranks without a single-partition "
+    "sort, so the closed form parallelizes at any customer "
+    "cardinality. Integer headroom: "
     "SUM(i*cents) ~ n^2 * avg_cents / 2 crosses 2^63 near SF 10 "
     "(~1.5M customers x ~1.5e7 avg cents), so BOTH sums run in "
     "DECIMAL(38,0) on the Spark side — matching DuckDB's silent "
     "HUGEINT widening — and only the final division is double.",
 )
 def stats_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..chunker import global_row_number
+
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    rev = orders.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
-            "cents"
+    # Two consumers (the rank machinery's counts pass + the rank pass):
+    # materialize the per-customer aggregate once.
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            )
         )
+        .localCheckpoint(eager=False)
     )
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        "cents",
-        F.row_number().over(wall.orderBy("cents", "o_custkey")).alias("i"),
-        F.count("*").over(wall).alias("n"),
-    )
+    # DISTRIBUTED rank i (range-partitioned local row_number +
+    # broadcast offsets, the chunker's global ordering machinery): the
+    # closed form needs every customer's exact rank, but NOT a
+    # single-partition sort to get it — and since i covers 1..n,
+    # n = MAX(i) falls out of the same final aggregate for free.
+    ranked = global_row_number(rev, ["cents", "o_custkey"], "i")
     dec = "decimal(38,0)"
     sum_ix = F.sum((F.col("i") * F.col("cents")).cast(dec))
     sum_x = F.sum(F.col("cents").cast(dec))
-    n_dec = F.max("n").cast(dec)
+    n_dec = F.max("i").cast(dec)
     return ranked.agg(
         (
             (2 * sum_ix - (n_dec + 1) * sum_x).cast("double")
             / (n_dec * sum_x).cast("double")
         ).alias("gini"),
-        F.max("n").cast("long").alias("n_customers"),
+        F.max("i").cast("long").alias("n_customers"),
     )
 
 

@@ -1027,27 +1027,26 @@ def test_autocorrelation_one_scan_all_lags_one_window_exchange(spark):
     assert "Generate" in tree  # lag unpivot over the tiny aggregate
 
 
-def test_pareto_share_ranks_customers_not_orders(spark):
-    # the global rank window runs over the per-customer aggregate
-    # (bounded by dimension cardinality), after a partial+final
-    # aggregate pair collapses orders; single scan of two columns
-    tree = tree_of(spark, "stats_pareto_share")
+def test_pareto_share_rank_is_distributed(spark):
+    # since r6 the descending rank uses the chunker's range-partitioned
+    # row_number + broadcast offsets over the (localCheckpoint'd)
+    # per-customer aggregate: the window partitions on __pid — NEVER a
+    # single-partition sort of the customer table
     plan = plan_of(spark, "stats_pareto_share")
-    assert tree.count("Scan parquet") == 1
-    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
-    assert m and set(m.group(1).split(",")) == {"o_custkey:bigint", "o_totalprice:double"}
-    # window sits ABOVE the customer aggregate in the operator chain
-    agg_pos = tree.rindex("HashAggregate")
-    win_pos = tree.index("Window")
-    assert win_pos < agg_pos  # formatted tree lists downstream ops first
+    tree = tree_of(spark, "stats_pareto_share")
+    assert "__pid" in plan
+    # the only SinglePartition exchange feeds the 1-row (n, tot) agg
+    assert plan.count("SinglePartition") <= 2, plan
+    assert "CartesianProduct" not in tree
 
 
-def test_gini_window_over_customer_aggregate(spark):
-    # rank window runs over the per-customer aggregate, never raw
-    # orders: aggregate pair collapses the fact table first
+def test_gini_rank_is_distributed(spark):
+    # same distributed-rank shape as pareto_share; n = MAX(i) comes out
+    # of the final aggregate, so NO SinglePartition exchange feeds any
+    # data-sized sort
+    plan = plan_of(spark, "stats_gini_coefficient")
     tree = tree_of(spark, "stats_gini_coefficient")
-    assert tree.count("Scan parquet") == 1
-    assert tree.index("Window") < tree.rindex("HashAggregate")
+    assert "__pid" in plan
     assert "CartesianProduct" not in tree
 
 
