@@ -675,6 +675,36 @@ def test_attribution_boundary_semantics(spark):
     }
 
 
+def test_skyline_degenerate_price_domains(spark):
+    """Bucket-prune edge cases: (a) hi == lo (every price identical →
+    all rows land in bucket 0, the prune is a no-op, and the skyline
+    is exactly the max-size parts at that price); (b) two prices at
+    the extreme bucket boundary (the F.least cap keeps the top price
+    inside the last bucket)."""
+    import os
+    import tempfile
+
+    from data_ingestion_pimcore_spark.ops.relational import skyline_pareto_front
+
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = [(1, 5.0, 3), (2, 5.0, 9), (3, 5.0, 9), (4, 5.0, 1)]
+        spark.createDataFrame(
+            rows, "p_partkey long, p_retailprice double, p_size int"
+        ).write.parquet(os.path.join(tmp, "part.parquet"))
+        got = {r["p_partkey"] for r in skyline_pareto_front(spark, tmp).collect()}
+    assert got == {2, 3}
+    with tempfile.TemporaryDirectory() as tmp:
+        # min and max price only: max lands exactly on the top boundary
+        rows = [(1, 1.0, 5), (2, 2.0, 9), (3, 2.0, 4)]
+        spark.createDataFrame(
+            rows, "p_partkey long, p_retailprice double, p_size int"
+        ).write.parquet(os.path.join(tmp, "part.parquet"))
+        got = {r["p_partkey"] for r in skyline_pareto_front(spark, tmp).collect()}
+    # part 1: cheapest (skyline); part 2: bigger size at higher price
+    # (skyline); part 3: dominated by part 2 at the same price
+    assert got == {1, 2}
+
+
 def test_skyline_dominance_properties_random(spark):
     """On random (price, size) clouds: every returned part must be
     non-dominated, every omitted part dominated — the full skyline
