@@ -161,6 +161,15 @@ HEADLINE = [
     "ts_markov_transitions",
     "dedup_lsh_eval_report",
     "curation_dataset_card",
+    # round-5 iterative graph + curation additions (benched so the
+    # broadcast-LPA and k-core early-stop reworks stay visible)
+    "graph_label_propagation",
+    "graph_k_core",
+    "dedup_entity_resolution",
+    "text_remove_boilerplate",
+    # round-6 additions: BM25 retrieval, Gopher corpus filters
+    "text_bm25_topk",
+    "text_gopher_quality_filters",
 ]
 
 
