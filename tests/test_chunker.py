@@ -38,6 +38,25 @@ def test_global_row_number_matches_window(spark):
     assert scalable.agg(F.min("rn"), F.max("rn")).first() == (1, n)
 
 
+def test_global_row_number_descending_via_negation(spark):
+    """The descending-rank pattern stats_pareto_share relies on: rank
+    ascending on a NEGATED decimal equals row_number over (col DESC,
+    tiebreak ASC) — including heavy ties (few distinct values) that
+    stress the range-boundary sampling."""
+    rows = [(i, float((i * 7) % 5)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v double").withColumn(
+        "dv", F.col("v").cast("decimal(18,2)")
+    )
+    ranked = global_row_number(
+        df.withColumn("neg", -F.col("dv")), ["neg", "k"], "rk",
+        num_partitions=7,
+    )
+    w = Window.orderBy(F.col("dv").desc(), "k")
+    oracle = df.withColumn("rk_o", F.row_number().over(w).cast("long"))
+    joined = ranked.join(oracle, ["k"])
+    assert joined.where(F.col("rk") != F.col("rk_o")).count() == 0
+
+
 def test_chunk_by_count_sizes(spark):
     li = load(spark, SF, "lineitem")
     chunked = assign_chunks_by_count(li, ORDER, 1000, num_partitions=5)
