@@ -969,3 +969,59 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_members"),
         F.min("vec_id").cast("long").alias("min_vec_id"),
     )
+
+
+# ------------------------------------------------ radius search
+
+RANGE_TAU = 0.30  # cosine threshold for radius retrieval
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+)
+SELECT q.query_id, e.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(q.qv, e.v), 9) AS cosine
+FROM q JOIN e ON e.vec_id != q.query_id
+WHERE ROUND(list_cosine_similarity(q.qv, e.v), 9) >= {RANGE_TAU}
+""",
+    doc=f"Radius (threshold) similarity search: ALL corpus vectors "
+    f"within cosine >= {RANGE_TAU} of each query — the thresholded "
+    "retrieval used for contamination screening and near-dup "
+    "candidate pull, complementing sim_knn_bruteforce's top-k (same "
+    "query-corpus access pattern, different cut). The most "
+    "scale-friendly query in the family: the query set broadcasts, "
+    "every candidate scores MAP-SIDE in codegen'd array arithmetic, "
+    "and the threshold filters in the same stage — ZERO shuffles, "
+    "output size is the true result size. Scores round at 9 before "
+    "the compare so the keep/drop decision is identical in both "
+    "engines (the module's PAIR_THRESHOLD discipline).",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "__nsq", nsq_col(F.col("embedding"))
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("__nsq").alias("__qnsq"),
+    )
+    cos = F.round(
+        cosine_col(
+            F.col("qv"), F.col("embedding"), F.col("__qnsq"), F.col("__nsq")
+        ),
+        9,
+    )
+    return (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= RANGE_TAU)
+    )

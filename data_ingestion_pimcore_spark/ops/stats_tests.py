@@ -1488,3 +1488,112 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_max",
         "n",
     )
+
+
+# ------------------------------------------------ Welch's t-test
+
+_WELCH_SQL = """
+WITH g AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+s AS (
+  SELECT arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS s1,
+         CAST(SUM(cents * cents) AS HUGEINT) AS s2
+  FROM g GROUP BY arm
+),
+w AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n1,
+         MAX(CASE WHEN arm = 'A' THEN s1 END) AS sa,
+         MAX(CASE WHEN arm = 'A' THEN s2 END) AS qa,
+         MAX(CASE WHEN arm = 'B' THEN n END) AS n2,
+         MAX(CASE WHEN arm = 'B' THEN s1 END) AS sb,
+         MAX(CASE WHEN arm = 'B' THEN s2 END) AS qb
+  FROM s
+),
+f AS (
+  SELECT n1, n2,
+         CAST(sa AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+         CAST(sb AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+         (CAST(qa AS DOUBLE) - (CAST(sa AS DOUBLE) / CAST(n1 AS DOUBLE))
+            * CAST(sa AS DOUBLE))
+           / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) AS a1,
+         (CAST(qb AS DOUBLE) - (CAST(sb AS DOUBLE) / CAST(n2 AS DOUBLE))
+            * CAST(sb AS DOUBLE))
+           / (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE) AS a2
+  FROM w
+)
+SELECT CAST(n1 AS BIGINT) AS n_a,
+       CAST(n2 AS BIGINT) AS n_b,
+       m1 AS mean_cents_a,
+       m2 AS mean_cents_b,
+       (m1 - m2) / sqrt(a1 + a2) AS t_stat,
+       (a1 + a2) * (a1 + a2)
+         / (a1 * a1 / (CAST(n1 AS DOUBLE) - 1.0)
+            + a2 * a2 / (CAST(n2 AS DOUBLE) - 1.0)) AS welch_df
+FROM f
+"""
+
+
+@register(
+    "stats_welch_ttest",
+    oracle=_WELCH_SQL,
+    doc="Welch's unequal-variance t-test between deterministic "
+    "experiment arms (o_orderkey parity) on order value in exact "
+    "integer CENTS — the standard two-sample mean test completing "
+    "the family (stats_ab_ztest: proportions; stats_mann_whitney_u: "
+    "nonparametric; stats_bootstrap_ci: resampling). One conditional "
+    "hash aggregate computes n, SUM(cents), SUM(cents^2) per arm "
+    "EXACTLY (per-row cents^2 fits int64; the sums run in "
+    "DECIMAL(38,0) Spark-side, matching DuckDB's HUGEINT widening); "
+    "the t statistic, per-arm variance-over-n terms a_i = s_i^2/n_i, "
+    "and the Welch-Satterthwaite df are then ONE structurally "
+    "identical chain of IEEE double ops over those exact integers in "
+    "both engines (sqrt is correctly rounded everywhere; libm never "
+    "enters), so values match bit-for-bit unrounded. Scale shape: "
+    "the fact table collapses in one partial+final aggregate — "
+    "nothing else touches data.",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    dec = "decimal(38,0)"
+    g = orders.groupBy(
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B").alias("arm")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(cents.cast(dec)).alias("s1"),
+        F.sum((cents * cents).cast(dec)).alias("s2"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "A", F.col("s1"))).alias("sa"),
+        F.max(F.when(F.col("arm") == "A", F.col("s2"))).alias("qa"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == "B", F.col("s1"))).alias("sb"),
+        F.max(F.when(F.col("arm") == "B", F.col("s2"))).alias("qb"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    m1 = dbl("sa") / dbl("n1")
+    m2 = dbl("sb") / dbl("n2")
+    a1 = (dbl("qa") - (dbl("sa") / dbl("n1")) * dbl("sa")) / (
+        dbl("n1") - F.lit(1.0)
+    ) / dbl("n1")
+    a2 = (dbl("qb") - (dbl("sb") / dbl("n2")) * dbl("sb")) / (
+        dbl("n2") - F.lit(1.0)
+    ) / dbl("n2")
+    return w.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        m1.alias("mean_cents_a"),
+        m2.alias("mean_cents_b"),
+        ((m1 - m2) / F.sqrt(a1 + a2)).alias("t_stat"),
+        (
+            (a1 + a2)
+            * (a1 + a2)
+            / (a1 * a1 / (dbl("n1") - F.lit(1.0)) + a2 * a2 / (dbl("n2") - F.lit(1.0)))
+        ).alias("welch_df"),
+    )

@@ -252,6 +252,30 @@ def test_tfidf_topk_plants_window_group_limit(spark):
     assert "CartesianProduct" not in tree
 
 
+def test_range_search_is_shuffle_free_broadcast_filter(spark):
+    """Radius search must be a broadcast of the query set + a map-side
+    score-and-filter: NO exchange other than the broadcast, no window,
+    no Python — the zero-shuffle member of the retrieval family."""
+    tree = tree_of(spark, "sim_range_search")
+    assert "BroadcastExchange" in tree
+    assert "Window" not in tree
+    assert "BatchEvalPython" not in tree
+    # no shuffle exchange: every Exchange in the tree is the broadcast
+    import re as _re
+
+    assert not _re.search(r"\bExchange (?:hash|range|Single)", tree), tree
+
+
+def test_welch_ttest_is_two_aggregates_only(spark):
+    """Welch collapses the fact table in one partial+final aggregate
+    pair, then a 1-row final agg — no join, no window, no Python."""
+    tree = tree_of(spark, "stats_welch_ttest")
+    assert "Join" not in tree
+    assert "Window" not in tree
+    assert "BatchEvalPython" not in tree
+    assert tree.count("HashAggregate") == 4  # partial+final x 2 levels
+
+
 def test_bm25_topk_plan_shape(spark):
     """BM25: per-term top-k plants WindowGroupLimit (partial below the
     exchange too), the df/stats sides broadcast, and nothing goes
