@@ -167,9 +167,12 @@ HEADLINE = [
     "graph_k_core",
     "dedup_entity_resolution",
     "text_remove_boilerplate",
-    # round-6 additions: BM25 retrieval, Gopher corpus filters
+    # round-6 additions: BM25 retrieval, Gopher corpus filters,
+    # radius similarity search, Welch's t-test
     "text_bm25_topk",
     "text_gopher_quality_filters",
+    "sim_range_search",
+    "stats_welch_ttest",
 ]
 
 
