@@ -173,6 +173,7 @@ HEADLINE = [
     "text_gopher_quality_filters",
     "sim_range_search",
     "stats_welch_ttest",
+    "agg_audience_overlap",
 ]
 
 

@@ -3053,3 +3053,99 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_median_price"),
         F.max("tot").cast("long").alias("total_weight"),
     )
+
+
+# --------------------------------------------- audience overlap
+
+_OVERLAP_SQL = """
+WITH f AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS a_f,
+         MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS a_o,
+         MAX(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS a_p
+  FROM orders GROUP BY o_custkey
+),
+s AS (
+  SELECT CAST(SUM(a_f) AS BIGINT) AS nf, CAST(SUM(a_o) AS BIGINT) AS no_,
+         CAST(SUM(a_p) AS BIGINT) AS np,
+         CAST(SUM(a_f * a_o) AS BIGINT) AS nfo,
+         CAST(SUM(a_f * a_p) AS BIGINT) AS nfp,
+         CAST(SUM(a_o * a_p) AS BIGINT) AS nop
+  FROM f
+)
+SELECT 'F' AS seg_a, 'O' AS seg_b, nf AS n_a, no_ AS n_b, nfo AS n_both,
+       CAST(nfo AS DOUBLE) / CAST(nf + no_ - nfo AS DOUBLE) AS jaccard
+FROM s
+UNION ALL
+SELECT 'F', 'P', nf, np, nfp,
+       CAST(nfp AS DOUBLE) / CAST(nf + np - nfp AS DOUBLE) FROM s
+UNION ALL
+SELECT 'O', 'P', no_, np, nop,
+       CAST(nop AS DOUBLE) / CAST(no_ + np - nop AS DOUBLE) FROM s
+"""
+
+
+@register(
+    "agg_audience_overlap",
+    oracle=_OVERLAP_SQL,
+    doc="Audience-overlap matrix: for every pair of order-status "
+    "segments, the EXACT distinct-customer intersection and Jaccard "
+    "overlap — the segment-intersection report behind audience "
+    "analysis and dataset-mixture overlap audits (companion to "
+    "agg_bitmap_distinct's union-style exact counting). Engine shape "
+    "is one membership-flag aggregate per customer (MAX(CASE) per "
+    "segment — ONE shuffle on the entity key regardless of segment "
+    "count, never a per-pair self-join of the fact table), one 1-row "
+    "aggregate of flag products (an AND of memberships is a product "
+    "of 0/1 flags), and a pair unpivot of that single row. "
+    "Intersections are exact integers; the only float op is one "
+    "division per pair, identical in both engines. At 100 TB the "
+    "fact table is touched once; adding segments adds columns, not "
+    "passes.",
+)
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    segs = ("F", "O", "P")
+    flags = orders.groupBy("o_custkey").agg(
+        *[
+            F.max(
+                F.when(F.col("o_orderstatus") == s_, 1).otherwise(0)
+            ).alias(f"a_{s_}")
+            for s_ in segs
+        ]
+    )
+    tot = flags.agg(
+        *[F.sum(f"a_{s_}").cast("long").alias(f"n_{s_}") for s_ in segs],
+        *[
+            F.sum(F.col(f"a_{a}") * F.col(f"a_{b}"))
+            .cast("long")
+            .alias(f"n_{a}{b}")
+            for i, a in enumerate(segs)
+            for b in segs[i + 1 :]
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("seg_a"),
+                F.lit(b).alias("seg_b"),
+                F.col(f"n_{a}").alias("n_a"),
+                F.col(f"n_{b}").alias("n_b"),
+                F.col(f"n_{a}{b}").alias("n_both"),
+            )
+            for i, a in enumerate(segs)
+            for b in segs[i + 1 :]
+        ]
+    )
+    exploded = tot.select(F.explode(pairs).alias("p")).select("p.*")
+    return exploded.select(
+        "seg_a",
+        "seg_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        (
+            F.col("n_both").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+        ).alias("jaccard"),
+    )

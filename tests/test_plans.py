@@ -252,6 +252,21 @@ def test_tfidf_topk_plants_window_group_limit(spark):
     assert "CartesianProduct" not in tree
 
 
+def test_audience_overlap_is_one_entity_shuffle(spark):
+    """Segment intersections must come from membership-flag products
+    over ONE customer-keyed aggregate — never a per-pair self-join of
+    the fact table. Exactly one hash exchange (the entity key); the
+    pair table is a generated unpivot of a 1-row aggregate."""
+    tree = tree_of(spark, "agg_audience_overlap")
+    plan = plan_of(spark, "agg_audience_overlap")
+    assert "Join" not in tree, tree
+    assert "Generate" in tree  # the pair unpivot
+    # exactly two exchanges: the entity-key hash shuffle + the 1-row
+    # SinglePartition for the global flag-product sums
+    assert tree.count("Exchange") == 2, tree
+    assert plan.count("hashpartitioning(o_custkey") == 1, plan
+
+
 def test_range_search_is_shuffle_free_broadcast_filter(spark):
     """Radius search must be a broadcast of the query set + a map-side
     score-and-filter: NO exchange other than the broadcast, no window,
