@@ -909,3 +909,60 @@ def test_gini_closed_forms(spark):
         ).write.parquet(os.path.join(tmp, "orders.parquet"))
         (r,) = stats_gini_coefficient(spark, tmp).collect()
     assert r["gini"] == (8 - 1) / 8  # exact: integer cents make it 7/8
+
+
+def test_welch_ttest_matches_hand_computed_fixture(spark):
+    """Closed-form check on a tiny hand-computed fixture: arms from
+    orderkey parity; A = even keys with cents {200, 400}, B = odd keys
+    with cents {100, 300, 500}. m1=300, m2=300 → t must be exactly 0,
+    and Welch df must match the hand-derived Satterthwaite value."""
+    import os
+    import tempfile
+
+    from data_ingestion_pimcore_spark.ops.stats_tests import stats_welch_ttest
+
+    rows = [
+        (2, 2.00), (4, 4.00),          # arm A: cents 200, 400
+        (1, 1.00), (3, 3.00), (5, 5.00),  # arm B: cents 100, 300, 500
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double"
+        ).write.parquet(os.path.join(tmp, "orders.parquet"))
+        (r,) = stats_welch_ttest(spark, tmp).collect()
+    assert (r["n_a"], r["n_b"]) == (2, 3)
+    assert r["mean_cents_a"] == 300.0 and r["mean_cents_b"] == 300.0
+    assert r["t_stat"] == 0.0
+    # a1 = s1^2/n1 = 20000/2 = 10000 ; a2 = 40000/3
+    a1, a2 = 10000.0, 40000.0 / 3.0
+    expect_df = (a1 + a2) ** 2 / (a1 * a1 / 1.0 + a2 * a2 / 2.0)
+    assert abs(r["welch_df"] - expect_df) < 1e-9
+
+
+def test_audience_overlap_hand_fixture(spark):
+    """Known intersections: custs {1,2,3} have F, {2,3,4} have O,
+    {3} has P → F∩O={2,3}, F∩P={3}, O∩P={3}; Jaccards 2/4, 1/3, 1/3."""
+    import os
+    import tempfile
+
+    from data_ingestion_pimcore_spark.ops.relational import (
+        agg_audience_overlap,
+    )
+
+    rows = []
+    oid = 0
+    for c, statuses in [(1, "F"), (2, "FO"), (3, "FOP"), (4, "O")]:
+        for s_ in statuses:
+            oid += 1
+            rows.append((oid, c, s_))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderstatus string"
+        ).write.parquet(os.path.join(tmp, "orders.parquet"))
+        out = {
+            (r["seg_a"], r["seg_b"]): r
+            for r in agg_audience_overlap(spark, tmp).collect()
+        }
+    assert out[("F", "O")]["n_both"] == 2 and out[("F", "O")]["jaccard"] == 0.5
+    assert out[("F", "P")]["n_both"] == 1 and abs(out[("F", "P")]["jaccard"] - 1 / 3) < 1e-12
+    assert out[("O", "P")]["n_both"] == 1 and abs(out[("O", "P")]["jaccard"] - 1 / 3) < 1e-12

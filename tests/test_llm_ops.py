@@ -804,3 +804,26 @@ def test_stride_sample_non_divisible_frame_interval():
     buf = mux_webm([p for _, p in samples], 33, "V_BMPF", cluster_len=16)
     got = sample_frames_batch(buf, 1000)
     assert [t for t, _ in got] == [0, 1023, 2013]
+
+
+def test_range_search_consistent_with_topk(spark):
+    """Family consistency on the real embeddings table: every top-k
+    neighbor whose (rounded) cosine clears the radius threshold must
+    appear in the radius result with the IDENTICAL score, and every
+    radius hit scores >= tau."""
+    from data_ingestion_pimcore_spark.ops.similarity import (
+        RANGE_TAU,
+        sim_knn_bruteforce,
+        sim_range_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    radius = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in sim_range_search(spark, sf).collect()
+    }
+    assert radius and all(c >= RANGE_TAU for c in radius.values())
+    for r in sim_knn_bruteforce(spark, sf).collect():
+        if r["cosine"] >= RANGE_TAU:
+            key = (r["query_id"], r["neighbor_id"])
+            assert radius.get(key) == r["cosine"], key
