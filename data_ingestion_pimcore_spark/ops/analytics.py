@@ -295,7 +295,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tri = closed.agg(
         F.coalesce(F.sum("n_closed"), F.lit(0)).alias("n_triangles")
     )
-    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+    # 1-row aggregate sides: pin the broadcast so the AQE-off plan is
+    # the same BroadcastNestedLoopJoin AQE would pick at runtime.
+    return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tri))
 
 
 # ------------------------------------------------------------------- SCD2

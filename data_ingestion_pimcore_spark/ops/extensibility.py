@@ -512,7 +512,9 @@ def pipeline_cached_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec_net).cast("double").alias("total_net"),
         F.count(F.lit(1)).alias("total_rows"),
     )
-    out = by_prio.crossJoin(total).localCheckpoint()
+    # total is a 1-row aggregate: pin the broadcast so the AQE-off
+    # plan matches the BroadcastNestedLoopJoin AQE would pick.
+    out = by_prio.crossJoin(F.broadcast(total)).localCheckpoint()
     enriched.unpersist()
     return out
 

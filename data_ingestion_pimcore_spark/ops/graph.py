@@ -41,6 +41,24 @@ from ..tables import load
 _N_ITER = 3
 _MAX_HOPS = 4
 
+# Node-sized tables (rank contribs, labels, frontier, visited) are
+# broadcast into the per-round edge joins only while they plausibly
+# fit executor/driver memory. Above this row count the hint is
+# dropped AUTOMATICALLY and each round degrades to the edge-key
+# shuffle join the docstrings describe (round-7 advice: the
+# hard-coded hint overrode autoBroadcastJoinThreshold
+# unconditionally, so at large |V| the 'degrade' required a code
+# edit — now it's a data-driven gate). 4M rows × ~24 B built ≈
+# 100 MB, well under executor budgets here while far beyond every
+# measured point where broadcast still beats shuffle (BASELINE.md
+# records the 1× and 10× A/B readings).
+NODE_BROADCAST_LIMIT = 4_000_000
+
+
+def _bcast_nodes(df: DataFrame, n_nodes: int) -> DataFrame:
+    """Broadcast hint gated on the measured node count."""
+    return F.broadcast(df) if n_nodes <= NODE_BROADCAST_LIMIT else df
+
 # Shared SQL fragments: the bidirected trade graph and its out-degrees.
 _SQL_GRAPH = """
 edges AS (
@@ -129,13 +147,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degrees onto the |E|-row edge table every round — one edge join
     # per round, zero edge shuffles. A/B interleaved at sf0.1: 3.37 s
     # vs 3.62 s steady min and far less first-run variance (3.8 s vs
-    # 6.7 s). At a node count too big to broadcast, drop the hint —
-    # the plan degrades to ONE shuffle join per round on src, still
-    # strictly better than the two-join edge-side shape. Division
+    # 6.7 s). Past NODE_BROADCAST_LIMIT the _bcast_nodes gate drops
+    # the hint automatically — the plan degrades to ONE shuffle join
+    # per round on src, still better than the two-join edge-side
+    # shape. Division
     # rank/outdeg happens once per node instead of once per edge: the
     # identical IEEE value replicated, so the decimal contribution sum
     # is unchanged (bit-identical to the unrolled-CTE oracle).
     bi, deg = _trade_graph(spark, sf_dir)
+    # One count job sizes the node vector (and materializes the bi
+    # checkpoint that round 1 needs anyway); the broadcast hint below
+    # drops itself past NODE_BROADCAST_LIMIT.
+    n_nodes = deg.count()
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
     for _ in range(_N_ITER):
         rankdeg = ranks.join(deg, F.col("node") == F.col("src")).select(
@@ -143,7 +166,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rank") / F.col("outdeg")).alias("contrib"),
         )
         ranks = (
-            bi.join(F.broadcast(rankdeg), F.col("src") == F.col("csrc"))
+            bi.join(_bcast_nodes(rankdeg, n_nodes), F.col("src") == F.col("csrc"))
             .groupBy("dst")
             .agg(
                 (
@@ -192,7 +215,10 @@ GROUP BY node
     "O(1). Oracle is a recursive CTE with min-hop aggregation.",
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bi, _ = _trade_graph(spark, sf_dir)
+    bi, deg = _trade_graph(spark, sf_dir)
+    # Frontier/visited are bounded by |V|: one count job sizes the
+    # gate for both hints below (NODE_BROADCAST_LIMIT degrade).
+    n_nodes = deg.count()
     customer = load(spark, sf_dir, "customer")
     seeds = (
         customer.where(F.col("c_nationkey") == 1)
@@ -202,18 +228,19 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Frontier and visited are node-sized (≤|V|) while bi is edge-sized:
     # broadcasting both into the expansion keeps every round's edge scan
     # map-side (no edge shuffle). A/B interleaved at sf0.1: 2.40 s vs
-    # 2.74 s min, identical results. On a graph whose frontier outgrows
-    # a broadcast, drop the two hints — the plan degrades to the
-    # standard O(frontier edges) shuffle joins this docstring describes.
+    # 2.74 s min, identical results. On a graph whose node count
+    # exceeds NODE_BROADCAST_LIMIT both _bcast_nodes gates drop their
+    # hints automatically — the plan degrades to the standard
+    # O(frontier edges) shuffle joins this docstring describes.
     visited = seeds.withColumn("hops", F.lit(0)).localCheckpoint(eager=False)
     frontier = visited.select("node")
     for k in range(1, _MAX_HOPS + 1):
         nxt = (
-            bi.join(F.broadcast(frontier), F.col("src") == F.col("node"))
+            bi.join(_bcast_nodes(frontier, n_nodes), F.col("src") == F.col("node"))
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(
-                F.broadcast(visited.select(F.col("node").alias("vn"))),
+                _bcast_nodes(visited.select(F.col("node").alias("vn")), n_nodes),
                 F.col("node") == F.col("vn"),
                 "left_anti",
             )
@@ -372,16 +399,18 @@ GROUP BY lbl
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi, deg = _trade_graph(spark, sf_dir)
+    # One count job sizes the label table's broadcast gate.
+    n_nodes = deg.count()
     labels = deg.select(F.col("src").alias("v"), F.col("src").alias("lbl"))
     for _ in range(_LPA_ROUNDS):
         # The label table is |V| rows (node, label) — broadcast it into
         # the edge join like pagerank's contribs and BFS' frontier:
         # interleaved A/B at sf0.1 (16k nodes / 1.17M edges) measured
-        # 2.4-3.1 s shuffle-join vs 1.4-1.7 s broadcast per run. At a
-        # node count too big to broadcast, drop the hint — the plan
-        # degrades to the edge-key shuffle join, nothing else changes.
+        # 2.4-3.1 s shuffle-join vs 1.4-1.7 s broadcast per run. Past
+        # NODE_BROADCAST_LIMIT the _bcast_nodes gate drops the hint and
+        # the plan degrades to the edge-key shuffle join automatically.
         nbr = (
-            bi.join(F.broadcast(labels), bi["dst"] == labels["v"])
+            bi.join(_bcast_nodes(labels, n_nodes), bi["dst"] == labels["v"])
             .groupBy(bi["src"].alias("node"), "lbl")
             .agg(F.count("*").alias("c"))
         )

@@ -1976,7 +1976,9 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("est_custs"),
     )
     exact = o.agg(F.count_distinct("o_custkey").alias("exact_union"))
-    return per_group.crossJoin(unioned).crossJoin(exact)
+    # Both right sides are 1-row aggregates: pin the broadcast so the
+    # AQE-off plan is the same BroadcastNestedLoopJoin AQE would pick.
+    return per_group.crossJoin(F.broadcast(unioned)).crossJoin(F.broadcast(exact))
 
 
 @register(
@@ -3074,14 +3076,18 @@ s AS (
   FROM f
 )
 SELECT 'F' AS seg_a, 'O' AS seg_b, nf AS n_a, no_ AS n_b, nfo AS n_both,
-       CAST(nfo AS DOUBLE) / CAST(nf + no_ - nfo AS DOUBLE) AS jaccard
+       CASE WHEN nf + no_ - nfo > 0
+            THEN CAST(nfo AS DOUBLE) / CAST(nf + no_ - nfo AS DOUBLE)
+       END AS jaccard
 FROM s
 UNION ALL
 SELECT 'F', 'P', nf, np, nfp,
-       CAST(nfp AS DOUBLE) / CAST(nf + np - nfp AS DOUBLE) FROM s
+       CASE WHEN nf + np - nfp > 0
+            THEN CAST(nfp AS DOUBLE) / CAST(nf + np - nfp AS DOUBLE) END FROM s
 UNION ALL
 SELECT 'O', 'P', no_, np, nop,
-       CAST(nop AS DOUBLE) / CAST(no_ + np - nop AS DOUBLE) FROM s
+       CASE WHEN no_ + np - nop > 0
+            THEN CAST(nop AS DOUBLE) / CAST(no_ + np - nop AS DOUBLE) END FROM s
 """
 
 
@@ -3138,14 +3144,17 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     exploded = tot.select(F.explode(pairs).alias("p")).select("p.*")
+    # Degenerate-segment guard (round-7 advice): an empty union would
+    # make 0/0 — NaN in Spark, engine-dependent in DuckDB. Both sides
+    # emit NULL instead (oracle carries the matching CASE).
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
     return exploded.select(
         "seg_a",
         "seg_b",
         "n_a",
         "n_b",
         "n_both",
-        (
-            F.col("n_both").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+        F.when(
+            union > 0, F.col("n_both").cast("double") / union.cast("double")
         ).alias("jaccard"),
     )

@@ -1394,7 +1394,11 @@ def stats_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n = MAX(i) falls out of the same final aggregate for free.
     ranked = global_row_number(rev, ["cents", "o_custkey"], "i")
     dec = "decimal(38,0)"
-    sum_ix = F.sum((F.col("i") * F.col("cents")).cast(dec))
+    # Widen BOTH operands before multiplying: i * cents evaluated in
+    # int64 first would silently wrap (ANSI off) at the very rank ×
+    # cents magnitudes the headroom note above cites (i ~ 1e10 ×
+    # cents ~ 1e9 ≈ 2^63); decimal × decimal keeps the product exact.
+    sum_ix = F.sum(F.col("i").cast(dec) * F.col("cents").cast(dec))
     sum_x = F.sum(F.col("cents").cast(dec))
     n_dec = F.max("i").cast(dec)
     return ranked.agg(

@@ -315,7 +315,11 @@ def normalize_uri(path: str) -> str:
     scheme, sep, rest = path.partition("://")
     if not sep:
         return path
-    return _SCHEME_MAP.get(scheme.lower(), scheme) + "://" + rest
+    # Fallback lowercases too: downstream dispatch (_CONNECTOR_CLASS,
+    # is_object_uri) matches schemes case-insensitively, so a literal
+    # `WASB://` must normalize to `wasb://` or the connector lookup
+    # KeyErrors instead of taking the Python-source fallback.
+    return _SCHEME_MAP.get(scheme.lower(), scheme.lower()) + "://" + rest
 
 
 # Post-normalize_uri connector scheme → the Hadoop FS class whose
@@ -378,7 +382,7 @@ def load_source(spark: SparkSession, request: IngestRequest) -> DataFrame:
     path = normalize_uri(request.file_path)
     if ft == "json":
         if is_object_uri(path) and not _jvm_has_class(
-            spark, _CONNECTOR_CLASS[path.partition("://")[0]]
+            spark, _CONNECTOR_CLASS[path.partition("://")[0].lower()]
         ):
             from .sources.json_source import read_json_array_streaming
 

@@ -342,6 +342,20 @@ def test_fsspec_scheme_normalization():
     assert normalize_uri("file:///tmp/x.parquet") == "file:///tmp/x.parquet"
     assert normalize_uri("hdfs://nn:8020/x") == "hdfs://nn:8020/x"
     assert normalize_uri("/tmp/x.parquet") == "/tmp/x.parquet"  # scheme-less
+    # Unmapped-but-valid schemes lowercase in the fallback too: a
+    # literal WASB:// or GS:// passes is_object_uri (case-insensitive)
+    # and must land on the lowercase _CONNECTOR_CLASS keys rather than
+    # KeyError past the guard (round-7 advice).
+    assert normalize_uri("WASB://c@a/p") == "wasb://c@a/p"
+    assert normalize_uri("GS://b/x") == "gs://b/x"
+    assert normalize_uri("HDFS://nn:8020/x") == "hdfs://nn:8020/x"
+    from data_ingestion_pimcore_spark.pipeline import _CONNECTOR_CLASS
+    from data_ingestion_pimcore_spark.sources.object_store import is_object_uri
+
+    for uri in ("WASB://c@a/p", "wasbs://c@a/p", "GS://b/x", "S3N://b/x"):
+        norm = normalize_uri(uri)
+        if is_object_uri(norm):
+            assert norm.partition("://")[0].lower() in _CONNECTOR_CLASS
 
 
 def test_s3_scheme_reaches_jvm_reader(spark):
