@@ -177,6 +177,56 @@ HEADLINE = [
 ]
 
 
+_REF_CHUNK = 4000
+
+
+def _ref_loop_blob(sf_dir: str) -> bytes:
+    """The reference's input format for the bench table: ONE JSON array
+    of lineitem records (the reference ingests giant-array JSON files).
+    Building it is untimed setup — the reference is handed this file on
+    disk; the timed loop below starts at the parse, which IS part of
+    the reference's per-request work (ijson streaming; one-shot orjson
+    here is strictly generous to the reference)."""
+    import orjson
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(f"{sf_dir.rstrip('/')}/lineitem.parquet").to_pylist()
+    return orjson.dumps(rows, default=str)
+
+
+def _ref_loop_once(blob: bytes) -> float:
+    """One reference-equivalent parse-inclusive run (BASELINE.md
+    'Measured' table, row 2): single thread, per record byte-measure +
+    chunk accumulate (4000), per chunk canonical sort-keys JSON +
+    sha256, then the consumer contract's re-parse + canonical re-dump +
+    re-hash (CV2/CV3 — the same validation the engine's in-process
+    sink performs). Returns records/sec. Running it INSIDE every bench
+    session makes the 2× bar ratio noise-immune: numerator and
+    denominator see the same co-tenant load (round-6 verdict item 2 —
+    cross-session ratios on this ±40% container were unfalsifiable)."""
+    import hashlib
+
+    import orjson
+
+    t0 = time.time()
+    records = orjson.loads(blob)  # parse-inclusive input read
+    n = len(records)
+    for i in range(0, n, _REF_CHUNK):
+        chunk = records[i : i + _REF_CHUNK]
+        for r in chunk:  # per-record byte measure (reference C2)
+            len(orjson.dumps(r, default=str))
+        body = orjson.dumps(chunk, option=orjson.OPT_SORT_KEYS, default=str)
+        digest = hashlib.sha256(body).hexdigest()
+        # consumer side: re-parse + canonical re-dump + checksum verify
+        re_digest = hashlib.sha256(
+            orjson.dumps(
+                orjson.loads(body), option=orjson.OPT_SORT_KEYS, default=str
+            )
+        ).hexdigest()
+        assert re_digest == digest
+    return n / (time.time() - t0)
+
+
 def bench_ingest_e2e(spark, sf_dir: str) -> tuple[float, float]:
     """lineitem → canonicalize → chunk(4000) → checksum → ACK sink."""
     import tempfile
@@ -216,13 +266,28 @@ def bench_ingest_e2e(spark, sf_dir: str) -> tuple[float, float]:
     # follow-up runs. Single readings on this co-tenant container swing
     # ±40% (BENCH_r05 vs its same-round sweep), so the headline is the
     # MEDIAN of three with the min/max band recorded alongside —
-    # a regression is real only when the bands separate.
+    # a regression is real only when the bands separate. The
+    # reference-equivalent loop runs INTERLEAVED (engine, reference,
+    # engine, reference, ...) so both medians sample the same co-tenant
+    # window and the bar ratio is falsifiable in-session.
+    blob = _ref_loop_blob(sf_dir)
+    _ref_loop_once(blob)  # warm the parser/allocator like the engine's cold run
     cold, _ = run_once()
-    runs = [run_once() for _ in range(3)]
+    # Ref samples BRACKET each engine run (ref, engine, ref): an engine
+    # run takes ~3x a ref run, so a co-tenant burst that hits one engine
+    # run almost always hits its surrounding refs too — the PAIRED
+    # ratio (mean of the bracketing refs / that engine run) cancels the
+    # burst, where two independently-computed medians would not.
+    runs, ref_runs, ratios = [], [_ref_loop_once(blob)], []
+    for _ in range(3):
+        runs.append(run_once())
+        ref_runs.append(_ref_loop_once(blob))
+        eng = runs[-1][1] / runs[-1][0]
+        ratios.append(((ref_runs[-2] + ref_runs[-1]) / 2) / eng)
     total = runs[0][1]
     rps = sorted(r[1] / r[0] for r in runs)
     dt = sorted(r[0] for r in runs)[1]
-    return dt, cold, rps, total
+    return dt, cold, rps, total, sorted(ref_runs), sorted(ratios)
 
 
 _TEN_X_SCRIPT = r"""
@@ -260,8 +325,21 @@ def run_once():
     assert s.status == "COMPLETED", s
     return s.total_records / dt
 
+# In-probe reference loop (bench._ref_loop_once on the 1x blob): the
+# loop's per-record work is size-independent, so measuring it on the
+# 1x input prices the SAME co-tenant window as the 10x engine runs at
+# a tenth of the wall cost — the 10x bar ratio stays in-session.
+import bench as _bench
+blob = _bench._ref_loop_blob({sf_dir!r})
+_bench._ref_loop_once(blob)
 run_once()  # discarded: pays JIT + heap growth, exactly like the sf cold run
-print(json.dumps({{"rps10x_runs": [run_once() for _ in range(3)]}}))
+runs, refs, ratios = [], [_bench._ref_loop_once(blob)], []
+for _ in range(3):
+    runs.append(run_once())
+    refs.append(_bench._ref_loop_once(blob))
+    ratios.append(((refs[-2] + refs[-1]) / 2) / runs[-1])
+print(json.dumps(
+    {{"rps10x_runs": runs, "ref10x_runs": refs, "ratio10x_runs": ratios}}))
 """
 
 
@@ -293,6 +371,7 @@ def bench_ingest_10x(sf_dir: str) -> list[float] | None:
         repo=repo,
         src=f"{sf_dir.rstrip('/')}/lineitem.parquet",
         big_path=f"{big_dir}/li10x.parquet",
+        sf_dir=sf_dir,
     )
     try:
         out = subprocess.run(
@@ -305,8 +384,11 @@ def bench_ingest_10x(sf_dir: str) -> list[float] | None:
         )
         for line in reversed(out.stdout.splitlines()):
             if line.startswith("{"):
-                return sorted(
-                    float(v) for v in json.loads(line)["rps10x_runs"]
+                d = json.loads(line)
+                return (
+                    sorted(float(v) for v in d["rps10x_runs"]),
+                    sorted(float(v) for v in d["ref10x_runs"]),
+                    sorted(float(v) for v in d["ratio10x_runs"]),
                 )
         return None
     except Exception:
@@ -346,7 +428,9 @@ def main() -> None:
     # accumulated JVM state (broadcast blocks, shuffle files, GC debt
     # from dozens of prior queries made it read 3x slower than the same
     # pipeline in a fresh session, even after clearCache + System.gc).
-    ingest_sec, ingest_cold, rps_runs, _ = bench_ingest_e2e(spark, sf_dir)
+    ingest_sec, ingest_cold, rps_runs, _, ref_runs, ratios = bench_ingest_e2e(
+        spark, sf_dir
+    )
     timings["ingest_e2e"] = round(ingest_sec, 3)
     timings["ingest_e2e_cold"] = round(ingest_cold, 3)
     # Median of 3 + min/max band (rps_runs comes back sorted): the
@@ -356,20 +440,44 @@ def main() -> None:
     timings["ingest_records_per_sec"] = round(rps_runs[1], 1)
     timings["ingest_records_per_sec_min"] = round(rps_runs[0], 1)
     timings["ingest_records_per_sec_max"] = round(rps_runs[-1], 1)
+    # In-session bar (round-6 verdict item 2): the reference-equivalent
+    # parse-inclusive loop ran BRACKETING each engine run, and
+    # bar_ratio is the MEDIAN of the three paired ratios — numerator
+    # and denominator of each pair saw the same co-tenant window, so
+    # the ratio is noise-immune where cross-session comparisons (and
+    # even same-session unpaired medians) are not. Bar: ratio < 2.0.
+    mid = len(ref_runs) // 2
+    timings["ref_loop_rps"] = round(ref_runs[mid], 1)
+    timings["ref_loop_rps_min"] = round(ref_runs[0], 1)
+    timings["ref_loop_rps_max"] = round(ref_runs[-1], 1)
+    timings["bar_ratio"] = round(ratios[1], 3)
+    timings["bar_ratio_min"] = round(ratios[0], 3)
+    timings["bar_ratio_max"] = round(ratios[-1], 3)
     print(
         f"# ingest_e2e: {ingest_sec:.2f}s median / {ingest_cold:.2f}s cold "
         f"({rps_runs[1]:,.0f} rec/s median, band "
-        f"[{rps_runs[0]:,.0f}, {rps_runs[-1]:,.0f}])",
+        f"[{rps_runs[0]:,.0f}, {rps_runs[-1]:,.0f}]); ref loop "
+        f"{ref_runs[mid]:,.0f} rec/s → paired bar_ratio "
+        f"{timings['bar_ratio']:.2f} "
+        f"[{ratios[0]:.2f}, {ratios[-1]:.2f}]",
         file=sys.stderr,
     )
     rps10 = bench_ingest_10x(sf_dir)
     if rps10 is not None:
-        timings["ingest_records_per_sec_10x"] = round(rps10[1], 1)
-        timings["ingest_records_per_sec_10x_min"] = round(rps10[0], 1)
-        timings["ingest_records_per_sec_10x_max"] = round(rps10[-1], 1)
+        runs10, ref10, ratio10 = rps10
+        timings["ingest_records_per_sec_10x"] = round(runs10[1], 1)
+        timings["ingest_records_per_sec_10x_min"] = round(runs10[0], 1)
+        timings["ingest_records_per_sec_10x_max"] = round(runs10[-1], 1)
+        timings["ref_loop_rps_10x"] = round(ref10[len(ref10) // 2], 1)
+        timings["bar_ratio_10x"] = round(ratio10[1], 3)
+        timings["bar_ratio_10x_min"] = round(ratio10[0], 3)
+        timings["bar_ratio_10x_max"] = round(ratio10[-1], 3)
         print(
-            f"# ingest_10x: {rps10[1]:,.0f} rec/s median at 10x rows, band "
-            f"[{rps10[0]:,.0f}, {rps10[-1]:,.0f}]",
+            f"# ingest_10x: {runs10[1]:,.0f} rec/s median at 10x rows, band "
+            f"[{runs10[0]:,.0f}, {runs10[-1]:,.0f}]; in-probe ref loop "
+            f"{ref10[len(ref10) // 2]:,.0f} rec/s → paired bar_ratio_10x "
+            f"{timings['bar_ratio_10x']:.2f} "
+            f"[{ratio10[0]:.2f}, {ratio10[-1]:.2f}]",
             file=sys.stderr,
         )
 
@@ -401,6 +509,16 @@ def main() -> None:
         "ingest_records_per_sec_10x_min",
         "ingest_records_per_sec_10x_max",
         "ingest_e2e_cold",
+        "ref_loop_rps",
+        "ref_loop_rps_min",
+        "ref_loop_rps_max",
+        "ref_loop_rps_10x",
+        "bar_ratio",
+        "bar_ratio_min",
+        "bar_ratio_max",
+        "bar_ratio_10x",
+        "bar_ratio_10x_min",
+        "bar_ratio_10x_max",
     )
     total = round(
         sum(v for k, v in timings.items() if k not in _NON_TIMING), 3
@@ -453,6 +571,14 @@ def main() -> None:
         "ingest_records_per_sec_10x",
         "ingest_records_per_sec_10x_min",
         "ingest_records_per_sec_10x_max",
+        "ref_loop_rps",
+        "ref_loop_rps_10x",
+        "bar_ratio",
+        "bar_ratio_min",
+        "bar_ratio_max",
+        "bar_ratio_10x",
+        "bar_ratio_10x_min",
+        "bar_ratio_10x_max",
     ):
         if extra in timings:
             compact_q[extra] = timings[extra]

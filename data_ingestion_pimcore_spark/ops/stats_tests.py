@@ -1142,14 +1142,25 @@ lagged AS (
   FROM series
 ),
 agg AS (
+  -- dev*dev products widen to HUGEINT before multiplying (Spark side:
+  -- decimal(19,0) operands -> decimal(38,0) product): dev ~ n*c_max,
+  -- so the int64 product wraps once hours^3 * c_max^2 > 2^63 —
+  -- ~SF150 on the 30-day test span, and lower on longer spans
+  -- (round-7 scale-width audit).
   SELECT event_type,
-         SUM(CASE WHEN d1 IS NULL THEN 0 ELSE dev * d1 END) AS num1,
-         SUM(CASE WHEN d2 IS NULL THEN 0 ELSE dev * d2 END) AS num2,
-         SUM(CASE WHEN d3 IS NULL THEN 0 ELSE dev * d3 END) AS num3,
-         SUM(CASE WHEN d4 IS NULL THEN 0 ELSE dev * d4 END) AS num4,
-         SUM(CASE WHEN d5 IS NULL THEN 0 ELSE dev * d5 END) AS num5,
-         SUM(CASE WHEN d6 IS NULL THEN 0 ELSE dev * d6 END) AS num6,
-         SUM(dev * dev) AS den
+         SUM(CASE WHEN d1 IS NULL THEN 0
+             ELSE CAST(dev AS HUGEINT) * d1 END) AS num1,
+         SUM(CASE WHEN d2 IS NULL THEN 0
+             ELSE CAST(dev AS HUGEINT) * d2 END) AS num2,
+         SUM(CASE WHEN d3 IS NULL THEN 0
+             ELSE CAST(dev AS HUGEINT) * d3 END) AS num3,
+         SUM(CASE WHEN d4 IS NULL THEN 0
+             ELSE CAST(dev AS HUGEINT) * d4 END) AS num4,
+         SUM(CASE WHEN d5 IS NULL THEN 0
+             ELSE CAST(dev AS HUGEINT) * d5 END) AS num5,
+         SUM(CASE WHEN d6 IS NULL THEN 0
+             ELSE CAST(dev AS HUGEINT) * d6 END) AS num6,
+         SUM(CAST(dev AS HUGEINT) * dev) AS den
   FROM lagged GROUP BY event_type
 )
 SELECT event_type, CAST(1 AS INTEGER) AS lag,
@@ -1208,16 +1219,24 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dev",
         *[F.lag("dev", k).over(wo).alias(f"d{k}") for k in lags],
     )
+    # Scale-width (round-7 audit): dev ~ n*c_max, so an int64 dev*dev
+    # wraps once hours^3 * c_max^2 > 2^63 — ~SF150 at the fixed 30-day
+    # span and lower on longer spans. Widen the OPERANDS to
+    # decimal(19,0) so the product is an exact decimal(38,0), matching
+    # the oracle's HUGEINT products; dev itself stays comfortably in
+    # int64 (bound: hours * c_max < 2^63).
+    d19 = "decimal(19,0)"
+    zero38 = F.lit(0).cast("decimal(38,0)")
     agg = lagged.groupBy("event_type").agg(
         *[
             F.sum(
-                F.when(F.col(f"d{k}").isNull(), 0).otherwise(
-                    F.col("dev") * F.col(f"d{k}")
+                F.when(F.col(f"d{k}").isNull(), zero38).otherwise(
+                    F.col("dev").cast(d19) * F.col(f"d{k}").cast(d19)
                 )
             ).alias(f"num{k}")
             for k in lags
         ],
-        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+        F.sum(F.col("dev").cast(d19) * F.col("dev").cast(d19)).alias("den"),
     )
     pairs = F.array(
         *[
