@@ -1589,7 +1589,11 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n"),
         F.sum(cents.cast(dec)).alias("s1"),
-        F.sum((cents * cents).cast(dec)).alias("s2"),
+        # Widen operands BEFORE multiplying (round-7 audit, same fix as
+        # gini): the int64 per-row square is price-domain-bounded here
+        # (wraps only past |cents| ~ 3e9, a $30M order), but the
+        # decimal product removes the bound outright.
+        F.sum(cents.cast(dec) * cents.cast(dec)).alias("s2"),
     )
     w = g.agg(
         F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n1"),
