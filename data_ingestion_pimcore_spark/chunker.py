@@ -211,9 +211,19 @@ def _sampled_boundaries(
         return _BOUNDARY_CACHE[ck]
     k = _SAMPLE_PER_RANGE * num_ranges
     hash_col = F.xxhash64(F.lit(_SEED), *[F.col(c) for c in order_cols])
+    # None-safe sort (nulls FIRST, matching Spark's ascending null
+    # order): a null in any sampled order key used to TypeError the
+    # plain tuple sort — found by the round-7 pid-parity test, a real
+    # crash for any nullable order column big enough to sample.
     sample = sorted(
-        tuple(r)
-        for r in df.select(*order_cols).orderBy(hash_col, *order_cols).limit(k).collect()
+        (
+            tuple(r)
+            for r in df.select(*order_cols)
+            .orderBy(hash_col, *order_cols)
+            .limit(k)
+            .collect()
+        ),
+        key=lambda t: tuple((v is not None, v) for v in t),
     )
     if not sample:
         uniq: list[tuple] = []

