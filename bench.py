@@ -246,7 +246,7 @@ def bench_ingest_e2e(spark, sf_dir: str) -> tuple[float, float]:
     )
     def run_once() -> tuple[float, int]:
         state = IngestionStateStore(tempfile.mktemp(suffix=".parquet"))
-        validator = ChunkValidator()
+        validator = ChunkValidator(retain_records=False)
         t0 = time.time()
         summary = ingest(spark, req, li, state, validator)
         dt = time.time() - t0
@@ -320,7 +320,7 @@ req = IngestRequest(
 def run_once():
     state = IngestionStateStore(tempfile.mktemp(suffix=".parquet"))
     t0 = time.time()
-    s = ingest(spark, req, big, state, ChunkValidator())
+    s = ingest(spark, req, big, state, ChunkValidator(retain_records=False))
     dt = time.time() - t0
     assert s.status == "COMPLETED", s
     return s.total_records / dt

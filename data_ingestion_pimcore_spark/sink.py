@@ -68,6 +68,14 @@ class ChunkValidator:
     completed: list[str] = field(default_factory=list)
     # Test hook: chunk numbers to NACK once (fake_pim_core.py reject_chunk).
     reject_once: set[int] = field(default_factory=set)
+    # Test-bookkeeping switch: retaining every parsed record lets tests
+    # assert on delivered content, but a real consumer processes and
+    # releases — benches disable retention so the engine's consumer
+    # does the same (contract) work as the reference-equivalent loop's,
+    # without paying GC for gigabytes of held dicts the reference
+    # consumer wouldn't hold either. Validation (CV1–CV5) is identical
+    # either way.
+    retain_records: bool = True
 
     def __call__(self, payload: dict) -> AckResponse:
         iid = payload["ingestion_id"]
@@ -99,7 +107,8 @@ class ChunkValidator:
         self.processed_chunks.add(payload["chunk_id"])
         self.last_chunk[iid] = n
         self.received_chunks.append(n)
-        self.received_records.append(records)
+        if self.retain_records:
+            self.received_records.append(records)
         self.total_records[iid] = self.total_records.get(iid, 0) + len(records)
         return AckResponse(True, iid, n)
 
