@@ -320,3 +320,55 @@ def test_pid_sql_matches_column_tree_on_hostile_keys(spark):
     a = {tuple(r[:-1]): r[-1] for r in with_sql.select(*key, "__pid").collect()}
     b = {tuple(r[:-1]): r[-1] for r in with_tree.select(*key, "__pid").collect()}
     assert a == b
+
+
+def test_sql_literal_round_trips_hostile_values(spark):
+    """chunker._sql_literal must render every supported boundary type
+    as a SQL literal that evaluates EXACTLY equal to F.lit(v).cast(t) —
+    shortest-repr doubles (subnormals, ±0.0, ±inf, NaN), strings with
+    quotes/backslashes/newlines/unicode, decimals, dates, timestamps,
+    and NULLs of each type."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_ingestion_pimcore_spark.chunker import _sql_literal
+
+    cases = [
+        (T.DoubleType(), 0.0), (T.DoubleType(), -0.0),
+        (T.DoubleType(), 5e-324), (T.DoubleType(), -5e-324),
+        (T.DoubleType(), 1.7976931348623157e308),
+        (T.DoubleType(), -1.1), (T.DoubleType(), 3.141592653589793),
+        (T.DoubleType(), 1e16 + 2.0),
+        (T.DoubleType(), float("inf")), (T.DoubleType(), float("-inf")),
+        (T.DoubleType(), float("nan")),
+        (T.FloatType(), -2.5),
+        (T.LongType(), -(2**62)), (T.IntegerType(), -1),
+        (T.BooleanType(), True), (T.BooleanType(), False),
+        (T.StringType(), "it's"), (T.StringType(), "back\\slash"),
+        (T.StringType(), 'd"q'), (T.StringType(), "new\nline"),
+        (T.StringType(), "tab\tand\runi 中 é"), (T.StringType(), ""),
+        (T.StringType(), "mix'\\'\\n"),
+        (T.DecimalType(18, 6), Decimal("-12345.678901")),
+        (T.DecimalType(5, 0), Decimal("99999")),
+        (T.DateType(), datetime.date(1999, 12, 31)),
+        (T.TimestampType(), datetime.datetime(2024, 2, 29, 23, 59, 59, 999999)),
+        (T.DoubleType(), None), (T.StringType(), None),
+        (T.DateType(), None), (T.LongType(), None),
+    ]
+    checks = []
+    for i, (dt, v) in enumerate(cases):
+        rendered = F.expr(_sql_literal(v, dt))
+        expected = F.lit(v).cast(dt)
+        eq = (
+            rendered.eqNullSafe(expected)
+            | (F.isnan(rendered) & F.isnan(expected))
+            if isinstance(dt, (T.DoubleType, T.FloatType))
+            else rendered.eqNullSafe(expected)
+        )
+        checks.append(eq.alias(f"c{i}"))
+    (row,) = spark.range(1).select(*checks).collect()
+    bad = [cases[i] for i in range(len(cases)) if not row[f"c{i}"]]
+    assert not bad, bad
