@@ -227,8 +227,12 @@ def _ref_loop_once(blob: bytes) -> float:
     return n / (time.time() - t0)
 
 
-def bench_ingest_e2e(spark, sf_dir: str) -> tuple[float, float]:
-    """lineitem → canonicalize → chunk(4000) → checksum → ACK sink."""
+def bench_ingest_e2e(
+    spark, sf_dir: str
+) -> tuple[float, float, list[float], int, list[float], list[float]]:
+    """lineitem → canonicalize → chunk(4000) → checksum → ACK sink.
+    Returns (median_sec, cold_sec, sorted engine rec/s runs,
+    total_records, sorted ref-loop rec/s runs, sorted paired ratios)."""
     import tempfile
 
     from data_ingestion_pimcore_spark.config import IngestRequest
@@ -343,7 +347,9 @@ print(json.dumps(
 """
 
 
-def bench_ingest_10x(sf_dir: str) -> list[float] | None:
+def bench_ingest_10x(
+    sf_dir: str,
+) -> tuple[list[float], list[float], list[float]] | None:
     """Scale check: the same pipeline at 10× the bench rows (distinct
     keys per replica). Fixed costs (sampling, job launch, drain-job
     scheduling, first-batch latency) amortize with size, so steady-
@@ -446,8 +452,12 @@ def main() -> None:
     # and denominator of each pair saw the same co-tenant window, so
     # the ratio is noise-immune where cross-session comparisons (and
     # even same-session unpaired medians) are not. Bar: ratio < 2.0.
-    mid = len(ref_runs) // 2
-    timings["ref_loop_rps"] = round(ref_runs[mid], 1)
+    import statistics
+
+    # ref_runs holds FOUR sorted samples (initial bracket + one per
+    # engine run) — statistics.median averages the middle two instead
+    # of picking the upper-middle element (which biased high).
+    timings["ref_loop_rps"] = round(statistics.median(ref_runs), 1)
     timings["ref_loop_rps_min"] = round(ref_runs[0], 1)
     timings["ref_loop_rps_max"] = round(ref_runs[-1], 1)
     timings["bar_ratio"] = round(ratios[1], 3)
@@ -457,7 +467,7 @@ def main() -> None:
         f"# ingest_e2e: {ingest_sec:.2f}s median / {ingest_cold:.2f}s cold "
         f"({rps_runs[1]:,.0f} rec/s median, band "
         f"[{rps_runs[0]:,.0f}, {rps_runs[-1]:,.0f}]); ref loop "
-        f"{ref_runs[mid]:,.0f} rec/s → paired bar_ratio "
+        f"{timings['ref_loop_rps']:,.0f} rec/s → paired bar_ratio "
         f"{timings['bar_ratio']:.2f} "
         f"[{ratios[0]:.2f}, {ratios[-1]:.2f}]",
         file=sys.stderr,
@@ -468,14 +478,14 @@ def main() -> None:
         timings["ingest_records_per_sec_10x"] = round(runs10[1], 1)
         timings["ingest_records_per_sec_10x_min"] = round(runs10[0], 1)
         timings["ingest_records_per_sec_10x_max"] = round(runs10[-1], 1)
-        timings["ref_loop_rps_10x"] = round(ref10[len(ref10) // 2], 1)
+        timings["ref_loop_rps_10x"] = round(statistics.median(ref10), 1)
         timings["bar_ratio_10x"] = round(ratio10[1], 3)
         timings["bar_ratio_10x_min"] = round(ratio10[0], 3)
         timings["bar_ratio_10x_max"] = round(ratio10[-1], 3)
         print(
             f"# ingest_10x: {runs10[1]:,.0f} rec/s median at 10x rows, band "
             f"[{runs10[0]:,.0f}, {runs10[-1]:,.0f}]; in-probe ref loop "
-            f"{ref10[len(ref10) // 2]:,.0f} rec/s → paired bar_ratio_10x "
+            f"{timings['ref_loop_rps_10x']:,.0f} rec/s → paired bar_ratio_10x "
             f"{timings['bar_ratio_10x']:.2f} "
             f"[{ratio10[0]:.2f}, {ratio10[-1]:.2f}]",
             file=sys.stderr,

@@ -112,9 +112,14 @@ def _sql_literal(v, dt) -> str:
     if isinstance(dt, T.DateType):
         return f"DATE '{v}'"
     if isinstance(dt, T.TimestampType):
-        return f"TIMESTAMP '{v}'"
+        # NOT a TIMESTAMP '...' string: that parses in the SESSION
+        # timezone while F.lit(datetime) converts via PySpark's
+        # toInternal (system timezone) — the two diverge on any driver
+        # whose system TZ differs from spark.sql.session.timeZone.
+        # Rendering the exact internal micros is parity-by-construction.
+        return f"timestamp_micros({T.TimestampType().toInternal(v)})"
     if isinstance(dt, T.TimestampNTZType):
-        return f"TIMESTAMP_NTZ '{v}'"
+        return f"TIMESTAMP_NTZ '{v}'"  # tz-free on both paths
     raise _Unrenderable(s)
 
 
@@ -127,9 +132,15 @@ def _pid_sql(df: DataFrame, order_cols: list[str], uniq: list[tuple]) -> str:
     def ident(c: str) -> str:
         return "`" + c.replace("`", "``") + "`"
 
+    def fname(c: str) -> str:
+        # named_struct field names are STRING LITERALS — escape them
+        # like string values or a quote/backslash in a column name
+        # breaks the parse (hostile JSON keys are in scope).
+        return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     key = (
         "named_struct("
-        + ", ".join(f"'{c}', {ident(c)}" for c in order_cols)
+        + ", ".join(f"{fname(c)}, {ident(c)}" for c in order_cols)
         + ")"
     )
 
@@ -137,7 +148,7 @@ def _pid_sql(df: DataFrame, order_cols: list[str], uniq: list[tuple]) -> str:
         return (
             "named_struct("
             + ", ".join(
-                f"'{c}', {_sql_literal(v, df.schema[c].dataType)}"
+                f"{fname(c)}, {_sql_literal(v, df.schema[c].dataType)}"
                 for c, v in zip(order_cols, values)
             )
             + ")"
@@ -211,10 +222,22 @@ def _sampled_boundaries(
         return _BOUNDARY_CACHE[ck]
     k = _SAMPLE_PER_RANGE * num_ranges
     hash_col = F.xxhash64(F.lit(_SEED), *[F.col(c) for c in order_cols])
-    # None-safe sort (nulls FIRST, matching Spark's ascending null
-    # order): a null in any sampled order key used to TypeError the
-    # plain tuple sort — found by the round-7 pid-parity test, a real
-    # crash for any nullable order column big enough to sample.
+    # None/NaN-safe sort matching Spark's ascending total order (nulls
+    # FIRST, NaN GREATEST): a null in any sampled order key used to
+    # TypeError the plain tuple sort, and a NaN key made sorted()
+    # non-total (Python NaN comparisons are all-False), yielding
+    # NON-MONOTONE boundaries — pids then stop following the total
+    # order and global row numbers break, not just balance. Both found
+    # by the round-7 pid-parity review. Spark comparisons treat
+    # NaN = NaN and NaN > everything, so the CASE tree routes NaN
+    # boundaries consistently once the sample is sorted the same way.
+    def _key(t: tuple):
+        out = []
+        for v in t:
+            isnan = isinstance(v, float) and v != v
+            out.append((v is not None, isnan, 0 if isnan else v))
+        return tuple(out)
+
     sample = sorted(
         (
             tuple(r)
@@ -223,7 +246,7 @@ def _sampled_boundaries(
             .limit(k)
             .collect()
         ),
-        key=lambda t: tuple((v is not None, v) for v in t),
+        key=_key,
     )
     if not sample:
         uniq: list[tuple] = []
@@ -295,11 +318,16 @@ def _deterministic_pid(
     # row), rendered as ONE SQL string when every boundary value has a
     # safe literal form — a single py4j call instead of ~5.5k Column
     # round-trips (~0.9 s driver overhead per ingest at 32 ranges).
+    # Any rendering OR parse failure (exotic type, odd column name)
+    # falls back to the semantically identical Column tree below —
+    # the fast path must never be the reason an ingest fails.
     try:
         return df.withColumn(
             _PID, F.expr(_pid_sql(df, order_cols, uniq))
         ), len(uniq) + 1
     except _Unrenderable:
+        pass
+    except Exception:  # ParseException/AnalysisException from F.expr
         pass
 
     key = _key_struct(df, order_cols)

@@ -294,7 +294,9 @@ def test_pid_sql_matches_column_tree_on_hostile_keys(spark):
             (
                 strings[i % len(strings)],
                 i - 200,
-                (i - 200) * 1.5,
+                # every 17th double is NaN: the boundary sample sort
+                # must stay a TOTAL order (NaN greatest, like Spark)
+                float("nan") if i % 17 == 0 else (i - 200) * 1.5,
                 base + datetime.timedelta(minutes=i),
             )
         )
@@ -303,8 +305,14 @@ def test_pid_sql_matches_column_tree_on_hostile_keys(spark):
     )
     order_cols = ["k_str", "k_int", "k_dbl", "k_ts"]
 
+    # The SQL fast path must actually be in play for these types — a
+    # silent fallback would make the parity check compare the Column
+    # tree against itself (vacuous).
+    boundaries = chunker._sampled_boundaries(df, order_cols, 8)
+    sql = chunker._pid_sql(df, order_cols, boundaries)
+    assert "CASE WHEN" in sql and "named_struct" in sql
+
     with_sql, n1 = chunker._deterministic_pid(df, order_cols, 8)
-    assert "CASE WHEN" in with_sql.schema.simpleString() or True  # plan built
 
     real = chunker._pid_sql
     try:
@@ -317,8 +325,15 @@ def test_pid_sql_matches_column_tree_on_hostile_keys(spark):
 
     assert n1 == n2
     key = [F.col(c) for c in order_cols]
-    a = {tuple(r[:-1]): r[-1] for r in with_sql.select(*key, "__pid").collect()}
-    b = {tuple(r[:-1]): r[-1] for r in with_tree.select(*key, "__pid").collect()}
+
+    def keyof(r):
+        # NaN != NaN would make dict comparison fail on matching rows
+        return tuple(
+            "NaN" if isinstance(v, float) and v != v else v for v in r[:-1]
+        )
+
+    a = {keyof(r): r[-1] for r in with_sql.select(*key, "__pid").collect()}
+    b = {keyof(r): r[-1] for r in with_tree.select(*key, "__pid").collect()}
     assert a == b
 
 
