@@ -49,6 +49,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+try:  # pyspark>=3.4 structured errors
+    from pyspark.errors import AnalysisException, ParseException
+
+    _SQL_RENDER_ERRORS: tuple = (ParseException, AnalysisException)
+except ImportError:  # pragma: no cover - older pyspark
+    from pyspark.sql.utils import AnalysisException, ParseException
+
+    _SQL_RENDER_ERRORS = (ParseException, AnalysisException)
+
 _PID = "__pid"
 _RN = "__rn"
 _LOCAL_CHUNK = "__local_chunk"
@@ -56,6 +65,12 @@ CHUNK_COL = "chunk_number"
 
 _SAMPLE_PER_RANGE = 200
 _SEED = 42
+
+# Test-introspection only: which pid path the last _deterministic_pid
+# call took ("sql" fast path vs "tree" Column fallback). The parity
+# test asserts "sql" so a silently-swallowed fast-path failure can't
+# make it compare the fallback against itself.
+_LAST_PID_PATH: str | None = None
 
 
 def _key_struct(df: DataFrame, order_cols: list[str]) -> Column:
@@ -253,10 +268,14 @@ def _sampled_boundaries(
     else:
         step = max(1, len(sample) // num_ranges)
         boundaries = sample[step::step][: num_ranges - 1]
-        # Dedup equal boundary tuples (heavy skew) — equal keys stay together.
+        # Dedup equal boundary tuples (heavy skew) — equal keys stay
+        # together. Compare via the NaN-aware sort key: raw tuple
+        # equality treats NaN != NaN, so duplicate NaN boundaries would
+        # survive (one empty range — balance-only, but inconsistent
+        # with the total order established above).
         uniq = []
         for b in boundaries:
-            if not uniq or b != uniq[-1]:
+            if not uniq or _key(b) != _key(uniq[-1]):
                 uniq.append(b)
     if ck is not None:
         if len(_BOUNDARY_CACHE) >= _BOUNDARY_CACHE_MAX:
@@ -321,14 +340,18 @@ def _deterministic_pid(
     # Any rendering OR parse failure (exotic type, odd column name)
     # falls back to the semantically identical Column tree below —
     # the fast path must never be the reason an ingest fails.
+    # Only rendering (_Unrenderable) and SQL analysis/parse errors fall
+    # back — a broad `except Exception` would mask genuine infra errors
+    # (py4j connection loss) and, under Spark Connect's deferred
+    # analysis, let an invalid expression pass withColumn un-analyzed
+    # and fail at execution instead of here.
+    global _LAST_PID_PATH
     try:
-        return df.withColumn(
-            _PID, F.expr(_pid_sql(df, order_cols, uniq))
-        ), len(uniq) + 1
-    except _Unrenderable:
-        pass
-    except Exception:  # ParseException/AnalysisException from F.expr
-        pass
+        out = df.withColumn(_PID, F.expr(_pid_sql(df, order_cols, uniq)))
+        _LAST_PID_PATH = "sql"
+        return out, len(uniq) + 1
+    except (_Unrenderable, *_SQL_RENDER_ERRORS):
+        _LAST_PID_PATH = "tree"
 
     key = _key_struct(df, order_cols)
 

@@ -639,7 +639,7 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(F.count(F.lit(1)).alias("n_events"))
     )
     return (
-        spine.crossJoin(types)
+        spine.crossJoin(F.broadcast(types))
         .join(actual, ["bucket_hour", "event_type"], "left")
         .select(
             "bucket_hour",
@@ -828,7 +828,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.count("value")).alias("avg_value")
     )
     dense = (
-        spine.crossJoin(types)
+        spine.crossJoin(F.broadcast(types))
         .join(actual, ["bucket_hour", "event_type"], "left")
         .withColumn("ep", F.unix_timestamp("bucket_hour"))
     )

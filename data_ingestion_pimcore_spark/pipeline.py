@@ -485,8 +485,6 @@ class IngestSummary:
 _RESUME_RN = "__resume_rn"
 
 
-
-
 def _chunked(
     df: DataFrame,
     request: IngestRequest,

@@ -313,6 +313,10 @@ def test_pid_sql_matches_column_tree_on_hostile_keys(spark):
     assert "CASE WHEN" in sql and "named_struct" in sql
 
     with_sql, n1 = chunker._deterministic_pid(df, order_cols, 8)
+    # ...and _deterministic_pid itself must have TAKEN the fast path —
+    # if F.expr/withColumn threw and it silently fell back, the parity
+    # check below would compare the Column tree against itself.
+    assert chunker._LAST_PID_PATH == "sql"
 
     real = chunker._pid_sql
     try:
@@ -320,6 +324,7 @@ def test_pid_sql_matches_column_tree_on_hostile_keys(spark):
             chunker._Unrenderable("forced")
         )
         with_tree, n2 = chunker._deterministic_pid(df, order_cols, 8)
+        assert chunker._LAST_PID_PATH == "tree"
     finally:
         chunker._pid_sql = real
 

@@ -1435,6 +1435,14 @@ def test_one_row_cross_joins_pin_bnlj_under_aqe_off(spark):
         assert fanout, "no captured checkpoint plan carries the pinned BNLJ"
         for p in fanout:
             assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+        # Round-8: the two spine×types crossJoin sites (ts_gap_fill,
+        # ts_interpolate_linear) got the same F.broadcast pin — the
+        # tiny distinct-event-type side must BNLJ under AQE-off too.
+        for name in ("ts_gap_fill", "ts_interpolate_linear"):
+            tree = tree_of(spark, name)
+            assert "BroadcastNestedLoopJoin" in tree, (name, tree)
+            assert "CartesianProduct" not in tree, name
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", keep)
 
