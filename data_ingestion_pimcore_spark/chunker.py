@@ -379,6 +379,99 @@ def _offsets_df(counts: list[tuple[int, int]], spark, value_col: str) -> DataFra
     return spark.createDataFrame(rows or [(0, 0)], schema)
 
 
+# --- deterministic ascending drain layout (sampling-free) -----------------
+#
+# ``repartitionByRange`` gives ascending physical partitions, but its
+# RangePartitioner SAMPLES the child to pick boundaries — and when the
+# child is the fused canonicalize stage, that sampling job RE-EXECUTES
+# the whole expensive upstream once just to look at chunk numbers
+# (round-8 stage profile: the discarded sampling pass cost MORE CPU
+# than the real one). Chunk numbers are dense ``[0, n_chunks)``, so the
+# target partition is a closed formula ``chunk div chunks_per_part`` —
+# no sampling needed. Spark's DataFrame API has no direct "partition
+# index = expression" exchange, but HashPartitioning(col, n) places a
+# row at ``pmod(murmur3(col), n)``; mapping bucket ``p`` to a
+# precomputed SENTINEL long whose murmur3 lands exactly on ``p`` makes
+# the hash exchange an identity placement: partition index == bucket,
+# ascending by construction, zero extra jobs. Murmur3 parity with
+# F.hash and physical placement are pinned by tests/test_chunker.py.
+
+_M32 = 0xFFFFFFFF
+
+
+def _murmur3_hash_long(v: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashLong (the HashPartitioning hash for a
+    single LongType expression, seed 42) — two 4-byte mixes + fmix."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & _M32
+
+    def mix_k1(k1: int) -> int:
+        k1 = (k1 * 0xCC9E2D51) & _M32
+        return (rotl(k1, 15) * 0x1B873593) & _M32
+
+    def mix_h1(h1: int, k1: int) -> int:
+        h1 ^= k1
+        return (rotl(h1, 13) * 5 + 0xE6546B64) & _M32
+
+    v &= (1 << 64) - 1
+    h1 = mix_h1(seed & _M32, mix_k1(v & _M32))
+    h1 = mix_h1(h1, mix_k1(v >> 32))
+    h1 ^= 8  # fmix(length in bytes)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+_SENTINEL_CACHE: dict[int, list[int]] = {}
+
+
+def _partition_sentinels(n_parts: int) -> list[int]:
+    """sentinels[p] = smallest unused x ≥ 0 with pmod(murmur3(x), n) == p.
+    Deterministic; O(n²) trivial search (n ≤ 256 in the drain layout)."""
+    out = _SENTINEL_CACHE.get(n_parts)
+    if out is None:
+        out, x = [], 0
+        for p in range(n_parts):
+            while _murmur3_hash_long(x) % n_parts != p:
+                x += 1
+            out.append(x)
+            x += 1
+        _SENTINEL_CACHE[n_parts] = out
+    return out
+
+
+def ascending_chunk_layout(
+    df: DataFrame,
+    n_chunks: int,
+    n_parts: int,
+    sort_cols: tuple[str, ...] = (CHUNK_COL,),
+) -> DataFrame:
+    """Exchange payload rows into ``n_parts`` physical partitions that
+    ascend in ``chunk_number`` (partition p holds chunks
+    ``[p·cpp, (p+1)·cpp)``), sorted within each — the layout the
+    sequential ordered drain consumes via ``toLocalIterator``. Unlike
+    ``repartitionByRange`` this adds NO sampling pass over the (
+    expensive) child, and unlike ``coalesce`` it can never merge
+    non-consecutive partitions under AQE. ``n_chunks`` may be an upper
+    bound; higher chunk numbers clamp into the last partition (resume
+    filters only ever REMOVE chunks, which keeps the ascent)."""
+    if n_parts <= 1:
+        return df.repartition(1).sortWithinPartitions(*sort_cols)
+    cpp = -(-max(n_chunks, 1) // n_parts)
+    sentinels = ",".join(f"{x}L" for x in _partition_sentinels(n_parts))
+    bucket = (
+        f"element_at(array({sentinels}), "
+        f"cast(least({CHUNK_COL} div {cpp}, {n_parts - 1}) as int) + 1)"
+    )
+    return df.repartition(n_parts, F.expr(bucket)).sortWithinPartitions(
+        *sort_cols
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],

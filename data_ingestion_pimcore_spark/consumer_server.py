@@ -1,0 +1,110 @@
+"""Standalone HTTP consumer process — the reference deployment twin.
+
+The reference producer POSTs each chunk to an EXTERNAL consumer service
+(Pimcore; mocked by
+`tests/pim_core_mock_test/pim_core_mock_test.py:25-96`) and waits for
+the business-level ACK. The consumer's CV1–CV5 validation work
+therefore runs in the consumer's own process, not the producer's — the
+producer pays only the POST round-trip per chunk. Running N ingestions
+against N consumer processes is the reference's parallel unit
+(`app/controllers/ingestion_controllers.py:47-51`: one background task
+per request), and is what the concurrent-ingestion bench measures.
+
+This module wraps :class:`~.sink.ChunkValidator` (the in-process
+contract double) in a stdlib HTTP server:
+
+* ``POST /callback`` — one chunk (or completion event) per request;
+  body is the producer's JSON payload with ``records`` spliced in by
+  :class:`~.sink.HttpTransport`. Responds ``{ack, ingestion_id,
+  chunk_number, error}`` with HTTP 200 even on NACK (the ack FIELD is
+  the success signal — reference README:345-362).
+* ``GET /stats`` — consumer-side accounting for tests/benches:
+  ``{chunks_acked, records_acked, completed}``.
+
+Run standalone (binds 127.0.0.1, ephemeral port, prints ``PORT <n>``):
+
+    python -m data_ingestion_pimcore_spark.consumer_server
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+from .sink import ChunkValidator
+
+try:  # reference consumer parses with orjson (DataIntegrityManager)
+    from orjson import loads as _loads
+except ImportError:  # pragma: no cover - orjson present in this env
+    _loads = json.loads
+
+
+class ConsumerHandler(BaseHTTPRequestHandler):
+    """One validator per server: a consumer service instance."""
+
+    validator: ChunkValidator
+    chunks_acked = 0
+    records_acked = 0
+
+    def do_POST(self):  # noqa: N802 (stdlib casing)
+        body = _loads(self.rfile.read(int(self.headers["Content-Length"])))
+        resp = type(self).validator(body)
+        if resp.ack and body.get("status") != "COMPLETED":
+            type(self).chunks_acked += 1
+            type(self).records_acked += len(body.get("records") or ())
+        self._reply(
+            {
+                "ack": resp.ack,
+                "ingestion_id": resp.ingestion_id,
+                "chunk_number": resp.chunk_number,
+                "error": resp.error,
+            }
+        )
+
+    def do_GET(self):  # noqa: N802
+        v = type(self).validator
+        self._reply(
+            {
+                "chunks_acked": type(self).chunks_acked,
+                "records_acked": type(self).records_acked,
+                "completed": list(v.completed),
+            }
+        )
+
+    def _reply(self, obj: dict) -> None:
+        out = json.dumps(obj).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+def make_server(port: int = 0) -> HTTPServer:
+    """Build a single-threaded consumer server (the drain is sequential
+    per contract CV2, so one in-flight request per consumer is the
+    wire's own shape). Fresh handler subclass per server → independent
+    validator state per consumer instance."""
+    handler = type(
+        "Consumer",
+        (ConsumerHandler,),
+        {"validator": ChunkValidator(retain_records=False)},
+    )
+    return HTTPServer(("127.0.0.1", port), handler)
+
+
+def main() -> None:
+    srv = make_server()
+    print(f"PORT {srv.server_port}", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:  # pragma: no cover
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .chunker import CHUNK_COL, assign_chunks_by_bytes, assign_chunks_by_count
+from .chunker import (
+    CHUNK_COL,
+    ascending_chunk_layout,
+    assign_chunks_by_bytes,
+    assign_chunks_by_count,
+)
 from .config import IngestRequest
 from .integrity import (
     build_chunk_id,
@@ -243,16 +248,21 @@ def _chunk_payloads_fused(
 
     local = pending.mapInPandas(run, schema=out_schema)
 
-    # Drain layout doubles as the fragment co-locator: range partitions
-    # by chunk give the ascending order the sequential emit requires
-    # AND put a chunk's fragments side by side; the (rare) fragment
-    # rows are merged on the driver inside deliver_payloads, so
-    # complete payloads never re-enter Python after serialization. (An
+    # Drain layout doubles as the fragment co-locator: ascending chunk
+    # partitions give the order the sequential emit requires AND put a
+    # chunk's fragments side by side; the (rare) fragment rows are
+    # merged on the driver inside deliver_payloads, so complete
+    # payloads never re-enter Python after serialization. (An
     # executor-side merge stage was measured ~10% slower end-to-end —
     # it Arrow-round-trips every payload byte once more; a where/union
-    # split would recompute the serialize pass per branch.)
-    return local.repartitionByRange(n_parts, F.col(CHUNK_COL)).sortWithinPartitions(
-        CHUNK_COL, "first_rn"
+    # split would recompute the serialize pass per branch.) The layout
+    # is the closed-formula sentinel exchange, NOT repartitionByRange:
+    # RangePartitioner's sampling pass re-executed this entire fused
+    # stage once per ingest just to read chunk numbers (round-8 stage
+    # profile — the discarded pass cost more CPU than the kept one).
+    n_chunks = -(-n_rows // chunk_size)
+    return ascending_chunk_layout(
+        local, n_chunks, n_parts, sort_cols=(CHUNK_COL, "first_rn")
     )
 
 
@@ -586,12 +596,15 @@ def ingest(
     # over-splitting the (few, large) payload rows pays per-job
     # scheduling overhead — a default orderBy spread 150 chunks over 17
     # partitions and the drain jobs cost more than the drain itself
-    # (~2.5 s at sf0.1). Explicit ascending range partitions sized at
-    # ~64 chunks each keep global order for the sequential emit, bound
+    # (~2.5 s at sf0.1). Explicit ascending partitions sized at ~64
+    # chunks each keep global order for the sequential emit, bound
     # driver memory per prefetched partition (64 × payload cap), and
-    # scale the job count with the data. NOTE coalesce() would NOT
-    # preserve order here — under AQE it merges non-consecutive
-    # shuffle partitions.
+    # scale the job count with the data. The exchange is the
+    # closed-formula sentinel layout (chunker.ascending_chunk_layout),
+    # not repartitionByRange — RangePartitioner's sampling pass would
+    # re-execute the payload build once per ingest. NOTE coalesce()
+    # would NOT preserve order here — under AQE it merges
+    # non-consecutive shuffle partitions.
     # Chunk-count estimates fall out of the chunker's own counts pass
     # (stats_out) — no extra count() job over the source, which for
     # JSON/CSV/Excel ingests would be a second full parse pass. The
@@ -599,9 +612,7 @@ def ingest(
     if request.chunk_size_by_records is None:
         est_chunks = chunk_stats["n_chunks"]
         n_parts = max(2, min(256, -(-est_chunks // 64)))
-        payloads = payloads.repartitionByRange(
-            n_parts, F.col(CHUNK_COL)
-        ).sortWithinPartitions(CHUNK_COL)
+        payloads = ascending_chunk_layout(payloads, est_chunks, n_parts)
     # NOTE a background persist+count "warm" of the payload frame was
     # A/B'd here (round 7) and removed: the drain's FIRST job already
     # executes the full upstream (scan + ordering exchange + fused

@@ -392,3 +392,54 @@ def test_sql_literal_round_trips_hostile_values(spark):
     (row,) = spark.range(1).select(*checks).collect()
     bad = [cases[i] for i in range(len(cases)) if not row[f"c{i}"]]
     assert not bad, bad
+
+
+def test_murmur3_hash_long_matches_spark_hash(spark):
+    """chunker._murmur3_hash_long must equal F.hash for LongType — the
+    sentinel layout's identity-placement guarantee rests on it."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pimcore_spark.chunker import _murmur3_hash_long
+
+    vals = [0, 1, -1, 42, 63, 2**31, -(2**31) - 1, 2**63 - 1, -(2**63),
+            987654321987654321]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    for r in df.select("x", F.hash("x").alias("h")).collect():
+        assert _murmur3_hash_long(r["x"]) == r["h"], r["x"]
+
+
+def test_ascending_chunk_layout_identity_placement(spark):
+    """ascending_chunk_layout places chunk c in physical partition
+    floor(c / ceil(n_chunks/n_parts)) — ascending across partitions,
+    sorted within, clamped at the last partition, with NO sampling job
+    over the child (the plan shows a plain hash exchange, no
+    rangepartitioning)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pimcore_spark.chunker import (
+        ascending_chunk_layout,
+        _partition_sentinels,
+        _murmur3_hash_long,
+    )
+
+    # sentinel invariant directly
+    for n in (2, 3, 5, 32, 256):
+        for p, x in enumerate(_partition_sentinels(n)):
+            assert _murmur3_hash_long(x) % n == p
+
+    rows = [(c, f"payload{c}") for c in range(0, 200, 3)]  # sparse chunks
+    df = spark.createDataFrame(rows, "chunk_number long, payload string")
+    for n_parts in (1, 2, 3, 7):
+        out = ascending_chunk_layout(df.repartition(13), 200, n_parts)
+        got = out.select(
+            F.spark_partition_id().alias("pid"), "chunk_number"
+        ).collect()
+        cpp = -(-200 // n_parts)
+        for r in got:
+            assert r["pid"] == min(r["chunk_number"] // cpp, n_parts - 1)
+        # global drain order: iterating partitions in order yields
+        # strictly ascending chunk numbers
+        seq = [r["chunk_number"] for r in out.toLocalIterator()]
+        assert seq == sorted(seq)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()

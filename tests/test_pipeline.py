@@ -395,3 +395,119 @@ def test_fused_payloads_equal_groupby_payloads(spark):
             for r in grp
         }
         assert got == want, f"chunk_size={chunk_size}"
+
+
+def test_interleaved_concurrent_ingestions_resume(spark, tmp_path, products):
+    """Two ingestions sharing ONE SparkSession, run truly interleaved
+    on two threads (the reference's parallel unit: one background task
+    per request, ingestion_controllers.py:47-51). B completes while A
+    is permanently NACKed at chunk 5; A's resume then sends exactly the
+    unACKed chunks. Proves per-ingestion state isolation (K2/K3) and
+    CV2 ordering hold under concurrency — the scaling axis the
+    concurrent bench measures."""
+    import threading
+
+    from data_ingestion_pimcore_spark.sink import AckResponse
+
+    class RejectAt5(ChunkValidator):
+        def __call__(self, payload):
+            if (
+                payload.get("chunk_number") == 5
+                and payload.get("status") != "COMPLETED"
+            ):
+                return AckResponse(False, payload["ingestion_id"], 5, "boom")
+            return super().__call__(payload)
+
+    req_a = _request(file_path="/data/pim/conc_a.json")
+    req_b = _request(file_path="/data/pim/conc_b.json")
+    state_a = IngestionStateStore(str(tmp_path / "a.parquet"))
+    state_b = IngestionStateStore(str(tmp_path / "b.parquet"))
+    val_a, val_b = RejectAt5(), ChunkValidator()
+    out: dict = {}
+
+    def run(tag, req, state, val):
+        try:
+            out[tag] = ingest(spark, req, products, state, val)
+        except ChunkRejected as exc:
+            out[tag] = exc
+
+    ta = threading.Thread(target=run, args=("a", req_a, state_a, val_a))
+    tb = threading.Thread(target=run, args=("b", req_b, state_b, val_b))
+    ta.start(), tb.start()
+    ta.join(), tb.join()
+
+    # B ran to completion, untouched by A's failure
+    assert out["b"].status == "COMPLETED"
+    assert val_b.received_chunks == list(range(10))
+    assert out["b"].total_records == 100
+
+    # A stopped at the NACK with no false progress
+    assert isinstance(out["a"], ChunkRejected)
+    iid_a = build_ingestion_id(
+        build_file_id(req_a.file_path, req_a.file_type), version_for(False)
+    )
+    assert state_a.get_last_chunk(iid_a) == 4
+    assert state_a.get_total_records(iid_a) == 50
+
+    # resume A (consumer recovered) while a THIRD ingestion runs
+    # concurrently in the same session — resume math must not see it
+    val_a2 = ChunkValidator()
+    val_a2.last_chunk[iid_a] = 4
+    req_c = _request(file_path="/data/pim/conc_c.json")
+    state_c = IngestionStateStore(str(tmp_path / "c.parquet"))
+    val_c = ChunkValidator()
+    ta2 = threading.Thread(target=run, args=("a2", req_a, state_a, val_a2))
+    tc = threading.Thread(target=run, args=("c", req_c, state_c, val_c))
+    ta2.start(), tc.start()
+    ta2.join(), tc.join()
+
+    assert val_a2.received_chunks == [5, 6, 7, 8, 9]
+    assert out["a2"].total_records == 100
+    assert out["a2"].status == "COMPLETED"
+    assert out["c"].status == "COMPLETED" and val_c.received_chunks == list(
+        range(10)
+    )
+
+
+def test_consumer_server_http_roundtrip(spark, tmp_path, products):
+    """The standalone consumer process wrapper (consumer_server) speaks
+    the full wire contract: an ingest over real HTTP completes, its
+    stats endpoint reports the consumer-side accounting, and CV3 is
+    enforced consumer-side (a tampered checksum NACKs)."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from data_ingestion_pimcore_spark.consumer_server import make_server
+    from data_ingestion_pimcore_spark.sink import HttpTransport
+
+    srv = make_server()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/callback"
+        state = _store(tmp_path)
+        s = ingest(spark, _request(), products, state, HttpTransport(url))
+        assert s.status == "COMPLETED" and s.chunks_sent == 10
+
+        with urllib.request.urlopen(url) as r:
+            stats = _json.load(r)
+        assert stats["chunks_acked"] == 10
+        assert stats["records_acked"] == 100
+        assert stats["completed"] == [s.ingestion_id]
+
+        # CV3 consumer-side: tampered checksum → business NACK over 200
+        transport = HttpTransport(url)
+        resp = transport(
+            {
+                "ingestion_id": "other",
+                "chunk_number": 0,
+                "chunk_id": "other:0",
+                "checksum": "0" * 64,
+                "records": [{"x": 1}],
+                "is_last": False,
+            }
+        )
+        assert not resp.ack and resp.error == ERR_CHECKSUM
+    finally:
+        srv.shutdown()
