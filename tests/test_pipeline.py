@@ -511,3 +511,141 @@ def test_consumer_server_http_roundtrip(spark, tmp_path, products):
         assert not resp.ack and resp.error == ERR_CHECKSUM
     finally:
         srv.shutdown()
+
+
+def test_sigkill_mid_drain_resume_exactly_once(spark, tmp_path):
+    """Process-level crash safety — the reference's core promise
+    ("crash-safe, resumable", reference README:5-12) proven at the
+    process boundary, not just the WAL layer: a SEPARATE producer
+    process runs `pipeline.ingest` against a live HTTP consumer and is
+    SIGKILLed mid-drain, after the consumer has PROCESSED a chunk whose
+    ACK the producer never got to commit (the classic at-least-once
+    window). A fresh producer run with the same state store must send
+    exactly the unACKed chunks; the consumer's CV1 idempotent replay
+    absorbs the one duplicate, so its accounting ends with every chunk
+    processed exactly once."""
+    import json as _json
+    import os
+    import signal
+    import subprocess
+    import sys as _sys
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from data_ingestion_pimcore_spark.pipeline import load_source
+    from data_ingestion_pimcore_spark.sink import HttpTransport
+
+    # -- input: 200 products as parquet on disk (both processes read it)
+    src = str(tmp_path / "products.parquet")
+    rows = [(i, f"SKU-{i:06d}", 1.5 * i) for i in range(1, 201)]
+    spark.createDataFrame(
+        rows, "product_id long, sku string, price double"
+    ).repartition(2).write.parquet(src)
+
+    # -- consumer: lives in THIS process, survives the producer's death.
+    #    After ACKing chunk 4 it processes chunk 5, signals the kill
+    #    window, and stalls the response until the producer is dead —
+    #    deterministically creating "consumer processed, producer
+    #    uncommitted".
+    validator = ChunkValidator()
+    kill_window = threading.Event()
+    producer_dead = threading.Event()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            resp = validator(body)
+            if (
+                body.get("chunk_number") == 5
+                and body.get("status") != "COMPLETED"
+                and not producer_dead.is_set()
+            ):
+                kill_window.set()
+                producer_dead.wait(timeout=30)
+            out = _json.dumps(
+                {
+                    "ack": resp.ack,
+                    "ingestion_id": resp.ingestion_id,
+                    "chunk_number": resp.chunk_number,
+                    "error": resp.error,
+                }
+            ).encode()
+            try:
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+            except OSError:
+                pass  # producer died mid-response — expected once
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}/callback"
+    state_path = str(tmp_path / "state.parquet")
+
+    producer_script = f"""
+import sys
+sys.path.insert(0, {repr(os.getcwd())})
+from data_ingestion_pimcore_spark.session import get_spark
+from data_ingestion_pimcore_spark.config import IngestRequest
+from data_ingestion_pimcore_spark.pipeline import ingest
+from data_ingestion_pimcore_spark.sink import HttpTransport
+from data_ingestion_pimcore_spark.state import IngestionStateStore
+
+spark = get_spark("crash-producer")
+spark.sparkContext.setLogLevel("ERROR")
+req = IngestRequest(
+    file_path={repr(src)}, file_type="parquet",
+    chunk_size_by_records=10, order_cols=("product_id",),
+)
+df = spark.read.parquet({repr(src)})
+ingest(spark, req, df, IngestionStateStore({repr(state_path)}),
+       HttpTransport({repr(url)}))
+"""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    proc = subprocess.Popen(
+        [_sys.executable, "-c", producer_script],
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        assert kill_window.wait(timeout=180), "producer never reached chunk 5"
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=30)
+        producer_dead.set()
+
+        # the consumer processed 0..5; the producer's durable state
+        # committed only the ACKed 0..4 (chunk 5's ACK never arrived)
+        state = IngestionStateStore(state_path)
+        req = _request(
+            file_path=src, file_type="parquet", order_cols=("product_id",)
+        )
+        iid = build_ingestion_id(
+            build_file_id(src, "parquet"), version_for(False)
+        )
+        assert state.get_last_chunk(iid) == 4
+        assert state.get_total_records(iid) == 50
+        assert validator.received_chunks == [0, 1, 2, 3, 4, 5]
+
+        # fresh producer (this process's session), same state store,
+        # same live consumer: resume sends exactly the unACKed 5..19 —
+        # chunk 5 arrives as a CV1 duplicate and is ACKed WITHOUT
+        # reprocessing (received_chunks gains no second 5)
+        df = load_source(spark, req)
+        s = ingest(spark, req, df, state, HttpTransport(url))
+        assert s.status == "COMPLETED"
+        assert validator.received_chunks == list(range(20))
+        assert validator.total_records == {}  # CV5 reset on completion
+        assert validator.completed == [iid]
+        # per-chunk content seen exactly once, in order, 10 records each
+        assert [len(r) for r in validator.received_records] == [10] * 20
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        srv.shutdown()
