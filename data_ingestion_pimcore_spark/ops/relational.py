@@ -3158,3 +3158,131 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             union > 0, F.col("n_both").cast("double") / union.cast("double")
         ).alias("jaccard"),
     )
+
+
+# --------------------------------------- mergeable quantile sketch
+
+QSKETCH_BINS = 256
+
+
+@register(
+    "agg_quantile_sketch_merge",
+    oracle=f"""
+WITH c AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), b AS (
+  SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c
+), t AS (
+  SELECT g, cents, ((cents - lo) * {QSKETCH_BINS}) // (hi - lo + 1) AS bin,
+         lo, hi
+  FROM c, b
+), sk AS (
+  SELECT g, bin, COUNT(*) AS cnt, MIN(cents) AS bin_min,
+         ANY_VALUE(lo) AS lo, ANY_VALUE(hi) AS hi
+  FROM t GROUP BY g, bin
+), s2 AS (
+  SELECT g, bin, bin_min, lo, hi,
+         CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n,
+         CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS cum
+  FROM sk
+), ap AS (
+  SELECT g, MIN(bin) AS b0 FROM s2 WHERE cum >= (n + 1) // 2 GROUP BY g
+), apx AS (
+  SELECT s2.g, s2.bin_min AS approx_p50_cents, s2.n, s2.lo, s2.hi
+  FROM s2 JOIN ap ON s2.g = ap.g AND s2.bin = ap.b0
+), d AS (
+  SELECT g, cents, COUNT(*) AS cnt FROM c GROUP BY g, cents
+), d2 AS (
+  SELECT g, cents,
+         CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n,
+         CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY cents) AS BIGINT) AS cum
+  FROM d
+), ex AS (
+  SELECT g, MIN(cents) AS exact_p50_cents
+  FROM d2 WHERE cum >= (n + 1) // 2 GROUP BY g
+)
+SELECT apx.g AS l_returnflag, apx.n AS n_rows,
+       apx.approx_p50_cents, ex.exact_p50_cents,
+       ABS(apx.approx_p50_cents - ex.exact_p50_cents)
+         < (apx.hi - apx.lo + {QSKETCH_BINS}) // {QSKETCH_BINS} AS within_bound
+FROM apx JOIN ex ON apx.g = ex.g
+""",
+    doc=f"Mergeable quantile sketch with an oracle-checked error bound "
+    f"— the 100 TB quantile shape: each task folds its rows into a "
+    f"{QSKETCH_BINS}-bin integer-cents histogram (groupBy(g, bin) — "
+    "Spark's partial aggregation IS the per-partition sketch, the "
+    "shuffle IS the sketch merge; O(groups × bins) crosses the wire, "
+    "never data), then the median bin falls out of an O(bins) "
+    "cumulative window and the estimate is that bin's true minimum. "
+    "The rank-error guarantee — estimate and exact lower median land "
+    "in the SAME bin, so they differ by less than one bin width — is "
+    "not asserted in prose but EMITTED as the within_bound column and "
+    "verified against the exact anchor (an O(distinct-values) "
+    "collapsed histogram, affordable at bench scale; at 100 TB the "
+    "anchor is dropped and the sketch stands alone, or iterates to "
+    "tighter bins like agg_median_twopass's driver-guided second "
+    "pass). All arithmetic is integer (cents, integer div), so every "
+    "column hash-matches DuckDB bit-for-bit — unlike t-digest/KLL "
+    "sketches whose estimates are implementation-defined "
+    "(percentile_approx is covered by agg_approx's tolerance tests).",
+)
+def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = QSKETCH_BINS
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    bounds = li.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    t = li.crossJoin(F.broadcast(bounds)).withColumn(
+        "bin", F.expr(f"(cents - lo) * {B} div (hi - lo + 1)")
+    )
+    sketch = t.groupBy("g", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("cents").alias("bin_min"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )
+    wg = Window.partitionBy("g")
+    wcum = wg.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s2 = sketch.withColumn("n", F.sum("cnt").over(wg)).withColumn(
+        "cum", F.sum("cnt").over(wcum)
+    )
+    apx = (
+        s2.where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("g")
+        .agg(
+            F.min_by("bin_min", "bin").alias("approx_p50_cents"),
+            F.first("n").alias("n_rows"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+        )
+    )
+    d = li.groupBy("g", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wdc = wg.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d2 = d.withColumn("n", F.sum("cnt").over(wg)).withColumn(
+        "cum", F.sum("cnt").over(wdc)
+    )
+    ex = (
+        d2.where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("g")
+        .agg(F.min("cents").alias("exact_p50_cents"))
+    )
+    width = F.expr(f"(hi - lo + {B}) div {B}")
+    return apx.join(ex, "g").select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "approx_p50_cents",
+        "exact_p50_cents",
+        (
+            F.abs(F.col("approx_p50_cents") - F.col("exact_p50_cents"))
+            < width
+        ).alias("within_bound"),
+    )

@@ -2562,3 +2562,108 @@ def ts_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "ts_stream_exactly_once_sink",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+FROM events
+WHERE event_type = 'purchase'
+""",
+    doc="GENUINE streaming exactly-once FILE sink — the WAP pattern "
+    "(sink_wap_publish) generalized to continuous mode: each micro-"
+    "batch (4 source files, maxFilesPerTrigger=1) stages its "
+    "transformed rows as parquet under a unique directory, then "
+    "COMMITS by atomically renaming a per-batch manifest entry "
+    "(os.replace — the same commit point the reference's state store "
+    "uses for its snapshot pointer, state.py). Readers list the "
+    "manifest, never the directory. Exactly-once under at-least-once "
+    "delivery is exercised, not assumed: after the drain (a) batch 0 "
+    "is RE-DELIVERED and the manifest guard makes it a no-op, and (b) "
+    "an ORPHAN staging directory (data written, crash before commit) "
+    "is planted and must stay invisible — the oracle hash match "
+    "proves both (any duplicate or orphan row breaks it). At 100 TB "
+    "the sink is pure appends: per batch one executor-parallel "
+    "filtered write + one O(1) driver rename; the manifest is "
+    "O(#batches) metadata, compactable offline exactly like a table "
+    "format's snapshot log (Iceberg/Delta do this commit dance with "
+    "the same rename-is-the-commit core).",
+)
+def ts_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    root = tempfile.mkdtemp(prefix="eos_sink_")
+    src = os.path.join(root, "events_src")
+    table = os.path.join(root, "table")
+    manifest = os.path.join(root, "manifest")
+    os.makedirs(table)
+    os.makedirs(manifest)
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="ckpt_eos_", dir=ckpt_root)
+    try:
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        ev.repartitionByRange(4, "event_id").write.parquet(src)
+
+        def transform(df: DataFrame) -> DataFrame:
+            # integer cents: the representation-stable money form —
+            # both engines compute the identical double product and
+            # half-up round (2-decimal source values)
+            return df.where(F.col("event_type") == "purchase").select(
+                "event_id",
+                "user_id",
+                F.round(F.col("value") * 100).cast("bigint").alias(
+                    "value_cents"
+                ),
+            )
+
+        def commit(batch_df: DataFrame, batch_id: int) -> None:
+            mpath = os.path.join(manifest, f"{batch_id}.json")
+            if os.path.exists(mpath):
+                return  # replayed batch: already committed → no-op
+            staged = os.path.join(
+                table, f"batch-{batch_id}-{uuid.uuid4().hex[:8]}"
+            )
+            transform(batch_df).write.parquet(staged)
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"batch_id": batch_id, "path": staged}, f)
+            os.replace(tmp, mpath)  # THE commit point (atomic rename)
+
+        (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(commit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+        # (a) at-least-once replay: batch 0 re-delivered in full — the
+        # manifest guard must swallow it without writing a byte
+        commit(spark.read.parquet(src), 0)
+        # (b) crash window: staged data with NO manifest commit — must
+        # stay invisible to readers
+        transform(spark.read.parquet(src)).limit(50).write.parquet(
+            os.path.join(table, "batch-orphan")
+        )
+
+        committed = []
+        for name in sorted(os.listdir(manifest)):
+            with open(os.path.join(manifest, name)) as f:
+                committed.append(json.load(f)["path"])
+        return spark.read.parquet(*committed).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -66,6 +66,7 @@ MATERIALIZED_EXEMPT = {
     "source_json_array",
     "source_schema_evolution",
     "source_xml_roundtrip",
+    "ts_stream_exactly_once_sink",
     "ts_stream_foreachbatch_upsert",
     "ts_stream_late_drop",
     "ts_stream_session",

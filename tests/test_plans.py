@@ -1473,3 +1473,21 @@ def test_graph_node_broadcast_gate_drops_hint_past_limit(spark):
         )
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_quantile_sketch_merge_plan_shape(spark):
+    """agg_quantile_sketch_merge: the bounds row joins as a pinned
+    BroadcastNestedLoopJoin (1-row build side), never a cartesian; the
+    sketch path shows partial aggregation (map-side combine = the
+    per-partition sketch); exactly three scans of lineitem (bounds
+    agg + sketch + exact anchor), each pruned to the two columns the
+    query reads."""
+    tree = tree_of(spark, "agg_quantile_sketch_merge")
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" in tree
+    assert tree.count("Scan parquet") == 3
+    plan = plan_of(spark, "agg_quantile_sketch_merge")
+    assert "partial_count" in plan or "Partial" in plan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"l_returnflag", "l_extendedprice"}, cols

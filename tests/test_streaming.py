@@ -335,3 +335,35 @@ def test_tws_query_gated_on_protobuf(spark):
     else:  # applyInPandasWithState twin: running totals only
         got_n = {r["event_type"]: r["n_events_total"] for r in rows}
         assert got_n == {k: n for k, (n, _) in exp.items()}
+
+
+def test_stream_exactly_once_sink_matches_batch(spark):
+    """ts_stream_exactly_once_sink (plan-lint exempt: it returns a
+    materialized checkpoint) must equal the one-line batch filter —
+    this passing means the manifest commit protocol survived a
+    re-delivered batch AND an uncommitted orphan directory without
+    duplicating or leaking a row."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pimcore_spark import registry
+    from data_ingestion_pimcore_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r)
+        for r in registry.all_queries()["ts_stream_exactly_once_sink"]
+        .fn(spark, sf)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in load(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
