@@ -49,8 +49,16 @@ class ConsumerHandler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802 (stdlib casing)
         body = _loads(self.rfile.read(int(self.headers["Content-Length"])))
-        resp = type(self).validator(body)
-        if resp.ack and body.get("status") != "COMPLETED":
+        v = type(self).validator
+        seen_before = len(v.received_chunks)
+        resp = v(body)
+        # Count only genuinely PROCESSED chunks: a CV1 duplicate replay
+        # is ACKed but must not inflate the exactly-once accounting.
+        if (
+            resp.ack
+            and body.get("status") != "COMPLETED"
+            and len(v.received_chunks) > seen_before
+        ):
             type(self).chunks_acked += 1
             type(self).records_acked += len(body.get("records") or ())
         self._reply(

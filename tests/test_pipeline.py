@@ -649,3 +649,37 @@ ingest(spark, req, df, IngestionStateStore({repr(state_path)}),
         if proc.poll() is None:
             proc.kill()
         srv.shutdown()
+
+
+def test_consumer_server_stats_ignore_cv1_replay(tmp_path):
+    """/stats counts exactly-once PROCESSING: a CV1 duplicate replay is
+    ACKed on the wire but must not inflate chunks/records_acked."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from data_ingestion_pimcore_spark.consumer_server import make_server
+    from data_ingestion_pimcore_spark.sink import HttpTransport
+
+    srv = make_server()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/callback"
+        transport = HttpTransport(url)
+        records = [{"a": 1}, {"a": 2}]
+        payload = {
+            "ingestion_id": "ing-1",
+            "chunk_number": 0,
+            "chunk_id": build_chunk_id("ing-1", 0),
+            "checksum": compute_checksum(records),
+            "records": records,
+            "is_last": False,
+        }
+        assert transport(payload).ack  # first delivery: processed
+        assert transport(payload).ack  # CV1 replay: acked, NOT processed
+        with urllib.request.urlopen(url) as r:
+            stats = _json.load(r)
+        assert stats["chunks_acked"] == 1
+        assert stats["records_acked"] == 2
+    finally:
+        srv.shutdown()
