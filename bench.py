@@ -351,6 +351,9 @@ try:
         [th.start() for th in threads]
         [th.join() for th in threads]
         wall = time.time() - t0
+        # a thread that died (consumer crash, rejected chunk) must fail
+        # the probe loudly, never silently under-report the aggregate
+        assert len(results) == N, sorted(results)
         aggs.append(sum(r[1] for r in results.values()) / wall)
     print(json.dumps({{"single_http": singles, "agg_runs": sorted(aggs)}}))
 finally:
