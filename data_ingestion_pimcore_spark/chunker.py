@@ -47,7 +47,6 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 try:  # pyspark>=3.4 structured errors
     from pyspark.errors import AnalysisException, ParseException
@@ -73,15 +72,94 @@ _SEED = 42
 _LAST_PID_PATH: str | None = None
 
 
+_ROWS_PER_RANGE = 50_000
+
+
+def _rows_estimate(df: DataFrame) -> int | None:
+    """Driver-side row estimate from local parquet footers, or None.
+
+    Reads ≤8 footers (evenly strided over the sorted file list) and
+    extrapolates — O(ms), no Spark job. None for non-file sources,
+    remote URIs, unreadable footers, or absurd file counts; callers
+    fall back to configuration. Estimate quality is balance/overhead-
+    relevant only: range counts never affect row numbering."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return None
+    if not files or len(files) > 10_000:
+        return None
+    paths = []
+    for u in files:
+        if not u.startswith("file:"):
+            return None
+        from urllib.parse import unquote, urlparse
+
+        paths.append(unquote(urlparse(u).path))
+    sample = paths if len(paths) <= 8 else paths[:: max(1, len(paths) // 8)][:8]
+    try:
+        import pyarrow.parquet as _pq
+
+        rows = [_pq.ParquetFile(p).metadata.num_rows for p in sample]
+    except Exception:
+        return None
+    if not rows:
+        return None
+    return int(sum(rows) / len(sample) * len(paths))
+
+
+def _auto_ranges(df: DataFrame) -> int | None:
+    """Range count scaled to the data: ~_ROWS_PER_RANGE rows per range,
+    capped at spark.sql.shuffle.partitions.
+
+    The Arrow Python runner costs a fixed ~0.25 core-s of JVM CPU per
+    TASK regardless of row count (measured: 4/8/16/32/64 tasks over the
+    same 600k rows → 4.5/5.2/9.0/11.8/19.2 core-s), so running a small
+    ingest at the full configured width burns most of its CPU on runner
+    setup — wasted heat for one ingestion, stolen throughput when four
+    run concurrently. ~50k rows/range puts per-task real work at parity
+    with that overhead; big inputs still hit the configured cap."""
+    est = _rows_estimate(df)
+    if est is None:
+        return None
+    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(cap, -(-est // _ROWS_PER_RANGE)))
+
+
 def _key_struct(df: DataFrame, order_cols: list[str]) -> Column:
+    if len(order_cols) == 1:  # scalar-prefix path: no struct allocation
+        return F.col(order_cols[0])
     return F.struct(*[F.col(c) for c in order_cols])
 
 
 def _boundary_lit(df: DataFrame, order_cols: list[str], values: tuple) -> Column:
+    if len(order_cols) == 1:
+        return F.lit(values[0]).cast(df.schema[order_cols[0]].dataType)
     fields = []
     for c, v in zip(order_cols, values):
         fields.append(F.lit(v).cast(df.schema[c].dataType).alias(c))
     return F.struct(*fields)
+
+
+def _scalar_boundaries(uniq: list[tuple]) -> list[tuple] | None:
+    """``[(v,), ...]`` of the boundaries' first elements when that
+    column alone separates them (pairwise distinct, no null — a null
+    first element would send non-null rows the wrong way through a
+    three-valued ``>`` — and no NaN, whose ``=``/``>`` asymmetry
+    between scalar and struct comparison would unbalance tie rows).
+    None → callers keep the full-tuple struct comparison."""
+    seen = set()
+    for t in uniq:
+        v = t[0]
+        if v is None or (isinstance(v, float) and v != v):
+            return None
+        try:
+            if v in seen:
+                return None
+            seen.add(v)
+        except TypeError:  # unhashable first column (array keys...)
+            return None
+    return [(t[0],) for t in uniq]
 
 
 class _Unrenderable(Exception):
@@ -153,21 +231,28 @@ def _pid_sql(df: DataFrame, order_cols: list[str], uniq: list[tuple]) -> str:
         # breaks the parse (hostile JSON keys are in scope).
         return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-    key = (
-        "named_struct("
-        + ", ".join(f"{fname(c)}, {ident(c)}" for c in order_cols)
-        + ")"
-    )
+    if len(order_cols) == 1:  # scalar-prefix path: no named_struct
+        key = ident(order_cols[0])
 
-    def blit(values: tuple) -> str:
-        return (
+        def blit(values: tuple) -> str:
+            return _sql_literal(values[0], df.schema[order_cols[0]].dataType)
+
+    else:
+        key = (
             "named_struct("
-            + ", ".join(
-                f"{fname(c)}, {_sql_literal(v, df.schema[c].dataType)}"
-                for c, v in zip(order_cols, values)
-            )
+            + ", ".join(f"{fname(c)}, {ident(c)}" for c in order_cols)
             + ")"
         )
+
+        def blit(values: tuple) -> str:
+            return (
+                "named_struct("
+                + ", ".join(
+                    f"{fname(c)}, {_sql_literal(v, df.schema[c].dataType)}"
+                    for c, v in zip(order_cols, values)
+                )
+                + ")"
+            )
 
     def rec(lo: int, hi: int) -> str:
         if lo >= hi:
@@ -333,6 +418,21 @@ def _deterministic_pid(
     if not uniq:
         return df.withColumn(_PID, F.lit(0).cast("long")), 1
 
+    # Scalar-prefix reduction: when the boundaries are already pairwise
+    # distinct (and non-null, non-NaN) on the FIRST order column, the
+    # tiebreaker columns can never decide a comparison against a
+    # boundary, so the CASE tree compares that one scalar instead of a
+    # 4-field named_struct — no per-row struct allocation at any of the
+    # log2(#ranges) levels (~25% of the rn stage's JVM CPU at sf0.1).
+    # Monotonicity is preserved because the first column dominates the
+    # total order: rows tying a boundary on it all take the ELSE side,
+    # which only moves the range CUT, never splits equal full keys and
+    # never reorders ranges — and pids are correctness-neutral anyway
+    # (offsets absorb any boundary placement; only balance shifts).
+    scalars = _scalar_boundaries(uniq)
+    if scalars is not None:
+        order_cols, uniq = order_cols[:1], scalars
+
     # Binary-search CASE tree (log2(#ranges) struct comparisons per
     # row), rendered as ONE SQL string when every boundary value has a
     # safe literal form — a single py4j call instead of ~5.5k Column
@@ -367,16 +467,27 @@ def _deterministic_pid(
 
 
 def _offsets_df(counts: list[tuple[int, int]], spark, value_col: str) -> DataFrame:
-    """[(pid, count)] → DataFrame(pid, offset) with cumulative offsets."""
+    """[(pid, count)] → DataFrame(pid, offset) with cumulative offsets.
+
+    Built as an inline ``VALUES`` relation, NOT ``createDataFrame``:
+    the latter wraps the rows in a Python RDD (``Scan ExistingRDD`` via
+    applySchemaToPythonRDD), and a broadcast whose build side is a
+    Python RDD re-forks Python workers and re-pickles on EVERY job that
+    evaluates it — measured ~6 core-s per sf0.1 ingest, ~65% of the
+    whole rn machinery's CPU. A VALUES list is a JVM LocalRelation:
+    zero Python at execution, free to re-broadcast per drain job."""
     counts = sorted(counts)
     rows, acc = [], 0
     for pid, cnt in counts:
         rows.append((int(pid), acc))
         acc += int(cnt)
-    schema = StructType(
-        [StructField(_PID, LongType()), StructField(value_col, LongType())]
+    if not rows:
+        rows = [(0, 0)]
+    values = ", ".join(f"({p}, {o})" for p, o in rows)
+    return spark.sql(
+        f"SELECT CAST(col1 AS BIGINT) AS {_PID}, "
+        f"CAST(col2 AS BIGINT) AS {value_col} FROM VALUES {values}"
     )
-    return spark.createDataFrame(rows or [(0, 0)], schema)
 
 
 # --- deterministic ascending drain layout (sampling-free) -----------------
@@ -506,9 +617,13 @@ def global_row_number(
     from pyspark.sql.window import Window
 
     pid_cols = pid_cols or order_cols
-    withpid, n_ranges = _deterministic_pid(df, pid_cols, num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    ))
+    withpid, n_ranges = _deterministic_pid(
+        df,
+        pid_cols,
+        num_partitions
+        or _auto_ranges(df)
+        or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+    )
     counts = _range_counts(df, withpid, pid_cols, n_ranges)
     if stats_out is not None:
         # Free byproduct of the counts pass — callers sizing downstream

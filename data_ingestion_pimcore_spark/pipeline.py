@@ -23,6 +23,8 @@ path's re-send bug (SURVEY §2.1 "Known reference bugs").
 from __future__ import annotations
 
 import hashlib
+import threading
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 import pandas as pd
@@ -94,11 +96,52 @@ def _record_columns(pdf: pd.DataFrame, record_cols: list[str]) -> list[list]:
     columns = []
     for c in record_cols:
         s = pdf[c]
-        vals = s.tolist()
-        if s.isna().any():
-            vals = [None if pd.isna(v) else v for v in vals]
+        vals = _ts_column_strings(s)
+        if vals is None:
+            vals = s.tolist()
+            if s.isna().any():
+                vals = [None if pd.isna(v) else v for v in vals]
         columns.append(vals)
     return columns
+
+
+def _ts_column_strings(s: pd.Series) -> list | None:
+    """Vectorized isoformat for tz-naive datetime columns, or None when
+    the slow path must handle the column.
+
+    ``tolist()`` turns a datetime64 column into pd.Timestamp objects
+    that ``canonical_dumps`` then routes one-by-one through the Python
+    ``default=`` callback (``_canonical_default`` → ``isoformat()``) —
+    measured ~3.3 µs/record of the payload build, the single biggest
+    Python cost. Stringifying the whole column through numpy instead
+    (one C call + one vectorized strip) is byte-identical for every
+    value the fast path accepts:
+
+    * ``datetime64[s|ms|us]`` str() is ``YYYY-MM-DDTHH:MM:SS[.ffffff]``
+      with a fixed-width fraction; ``isoformat()`` prints the same but
+      OMITS an all-zero fraction, so zero-microsecond columns cast to
+      ``[s]`` (no fraction at all) and mixed columns strip ``.000000``.
+    * tz-aware columns (offset suffix) and ns-precision values
+      (isoformat prints 9 digits) fall back to the per-value path.
+    """
+    if not str(s.dtype).startswith("datetime64"):
+        return None
+    if getattr(s.dt, "tz", None) is not None:
+        return None
+    if str(s.dtype) == "datetime64[ns]" and bool((s.dt.nanosecond > 0).any()):
+        return None
+    isna = s.isna()
+    if not bool((s.dt.microsecond > 0).any()):
+        arr = s.values.astype("datetime64[s]").astype(str)
+        vals = arr.tolist()
+    else:
+        arr = s.values.astype("datetime64[us]").astype(str)
+        vals = (
+            pd.Series(arr).str.replace(r"\.000000$", "", regex=True).tolist()
+        )
+    if bool(isna.any()):
+        vals = [None if m else v for v, m in zip(vals, isna.tolist())]
+    return vals
 
 
 def _chunk_payloads_local(
@@ -522,6 +565,71 @@ def _chunked(
     )
 
 
+_MAX_BYTES_KEY = "spark.sql.execution.arrow.maxBytesPerBatch"
+_MAX_RECS_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+_ARROW_CONF_LOCK = threading.Lock()
+_ARROW_CONF_STATE: dict = {}
+
+
+@contextmanager
+def _ingest_arrow_conf(spark: SparkSession, request: IngestRequest):
+    """Arrow-input tuning for the count-mode drain window.
+
+    Spark's JVM→Python Arrow writer enforces
+    ``spark.sql.execution.arrow.maxBytesPerBatch`` by calling
+    ``ArrowWriter.sizeInBytes()`` — a recursive walk of every vector's
+    buffers — after EVERY row (BatchedPythonArrowInput), the hottest
+    JVM path of the payload-build stage in a JFR profile (~3 core-s per
+    sf0.1 ingest, linear in rows). The Int.MaxValue sentinel disables
+    the walk entirely. That trade is safe HERE because count-mode
+    batches are simultaneously re-capped to the chunk size, so a batch
+    is never bigger than one chunk payload — memory the drain
+    materializes per chunk anyway. It would NOT be safe globally:
+    blob-heavy stages (multimodal) rely on the byte cap. Byte-mode
+    ingests keep the default cap too (records there may be large — the
+    byte budget, not a record count, is the contract).
+
+    Runtime confs are read per-execution, so the try/finally window
+    covers exactly this ingestion's drain jobs. Concurrent ingestions
+    reference-count the window (module lock): the sentinel is set by
+    the first drain in and restored by the last one out, so a sibling
+    never loses it mid-flight. The record cap uses the SMALLEST active
+    chunk size — caps only tighten, never loosen, under concurrency.
+    """
+    if request.chunk_size_by_records is None:
+        yield
+        return
+    conf = spark.conf
+    cap = min(10_000, request.chunk_size_by_records)
+    with _ARROW_CONF_LOCK:
+        if not _ARROW_CONF_STATE:
+            old = {}
+            for k in (_MAX_BYTES_KEY, _MAX_RECS_KEY):
+                try:
+                    old[k] = conf.get(k)
+                except Exception:
+                    old[k] = None
+            _ARROW_CONF_STATE.update(saved=old, count=0, cap=cap)
+            conf.set(_MAX_BYTES_KEY, "2147483647")
+            conf.set(_MAX_RECS_KEY, str(cap))
+        elif cap < _ARROW_CONF_STATE["cap"]:
+            _ARROW_CONF_STATE["cap"] = cap
+            conf.set(_MAX_RECS_KEY, str(cap))
+        _ARROW_CONF_STATE["count"] += 1
+    try:
+        yield
+    finally:
+        with _ARROW_CONF_LOCK:
+            _ARROW_CONF_STATE["count"] -= 1
+            if _ARROW_CONF_STATE["count"] == 0:
+                for k, v in _ARROW_CONF_STATE["saved"].items():
+                    if v is None:
+                        conf.unset(k)
+                    else:
+                        conf.set(k, v)
+                _ARROW_CONF_STATE.clear()
+
+
 def ingest(
     spark: SparkSession,
     request: IngestRequest,
@@ -620,15 +728,16 @@ def ingest(
     # every partition's expensive work is parallel and complete by the
     # first row — the background materialization only duplicated it
     # (interleaved A/B at sf0.1: statistically flat, 5.2-5.8 s both).
-    chunks_sent, total_records = deliver_payloads(
-        payloads,
-        ingestion_id,
-        state,
-        transport,
-        total_records,
-        mark_last=True,
-        merge_fragments=request.chunk_size_by_records is not None,
-    )
+    with _ingest_arrow_conf(spark, request):
+        chunks_sent, total_records = deliver_payloads(
+            payloads,
+            ingestion_id,
+            state,
+            transport,
+            total_records,
+            mark_last=True,
+            merge_fragments=request.chunk_size_by_records is not None,
+        )
 
     # K4: completion handshake; mark COMPLETED only after consumer ACK.
     last = state.get_last_chunk(ingestion_id)

@@ -443,3 +443,72 @@ def test_ascending_chunk_layout_identity_placement(spark):
         assert seq == sorted(seq)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_scalar_boundary_reduction_matches_struct_pids(spark):
+    """The scalar-prefix pid fast path (round 8): when boundaries are
+    pairwise distinct on the first order column, the CASE tree compares
+    that scalar only. Equal full keys must still land in one range and
+    pids must stay monotone in the total order — asserted by comparing
+    global row numbers (boundary-neutral) against a forced full-struct
+    run, and by checking the reduction's gates directly."""
+    from data_ingestion_pimcore_spark import chunker as ck
+
+    rows = [(i // 3, i % 7, f"v{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "a long, b long, s string")
+    order = ["a", "b"]
+
+    got = ck.global_row_number(df, order, "rn", num_partitions=8)
+    expect = (
+        df.orderBy("a", "b")
+        .collect()
+    )
+    by_rn = {r["rn"]: (r["a"], r["b"]) for r in got.collect()}
+    assert len(by_rn) == 500
+    for i, r in enumerate(expect, start=1):
+        assert by_rn[i] == (r["a"], r["b"])
+
+    # gate behavior: null / NaN / duplicate firsts refuse the reduction
+    assert ck._scalar_boundaries([(1, 2), (3, 4)]) == [(1,), (3,)]
+    assert ck._scalar_boundaries([(None, 2), (3, 4)]) is None
+    assert ck._scalar_boundaries([(float("nan"), 2), (3, 4)]) is None
+    assert ck._scalar_boundaries([(1, 2), (1, 4)]) is None
+    assert ck._scalar_boundaries([([1], 2)]) is None  # unhashable
+
+
+def test_offsets_df_is_jvm_local_relation(spark):
+    """_offsets_df must stay a JVM LocalRelation (round 8): a Python-RDD
+    scan on the broadcast build side re-forks Python workers on every
+    drain job (~6 core-s per sf0.1 ingest)."""
+    from data_ingestion_pimcore_spark import chunker as ck
+
+    off = ck._offsets_df([(0, 10), (1, 32)], spark, "__offset")
+    assert [tuple(r) for r in off.orderBy("__pid").collect()] == [
+        (0, 0),
+        (1, 10),
+    ]
+    plan = off._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan, plan
+    assert "ExistingRDD" not in plan, plan
+
+
+def test_auto_ranges_scales_with_parquet_footers(spark, tmp_path):
+    """_auto_ranges: footer-estimated rows / _ROWS_PER_RANGE, capped at
+    the shuffle-partition conf, None for non-file sources."""
+    from data_ingestion_pimcore_spark import chunker as ck
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).repartition(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert ck._rows_estimate(df) == 1000  # single footer: exact
+    assert ck._auto_ranges(df) == 1  # 1000 rows -> one range
+
+    p2 = str(tmp_path / "many.parquet")
+    spark.range(1000).repartition(16).write.parquet(p2)
+    df2 = spark.read.parquet(p2)
+    est = ck._rows_estimate(df2)  # strided 8-footer extrapolation
+    assert est is not None and abs(est - 1000) <= 200
+
+    mem = spark.createDataFrame([(1,)], "x long")
+    assert ck._rows_estimate(mem) is None
+    assert ck._auto_ranges(mem) is None

@@ -683,3 +683,100 @@ def test_consumer_server_stats_ignore_cv1_replay(tmp_path):
         assert stats["records_acked"] == 2
     finally:
         srv.shutdown()
+
+
+def test_ts_column_strings_byte_identical_to_isoformat():
+    """The vectorized timestamp stringifier (round 8) must be
+    byte-identical to the per-value isoformat path for everything it
+    accepts, and refuse (return None) what it cannot match."""
+    import numpy as np
+    import pandas as pd
+
+    from data_ingestion_pimcore_spark.integrity import canonical_dumps
+    from data_ingestion_pimcore_spark.pipeline import _ts_column_strings
+
+    def slow(s):
+        return [
+            None if pd.isna(v) else v.isoformat() for v in s.tolist()
+        ]
+
+    cases = {
+        "zero_micros": pd.Series(
+            pd.to_datetime(
+                ["1996-03-13 00:00:00", "1998-12-01 23:59:59", None]
+            )
+        ),
+        "mixed_micros": pd.Series(
+            pd.to_datetime(
+                ["2020-01-01 00:00:00.123456", "2020-01-01 00:00:00.000000",
+                 None, "2020-06-01 12:00:00.000001"]
+            )
+        ),
+        "us_unit": pd.Series(
+            np.array(["2001-02-03T04:05:06.789000", "2001-02-03T04:05:06"],
+                     dtype="datetime64[us]")
+        ),
+        "s_unit": pd.Series(
+            np.array(["1970-01-01T00:00:00", "2200-06-15T10:20:30"],
+                     dtype="datetime64[s]")
+        ),
+        "all_nat": pd.Series(pd.to_datetime([None, None])),
+    }
+    for name, s in cases.items():
+        fast = _ts_column_strings(s)
+        assert fast is not None, name
+        assert fast == slow(s), name
+        # and the serialized bytes agree end to end
+        assert canonical_dumps(fast) == canonical_dumps(
+            [None if v is None else v for v in slow(s)]
+        ), name
+
+    # refusals: ns precision and tz-aware fall back to the slow path
+    ns = pd.Series(pd.to_datetime(["2020-01-01 00:00:00.123456789"]))
+    assert ns.dt.nanosecond.iloc[0] != 0
+    assert _ts_column_strings(ns) is None
+    tz = pd.Series(pd.to_datetime(["2020-01-01 00:00:00"])).dt.tz_localize(
+        "UTC"
+    )
+    assert _ts_column_strings(tz) is None
+    assert _ts_column_strings(pd.Series([1, 2])) is None
+
+
+def test_ingest_arrow_conf_window_refcounted(spark):
+    """The drain-window Arrow conf must nest across concurrent
+    ingestions: set by the first in, restored only by the last out,
+    record cap tightening to the smallest active chunk size."""
+    from data_ingestion_pimcore_spark.config import IngestRequest
+    from data_ingestion_pimcore_spark.pipeline import (
+        _MAX_BYTES_KEY,
+        _MAX_RECS_KEY,
+        _ingest_arrow_conf,
+    )
+
+    before_bytes = spark.conf.get(_MAX_BYTES_KEY)
+    before_recs = spark.conf.get(_MAX_RECS_KEY)
+    r1 = IngestRequest(
+        file_path="x", file_type="parquet", chunk_size_by_records=4000,
+        order_cols=("a",),
+    )
+    r2 = IngestRequest(
+        file_path="y", file_type="parquet", chunk_size_by_records=2000,
+        order_cols=("a",),
+    )
+    with _ingest_arrow_conf(spark, r1):
+        assert spark.conf.get(_MAX_BYTES_KEY) == "2147483647"
+        assert spark.conf.get(_MAX_RECS_KEY) == "4000"
+        with _ingest_arrow_conf(spark, r2):
+            assert spark.conf.get(_MAX_RECS_KEY) == "2000"
+        # inner exit must NOT restore while the outer is active
+        assert spark.conf.get(_MAX_BYTES_KEY) == "2147483647"
+    assert spark.conf.get(_MAX_BYTES_KEY) == before_bytes
+    assert spark.conf.get(_MAX_RECS_KEY) == before_recs
+
+    # byte-mode ingests leave the confs alone entirely
+    rb = IngestRequest(
+        file_path="z", file_type="parquet",
+        chunk_size_by_memory=1024, order_cols=("a",),
+    )
+    with _ingest_arrow_conf(spark, rb):
+        assert spark.conf.get(_MAX_BYTES_KEY) == before_bytes
