@@ -341,7 +341,12 @@ try:
     single = sorted(singles)[len(singles) // 2]
 
     aggs = []
-    for t in range(TRIALS):
+    # Trial 0 is DISCARDED, mirroring the single-side protocol (one
+    # JIT/heap-growth run, then measured runs): the first concurrent
+    # trial grows the Python worker pool from one ingestion's width to
+    # N of them and JIT-compiles the interleaved paths — it read ~4x
+    # low (86k vs 351-362k) before warm-up was symmetric.
+    for t in range(TRIALS + 1):
         results = {{}}
         threads = [
             threading.Thread(target=run_one, args=(t * N + i, i, results))
@@ -354,7 +359,8 @@ try:
         # a thread that died (consumer crash, rejected chunk) must fail
         # the probe loudly, never silently under-report the aggregate
         assert len(results) == N, sorted(results)
-        aggs.append(sum(r[1] for r in results.values()) / wall)
+        if t > 0:
+            aggs.append(sum(r[1] for r in results.values()) / wall)
     print(json.dumps({{"single_http": singles, "agg_runs": sorted(aggs)}}))
 finally:
     for p in procs:
