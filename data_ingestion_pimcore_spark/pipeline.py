@@ -537,6 +537,10 @@ class IngestSummary:
 
 _RESUME_RN = "__resume_rn"
 
+# Drain-layout granularity: chunks per toLocalIterator partition (one
+# drain job each). See the sizing comment at the layout site in ingest().
+CHUNKS_PER_DRAIN_PART = 16
+
 
 def _chunked(
     df: DataFrame,
@@ -680,7 +684,7 @@ def ingest(
         # partition-border fragments. Output is already range-
         # partitioned and chunk-sorted for the sequential emit.
         est_chunks = -(-chunk_stats["n_rows"] // request.chunk_size_by_records)
-        n_parts = max(2, min(256, -(-est_chunks // 64)))
+        n_parts = max(2, min(256, -(-est_chunks // CHUNKS_PER_DRAIN_PART)))
         payloads = _chunk_payloads_fused(
             pending,
             record_cols,
@@ -700,14 +704,17 @@ def ingest(
             record_cols,
             order_cols,
         )
-    # Drain layout: toLocalIterator schedules ONE job per partition, so
-    # over-splitting the (few, large) payload rows pays per-job
-    # scheduling overhead — a default orderBy spread 150 chunks over 17
-    # partitions and the drain jobs cost more than the drain itself
-    # (~2.5 s at sf0.1). Explicit ascending partitions sized at ~64
-    # chunks each keep global order for the sequential emit, bound
-    # driver memory per prefetched partition (64 × payload cap), and
-    # scale the job count with the data. The exchange is the
+    # Drain layout: toLocalIterator schedules ONE job per partition —
+    # smaller partitions mean each drain job computes LESS before the
+    # sequential emit can start, pipelining compute under the emit, but
+    # each job pays scheduling overhead. ~16 chunks/partition is the
+    # measured optimum (quiet-machine interleaved A/B at sf0.1, medians:
+    # 64/part 161k, 16/part 178k, 8/part 176k, 4/part 164k rec/s — the
+    # original ~64 sizing dated from when every drain job re-evaluated a
+    # Python-RDD offsets broadcast, since fixed). Ascending partitions
+    # keep global order for the sequential emit, bound driver memory per
+    # prefetched partition (16 × payload cap), and scale the job count
+    # with the data up to the 256 cap. The exchange is the
     # closed-formula sentinel layout (chunker.ascending_chunk_layout),
     # not repartitionByRange — RangePartitioner's sampling pass would
     # re-execute the payload build once per ingest. NOTE coalesce()
@@ -719,7 +726,7 @@ def ingest(
     # fused count-mode path already produced this layout.
     if request.chunk_size_by_records is None:
         est_chunks = chunk_stats["n_chunks"]
-        n_parts = max(2, min(256, -(-est_chunks // 64)))
+        n_parts = max(2, min(256, -(-est_chunks // CHUNKS_PER_DRAIN_PART)))
         payloads = ascending_chunk_layout(payloads, est_chunks, n_parts)
     # NOTE a background persist+count "warm" of the payload frame was
     # A/B'd here (round 7) and removed: the drain's FIRST job already
