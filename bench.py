@@ -174,6 +174,11 @@ HEADLINE = [
     "sim_range_search",
     "stats_welch_ttest",
     "agg_audience_overlap",
+    # round-8 additions: hard-negative mining, hybrid RRF retrieval,
+    # MMR diverse selection
+    "sim_hard_negatives",
+    "text_hybrid_rrf_topk",
+    "sim_mmr_diverse_topk",
 ]
 
 

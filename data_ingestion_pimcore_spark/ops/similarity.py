@@ -1025,3 +1025,246 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine") >= RANGE_TAU)
     )
+
+
+# ------------------------------------------- hard-negative mining
+
+HARDNEG_K = 5  # negatives per query
+HARDNEG_DUP_TAU = 0.95  # above this the candidate is a near-dup, not a negative
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, label AS q_label
+  FROM e WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, q.q_label, e.vec_id AS neg_id, e.label AS neg_label,
+         ROUND(list_cosine_similarity(q.qv, e.v), 9) AS cosine
+  FROM q, e
+  WHERE e.vec_id != q.query_id AND e.label != q.q_label
+)
+SELECT query_id, q_label, neg_id, neg_label, cosine
+FROM scored
+WHERE cosine < {HARDNEG_DUP_TAU}
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY query_id ORDER BY cosine DESC, neg_id ASC
+) <= {HARDNEG_K}
+""",
+    doc=f"Hard-negative mining for contrastive/embedding training: for "
+    f"each of the first {N_QUERIES} query vectors, the {HARDNEG_K} "
+    "corpus vectors MOST similar to the query while carrying a "
+    f"DIFFERENT label and sitting below the near-dup bar "
+    f"({HARDNEG_DUP_TAU}) — similar-but-wrong examples, the ones a "
+    "trained retriever must learn to push away (the standard mining "
+    "recipe behind DPR/ANCE-style training sets). Scale shape: the "
+    "query side broadcasts (fixed, corpus-independent), the corpus "
+    "streams through ONE pass — cosine, label filter, and the dup "
+    "ceiling all evaluate map-side — and the per-query top-k window "
+    "gets a WindowGroupLimit partial rank before the single small "
+    "shuffle, so shuffle volume is O(queries x k), never O(corpus). "
+    "Cosines round to 9 decimals (bit-identical to DuckDB's "
+    "list_cosine_similarity; same contract as the other sim_* ops).",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "__nsq", nsq_col(F.col("embedding"))
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("__nsq").alias("__qnsq"),
+        F.col("label").alias("q_label"),
+    )
+    cos = F.round(
+        cosine_col(
+            F.col("qv"), F.col("embedding"), F.col("__qnsq"), F.col("__nsq")
+        ),
+        9,
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("q_label")),
+        )
+        .select(
+            "query_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") < HARDNEG_DUP_TAU)
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("__rnk", F.row_number().over(wnd))
+        .where(F.col("__rnk") <= HARDNEG_K)
+        .drop("__rnk")
+    )
+
+
+# --------------------------------- MMR diverse top-k selection
+
+MMR_K = 8
+MMR_POOL = 40  # candidate pool (top-MMR_POOL by relevance)
+MMR_LAMBDA = 0.7
+MMR_PROBE_ID = 0
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    prev = "sel1"
+    for i in range(2, MMR_K + 1):
+        steps.append(f"""
+step{i} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel,
+         CAST({MMR_LAMBDA} AS DOUBLE) * c.rel
+           - CAST({1 - MMR_LAMBDA:.1f} AS DOUBLE) * MAX(pc.s) AS mmr
+  FROM cand c
+  JOIN pc ON pc.ia = c.vec_id
+         AND pc.ib IN (SELECT vec_id FROM {prev})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+  GROUP BY c.vec_id, c.rel
+),
+sel{i} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT vec_id, rel, mmr, {i} AS rank FROM (
+    SELECT vec_id, rel, mmr FROM step{i}
+    ORDER BY mmr DESC, vec_id ASC LIMIT 1
+  )
+)""")
+        prev = f"sel{i}"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+probe AS (
+  SELECT v AS qv FROM e WHERE vec_id = {MMR_PROBE_ID}
+),
+cand AS MATERIALIZED (
+  SELECT e.vec_id, e.v,
+         ROUND(list_cosine_similarity(e.v, p.qv), 9) AS rel
+  FROM e CROSS JOIN probe p
+  WHERE e.vec_id != {MMR_PROBE_ID}
+  ORDER BY rel DESC, vec_id ASC LIMIT {MMR_POOL}
+),
+pc AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         ROUND(list_cosine_similarity(a.v, b.v), 9) AS s
+  FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, rel,
+         CAST({MMR_LAMBDA} AS DOUBLE) * rel
+           - CAST({1 - MMR_LAMBDA:.1f} AS DOUBLE) * CAST(0.0 AS DOUBLE)
+           AS mmr,
+         1 AS rank
+  FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+),{",".join(steps)}
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel AS relevance, mmr
+FROM {prev}
+"""
+
+
+@register(
+    "sim_mmr_diverse_topk",
+    oracle=_mmr_oracle(),
+    doc=f"Maximal-marginal-relevance selection (Carbonell & Goldstein "
+    f"1998): greedily pick {MMR_K} of the top-{MMR_POOL} candidates "
+    f"(by cosine to probe vec_id {MMR_PROBE_ID}) maximizing "
+    f"lambda*relevance - (1-lambda)*max_sim_to_already_selected "
+    f"(lambda={MMR_LAMBDA}) — the standard recipe for DIVERSE subset "
+    "selection in retrieval reranking and curation sampling (pick "
+    "representative, non-redundant examples). Engine shape: relevance "
+    "and ALL pairwise candidate cosines compute DISTRIBUTED "
+    "(broadcast probe one-pass; TakeOrderedAndProject pool cut; a "
+    f"{MMR_POOL}x{MMR_POOL} broadcast self-join), both through the "
+    "same F.round(...,9) contract as every sim_* op; only the "
+    "inherently sequential greedy walks the collected "
+    f"O({MMR_POOL}^2) bounded slice driver-side (comparisons + one "
+    "lambda-blend per step, association written identically to the "
+    "oracle's unrolled MATERIALIZED-CTE greedy — the k-core oracle "
+    "pattern). The returned plan re-derives relevance from the scan "
+    "and broadcast-joins the tiny selection, so the lint sees the "
+    "real distributed shape. At corpus scale the pool cut is the "
+    "only full pass; the greedy is O(k * pool) regardless of corpus.",
+)
+def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "__nsq", nsq_col(F.col("embedding"))
+    )
+    probe = e.where(F.col("vec_id") == MMR_PROBE_ID).select(
+        F.col("embedding").alias("qv"), F.col("__nsq").alias("__qnsq")
+    )
+    rel_col = F.round(
+        cosine_col(
+            F.col("qv"), F.col("embedding"), F.col("__qnsq"), F.col("__nsq")
+        ),
+        9,
+    )
+    cand = (
+        e.where(F.col("vec_id") != MMR_PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "embedding", "__nsq", rel_col.alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=False)  # both pair-join sides + collect
+    )
+    a = cand.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        F.col("__nsq").alias("__na"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        F.col("__nsq").alias("__nb"),
+    )
+    pair_cos = F.round(
+        cosine_col(F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")), 9
+    )
+    pairs = a.join(F.broadcast(b), F.col("ia") != F.col("ib")).select(
+        "ia", "ib", pair_cos.alias("s")
+    )
+    # Bounded driver-side greedy: MMR_POOL rows + MMR_POOL^2 sims.
+    rel = {r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()}
+    sim = {(r["ia"], r["ib"]): r["s"] for r in pairs.collect()}
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 1)
+    selected: list[tuple[int, int, float]] = []  # (rank, vec_id, mmr)
+    chosen: list[int] = []
+    for rank in range(1, MMR_K + 1):
+        best_id, best_score = None, None
+        for v in sorted(set(rel) - set(chosen)):
+            ms = max((sim[(v, s)] for s in chosen), default=0.0)
+            score = lam * rel[v] - mu * ms
+            if best_score is None or score > best_score:
+                best_id, best_score = v, score
+        selected.append((rank, best_id, best_score))
+        chosen.append(best_id)
+    values = ", ".join(
+        f"({rk}, {vid}, CAST({repr(m)} AS DOUBLE))" for rk, vid, m in selected
+    )
+    picks = spark.sql(
+        "SELECT CAST(col1 AS BIGINT) AS rank, CAST(col2 AS BIGINT) AS vec_id, "
+        f"col3 AS mmr FROM VALUES {values}"
+    )
+    # Re-derive relevance from the scan so the returned plan carries the
+    # real distributed shape (scan -> broadcast probe -> join picks).
+    rels = (
+        e.where(F.col("vec_id") != MMR_PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", rel_col.alias("relevance"))
+    )
+    return rels.join(F.broadcast(picks), "vec_id").select(
+        "rank", "vec_id", "relevance", "mmr"
+    )

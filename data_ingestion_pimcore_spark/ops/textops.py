@@ -1196,3 +1196,213 @@ def text_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.alias("r_stopwords"),
         F.when(keep, "keep").otherwise("drop").alias("verdict"),
     )
+
+
+# ------------------------------------------- hybrid retrieval (RRF)
+
+RRF_C = 60  # the standard reciprocal-rank-fusion constant
+RRF_LIST_K = 20  # depth of each input ranking
+RRF_TOPK = 10
+RRF_PROBE_ID = 0  # query embedding = embeddings.vec_id 0
+
+_RRF_SQL = f"""
+WITH stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS total_dl
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words WHERE term IN {BM25_TERMS!r}
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM words WHERE term IN {BM25_TERMS!r}
+  GROUP BY term
+),
+term_scores AS (
+  SELECT tf.doc_id,
+         CAST(ROUND((((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+          / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+            / (CAST(tf AS DOUBLE)
+               + CAST(1.2 AS DOUBLE)
+                 * (CAST(0.25 AS DOUBLE)
+                    + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE))
+                      / (CAST(total_dl AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE)))))) * 1e9)
+              AS DECIMAL(38,0)) AS s9
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY SUM(s9) DESC, doc_id ASC) AS r_lex
+  FROM term_scores GROUP BY doc_id
+  QUALIFY r_lex <= {RRF_LIST_K}
+),
+probe AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id = {RRF_PROBE_ID}
+),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 p.qv), 9) DESC,
+                    e.vec_id ASC) AS r_sem
+  FROM embeddings e CROSS JOIN probe p
+  WHERE e.vec_id != {RRF_PROBE_ID}
+  QUALIFY r_sem <= {RRF_LIST_K}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         CAST(COALESCE(lex.r_lex, 0) AS BIGINT) AS r_lex,
+         CAST(COALESCE(sem.r_sem, 0) AS BIGINT) AS r_sem,
+         (CASE WHEN lex.r_lex IS NULL THEN CAST(0.0 AS DOUBLE)
+               ELSE CAST(1.0 AS DOUBLE)
+                    / CAST({RRF_C} + lex.r_lex AS DOUBLE) END)
+         + (CASE WHEN sem.r_sem IS NULL THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(1.0 AS DOUBLE)
+                      / CAST({RRF_C} + sem.r_sem AS DOUBLE) END) AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, r_lex, r_sem, rrf
+FROM fused
+QUALIFY ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) <= {RRF_TOPK}
+"""
+
+
+@register(
+    "text_hybrid_rrf_topk",
+    oracle=_RRF_SQL,
+    doc=f"Hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+    f"2009): fuse a lexical BM25 ranking (OR over {BM25_TERMS}, "
+    "per-term scores integer-scaled to 1e-9 so the per-doc SUM is "
+    "exact in both engines — float sums of 2-3 terms would be "
+    "association-dependent) with a semantic cosine ranking against a "
+    f"fixed probe embedding (vec_id {RRF_PROBE_ID}), rrf = "
+    f"sum 1/({RRF_C}+rank) over the two depth-{RRF_LIST_K} lists — "
+    "exactly two correctly-rounded divisions and ONE double add per "
+    "doc, so scores are bit-identical cross-engine without rounding. "
+    "The production hybrid-search shape (dense + sparse fusion). "
+    "Scale: both input rankings reduce via TakeOrderedAndProject "
+    f"(per-partition top-{RRF_LIST_K} + driver merge, no global "
+    "sort); windows then rank <=20-row frames; the fuse join is "
+    "tiny-to-tiny. The corpus is passed twice (word explode with "
+    "term pushdown; one cosine map pass) — both single full scans, "
+    "no O(corpus) shuffle.",
+)
+def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..ops.similarity import cosine_col, nsq_col
+
+    d = load(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    dl = d.select("doc_id", F.size(w).cast("long").alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(w)).cast("long").alias("total_dl"),
+    )
+    words = d.select("doc_id", F.explode(w).alias("term")).where(
+        F.col("term").isin(*BM25_TERMS)
+    )
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = words.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    avgdl = dbl(F.col("total_dl")) / dbl(F.col("n_docs"))
+    idf = (dbl(F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (
+        dbl(F.col("df")) + F.lit(0.5)
+    )
+    norm = F.lit(0.25) + (F.lit(0.75) * dbl(F.col("dl"))) / avgdl
+    score = idf * (
+        (dbl(F.col("tf")) * F.lit(2.2))
+        / (dbl(F.col("tf")) + F.lit(1.2) * norm)
+    )
+    term_scores = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        # DECIMAL(38,0), not BIGINT: ratio-IDF grows with corpus size, so
+        # at ~4e9+ docs score*1e9 would wrap int64 (SCALE_AUDIT.md)
+        .select(
+            "doc_id",
+            F.round(score * F.lit(1e9)).cast("decimal(38,0)").alias("s9"),
+        )
+    )
+    lex_top = (
+        term_scores.groupBy("doc_id")
+        .agg(F.sum("s9").alias("s9sum"))
+        .orderBy(F.col("s9sum").desc(), F.col("doc_id").asc())
+        .limit(RRF_LIST_K)
+    )
+    lex = lex_top.withColumn(
+        "r_lex",
+        F.row_number().over(
+            Window.orderBy(F.col("s9sum").desc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "r_lex")
+
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "__nsq", nsq_col(F.col("embedding"))
+    )
+    probe = e.where(F.col("vec_id") == RRF_PROBE_ID).select(
+        F.col("embedding").alias("qv"), F.col("__nsq").alias("__qnsq")
+    )
+    cos = F.round(
+        cosine_col(
+            F.col("qv"), F.col("embedding"), F.col("__qnsq"), F.col("__nsq")
+        ),
+        9,
+    )
+    sem_top = (
+        e.where(F.col("vec_id") != RRF_PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(RRF_LIST_K)
+    )
+    sem = sem_top.withColumn(
+        "r_sem",
+        F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "r_sem")
+
+    contrib = lambda r: F.when(  # noqa: E731
+        r.isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(RRF_C) + r).cast("double"))
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("r_lex"), F.lit(0)).cast("long").alias("r_lex"),
+            F.coalesce(F.col("r_sem"), F.lit(0)).cast("long").alias("r_sem"),
+            (contrib(F.col("r_lex")) + contrib(F.col("r_sem"))).alias("rrf"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "__rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .where(F.col("__rnk") <= RRF_TOPK)
+        .drop("__rnk")
+    )

