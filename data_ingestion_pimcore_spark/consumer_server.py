@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import json
 import sys
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .sink import ChunkValidator
 
@@ -42,6 +42,16 @@ except ImportError:  # pragma: no cover - orjson present in this env
 
 class ConsumerHandler(BaseHTTPRequestHandler):
     """One validator per server: a consumer service instance."""
+
+    # HTTP/1.1 => keep-alive: the producer's HttpTransport holds ONE
+    # persistent connection for the whole sequential drain (1500 POSTs
+    # per 10x ingest) instead of a TCP handshake per chunk. Responses
+    # always carry Content-Length (_reply), which 1.1 requires.
+    protocol_version = "HTTP/1.1"
+    # TCP_NODELAY on accepted sockets: the unbuffered handler writes
+    # status/headers/body as separate sends; server-side Nagle would
+    # stall the response tail against the client's delayed ACK.
+    disable_nagle_algorithm = True
 
     validator: ChunkValidator
     chunks_acked = 0
@@ -92,17 +102,23 @@ class ConsumerHandler(BaseHTTPRequestHandler):
         pass
 
 
-def make_server(port: int = 0) -> HTTPServer:
-    """Build a single-threaded consumer server (the drain is sequential
-    per contract CV2, so one in-flight request per consumer is the
-    wire's own shape). Fresh handler subclass per server → independent
-    validator state per consumer instance."""
+def make_server(port: int = 0) -> ThreadingHTTPServer:
+    """Build a threaded consumer server. The DRAIN is sequential per
+    contract CV2 (one in-flight chunk), but keep-alive makes the
+    producer hold its connection open between chunks — a single-thread
+    server would sit on that idle socket and starve any second client
+    (the /stats probe, a second ingestion sharing the consumer), so
+    each CONNECTION gets a thread while chunk handling stays
+    effectively serial. Fresh handler subclass per server →
+    independent validator state per consumer instance."""
     handler = type(
         "Consumer",
         (ConsumerHandler,),
         {"validator": ChunkValidator(retain_records=False)},
     )
-    return HTTPServer(("127.0.0.1", port), handler)
+    srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    srv.daemon_threads = True
+    return srv
 
 
 def main() -> None:

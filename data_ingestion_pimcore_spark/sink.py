@@ -140,19 +140,65 @@ class HttpTransport:
     accepted; ``send_chunk_with_retry`` supplies the 3-attempt retry
     loop around it.
 
-    stdlib urllib (this container has no httpx); one persistent-enough
-    POST per chunk keeps the driver edge simple — the network emit is
-    sequential by contract anyway (CV2).
+    stdlib http.client over ONE persistent keep-alive connection (the
+    reference's httpx client pools connections the same way,
+    `json_reader.py:54`; this container has no httpx): urllib opened a
+    fresh TCP connection per chunk, paying connect + teardown syscalls
+    and GIL time 1500 times per 10x ingest — measurable drain dilation
+    once several ingestions share the driver's GIL. A request that
+    fails on a possibly-stale kept-alive socket transparently
+    reconnects ONCE before reporting a transport NACK (the normal
+    keep-alive race, not a delivery failure).
     """
 
     TIMEOUT_S = 60  # json_reader.py:54
 
     def __init__(self, callback_url: str):
+        from urllib.parse import urlparse
+
         self.callback_url = callback_url
+        u = urlparse(callback_url)
+        if u.scheme not in ("http", "https"):
+            raise ValueError(f"unsupported callback scheme: {u.scheme!r}")
+        self._https = u.scheme == "https"
+        self._host = u.hostname or ""
+        self._port = u.port
+        self._path = (u.path or "/") + (f"?{u.query}" if u.query else "")
+        self._conn = None
+
+    def _connection(self):
+        import http.client
+        import socket
+
+        if self._conn is None:
+            cls = (
+                http.client.HTTPSConnection
+                if self._https
+                else http.client.HTTPConnection
+            )
+            self._conn = cls(self._host, self._port, timeout=self.TIMEOUT_S)
+            # TCP_NODELAY: http.client sends headers and body as
+            # separate segments; on a REUSED connection Nagle holds the
+            # second until the first is ACKed, colliding with delayed
+            # ACK — measured 44.9 ms/chunk vs 3.1 fresh-connection
+            # (this is why naive keep-alive read SLOWER than
+            # per-request connections).
+            self._conn.connect()
+            self._conn.sock.setsockopt(
+                socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
+            )
+        return self._conn
+
+    def close(self):
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            except Exception:
+                pass
+            self._conn = None
 
     def __call__(self, payload: dict) -> AckResponse:
         import json as _json
-        import urllib.request
 
         if payload.get("records_json") is not None:
             # Records were already serialized in the executors; splice
@@ -173,22 +219,34 @@ class HttpTransport:
             )
         else:
             body = _json.dumps(payload).encode("utf-8")
-        req = urllib.request.Request(
-            self.callback_url,
-            data=body,
-            headers={"Content-Type": "application/json"},
-            method="POST",
-        )
         iid = payload.get("ingestion_id", "")
         n = payload.get("chunk_number", -1)
+        last_exc = None
+        for attempt in (0, 1):  # second try = one reconnect, see class doc
+            conn = self._connection()
+            try:
+                conn.request(
+                    "POST",
+                    self._path,
+                    body=body,
+                    headers={"Content-Type": "application/json"},
+                )
+                resp = conn.getresponse()
+                data = resp.read()  # must drain to reuse the connection
+                break
+            except Exception as exc:
+                self.close()
+                last_exc = exc
+        else:
+            # transport failure == NACK, retried by send_chunk_with_retry
+            return AckResponse(False, iid, n, f"transport error: {last_exc}")
         try:
-            with urllib.request.urlopen(req, timeout=self.TIMEOUT_S) as resp:
-                body = _json.loads(resp.read().decode("utf-8"))
-        except Exception as exc:  # transport failure == NACK, retried
+            parsed = _json.loads(data.decode("utf-8"))
+        except Exception as exc:
             return AckResponse(False, iid, n, f"transport error: {exc}")
         return AckResponse(
-            ack=bool(body.get("ack")),
-            ingestion_id=body.get("ingestion_id", iid),
-            chunk_number=body.get("chunk_number", n),
-            error=body.get("error"),
+            ack=bool(parsed.get("ack")),
+            ingestion_id=parsed.get("ingestion_id", iid),
+            chunk_number=parsed.get("chunk_number", n),
+            error=parsed.get("error"),
         )
