@@ -245,3 +245,54 @@ def test_numbered_log_namer():
     assert numbered_namer("/x/info/info.log.1") == "/x/info/info1.log"
     assert numbered_namer("/x/debug/debug.log.10") == "/x/debug/debug10.log"
     assert numbered_namer("/x/info/info.log") == "/x/info/info.log"
+
+
+def test_http_transport_reconnects_after_server_side_close():
+    """Persistent-connection transport (round 8): a server that closes
+    the connection after every response (HTTP/1.0 semantics — the
+    stale-keep-alive race in its most aggressive form) must not surface
+    transport NACKs: each call transparently reconnects once."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from data_ingestion_pimcore_spark.sink import HttpTransport
+
+    class CloseEveryTime(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.0"  # server closes after each reply
+
+        def do_POST(self):
+            body = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            out = _json.dumps(
+                {
+                    "ack": True,
+                    "ingestion_id": body["ingestion_id"],
+                    "chunk_number": body["chunk_number"],
+                    "error": None,
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), CloseEveryTime)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        transport = HttpTransport(
+            f"http://127.0.0.1:{srv.server_port}/callback"
+        )
+        for i in range(5):
+            resp = transport(
+                {"ingestion_id": "x", "chunk_number": i, "records": []}
+            )
+            assert resp.ack, (i, resp)
+    finally:
+        srv.shutdown()
