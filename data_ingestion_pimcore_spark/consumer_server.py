@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import sys
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .sink import ChunkValidator
@@ -54,23 +55,31 @@ class ConsumerHandler(BaseHTTPRequestHandler):
     disable_nagle_algorithm = True
 
     validator: ChunkValidator
+    # One lock per server subclass (see make_server): do_POST runs on a
+    # thread per connection, so the validator's check-then-update CV1/CV2
+    # steps and the shared counters must be serialized — two ingestions
+    # sharing one consumer is exactly the scenario threading exists for.
+    lock = threading.Lock()
     chunks_acked = 0
     records_acked = 0
 
     def do_POST(self):  # noqa: N802 (stdlib casing)
         body = _loads(self.rfile.read(int(self.headers["Content-Length"])))
-        v = type(self).validator
-        seen_before = len(v.received_chunks)
-        resp = v(body)
-        # Count only genuinely PROCESSED chunks: a CV1 duplicate replay
-        # is ACKed but must not inflate the exactly-once accounting.
-        if (
-            resp.ack
-            and body.get("status") != "COMPLETED"
-            and len(v.received_chunks) > seen_before
-        ):
-            type(self).chunks_acked += 1
-            type(self).records_acked += len(body.get("records") or ())
+        cls = type(self)
+        with cls.lock:
+            v = cls.validator
+            seen_before = len(v.received_chunks)
+            resp = v(body)
+            # Count only genuinely PROCESSED chunks: a CV1 duplicate
+            # replay is ACKed but must not inflate the exactly-once
+            # accounting.
+            if (
+                resp.ack
+                and body.get("status") != "COMPLETED"
+                and len(v.received_chunks) > seen_before
+            ):
+                cls.chunks_acked += 1
+                cls.records_acked += len(body.get("records") or ())
         self._reply(
             {
                 "ack": resp.ack,
@@ -81,14 +90,14 @@ class ConsumerHandler(BaseHTTPRequestHandler):
         )
 
     def do_GET(self):  # noqa: N802
-        v = type(self).validator
-        self._reply(
-            {
-                "chunks_acked": type(self).chunks_acked,
-                "records_acked": type(self).records_acked,
-                "completed": list(v.completed),
+        cls = type(self)
+        with cls.lock:
+            stats = {
+                "chunks_acked": cls.chunks_acked,
+                "records_acked": cls.records_acked,
+                "completed": list(cls.validator.completed),
             }
-        )
+        self._reply(stats)
 
     def _reply(self, obj: dict) -> None:
         out = json.dumps(obj).encode()
@@ -114,7 +123,7 @@ def make_server(port: int = 0) -> ThreadingHTTPServer:
     handler = type(
         "Consumer",
         (ConsumerHandler,),
-        {"validator": ChunkValidator(retain_records=False)},
+        {"validator": ChunkValidator(retain_records=False), "lock": threading.Lock()},
     )
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     srv.daemon_threads = True

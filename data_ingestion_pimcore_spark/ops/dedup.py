@@ -1214,3 +1214,156 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_canonical"),
         )
     )
+
+# ------------------------------------------ cross-snapshot dedup report
+
+NEAR_TAU = 0.5  # est_jaccard threshold for the near-dup verdict
+
+
+@register(
+    "dedup_cross_snapshot_report",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+), sigs AS (
+  SELECT doc_id,
+       {_SQL_SIG_SELECT}
+  FROM sh
+), banded AS (
+  SELECT doc_id, {_SQL_SIG_LIST},
+       {_SQL_BANDS}
+  FROM sigs
+), bands AS (
+{_SQL_BAND_UNION}
+), cb AS (
+  SELECT * FROM bands WHERE doc_id % 5 != 0
+), nb AS (
+  SELECT * FROM bands WHERE doc_id % 5 = 0
+), bkeep AS (
+  SELECT band_idx, band_hash FROM cb
+  GROUP BY band_idx, band_hash HAVING COUNT(*) <= {BAND_CAP}
+), ex AS (
+  SELECT n.doc_id AS new_doc_id, MIN(c.doc_id) AS match_doc_id
+  FROM documents n JOIN documents c
+    ON sha256(n.text) = sha256(c.text)
+  WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+  GROUP BY n.doc_id
+), near_cand AS (
+  SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id,
+         CAST({_SQL_N_EQUAL} AS DOUBLE) / {N_HASHES} AS est_jaccard
+  FROM nb a JOIN cb b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  JOIN bkeep k ON k.band_idx = a.band_idx AND k.band_hash = a.band_hash
+), near_best AS (
+  SELECT new_doc_id, corpus_doc_id AS match_doc_id, est_jaccard FROM (
+    SELECT new_doc_id, corpus_doc_id, est_jaccard,
+           ROW_NUMBER() OVER (PARTITION BY new_doc_id
+                              ORDER BY est_jaccard DESC, corpus_doc_id) AS rk
+    FROM near_cand WHERE est_jaccard >= {NEAR_TAU}
+  ) WHERE rk = 1
+)
+SELECT d.doc_id AS new_doc_id,
+       CASE WHEN ex.new_doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nbt.new_doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS status,
+       CASE WHEN ex.new_doc_id IS NOT NULL THEN ex.match_doc_id
+            ELSE nbt.match_doc_id END AS match_doc_id,
+       CASE WHEN ex.new_doc_id IS NOT NULL THEN 1.0
+            ELSE nbt.est_jaccard END AS est_jaccard
+FROM documents d
+LEFT JOIN ex ON ex.new_doc_id = d.doc_id
+LEFT JOIN near_best nbt ON nbt.new_doc_id = d.doc_id
+WHERE d.doc_id % 5 = 0
+""",
+    doc="Cross-snapshot incremental dedup report — the daily production "
+    "question: which of TODAY's newly-ingested documents already exist "
+    "in YESTERDAY's corpus, exactly or nearly? Composes the exact "
+    "content-hash manifest (ingest_upsert_snapshot's delta shape, "
+    "reference checksum lineage `app/utils/data_integrity.py`) with "
+    "the incremental MinHash-LSH probe (dedup_minhash_incremental): "
+    "each new doc is classified exact_dup (sha256 hit in yesterday's "
+    "manifest, match = senior copy), near_dup (best LSH candidate with "
+    f"est_jaccard >= {NEAR_TAU}, ties to the smallest corpus id), or "
+    "unique. At 100 TB yesterday's manifest is a persisted table "
+    "bucketed by content_hash and (band_idx, band_hash) — both probes "
+    "shuffle ONLY the new batch; corpus band buckets above "
+    f"{BAND_CAP} docs are dropped (exact-dup mega-clusters belong to "
+    "the hash layer, which catches them at O(n)).",
+)
+def dedup_cross_snapshot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+
+    # Layer 1: exact — the new batch probes yesterday's content-hash
+    # manifest (tiny projected join, senior copy = min doc_id).
+    ex = (
+        new.select(F.col("doc_id").alias("new_doc_id"), F.sha2("text", 256).alias("__h"))
+        .join(
+            corpus.select(F.sha2("text", 256).alias("__h"), F.col("doc_id").alias("__cid")),
+            "__h",
+        )
+        .groupBy("new_doc_id")
+        .agg(F.min("__cid").alias("ex_match"))
+    )
+
+    # Layer 2: near — new-batch bands probe the capped corpus band index
+    # (the dedup_minhash_incremental join), best candidate per new doc.
+    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
+    bands = _exploded_bands(sigs)
+    cb = _capped_bands(bands.where(F.col("doc_id") % 5 != 0))
+    nb = bands.where(F.col("doc_id") % 5 == 0)
+    a, b = nb.alias("a"), cb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("corpus_doc_id"),
+            sum(
+                (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int")
+                for i in range(N_HASHES)
+            ).alias("n_equal"),
+        )
+        .distinct()
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            (F.col("n_equal") / F.lit(float(N_HASHES))).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= NEAR_TAU)
+    )
+    from pyspark.sql.window import Window
+
+    wbest = Window.partitionBy("new_doc_id").orderBy(
+        F.desc("est_jaccard"), F.asc("corpus_doc_id")
+    )
+    best = (
+        cand.withColumn("rk", F.row_number().over(wbest))
+        .where(F.col("rk") == 1)
+        .select("new_doc_id", F.col("corpus_doc_id").alias("nd_match"), "est_jaccard")
+    )
+
+    out = (
+        new.select(F.col("doc_id").alias("new_doc_id"))
+        .join(ex, "new_doc_id", "left")
+        .join(best, "new_doc_id", "left")
+    )
+    is_ex = F.col("ex_match").isNotNull()
+    is_near = F.col("nd_match").isNotNull()
+    return out.select(
+        "new_doc_id",
+        F.when(is_ex, F.lit("exact_dup"))
+        .when(is_near, F.lit("near_dup"))
+        .otherwise(F.lit("unique"))
+        .alias("status"),
+        F.when(is_ex, F.col("ex_match")).otherwise(F.col("nd_match")).alias(
+            "match_doc_id"
+        ),
+        F.when(is_ex, F.lit(1.0)).otherwise(F.col("est_jaccard")).alias(
+            "est_jaccard"
+        ),
+    )

@@ -595,43 +595,75 @@ def _ingest_arrow_conf(spark: SparkSession, request: IngestRequest):
 
     Runtime confs are read per-execution, so the try/finally window
     covers exactly this ingestion's drain jobs. Concurrent ingestions
-    reference-count the window (module lock): the sentinel is set by
-    the first drain in and restored by the last one out, so a sibling
-    never loses it mid-flight. The record cap uses the SMALLEST active
-    chunk size — caps only tighten, never loosen, under concurrency.
+    reference-count the window (module lock) — BOTH modes register, so
+    the byte-cap sentinel is only ever set while NO byte-mode drain is
+    active in the session (a byte-mode ingest sharing the window would
+    otherwise silently lose the cap it relies on). The sentinel is
+    applied by the first count-mode drain in, dropped the moment a
+    byte-mode drain enters, re-applied when the last byte-mode drain
+    leaves, and fully restored by the last drain out. The record cap
+    uses the SMALLEST active chunk size — caps only tighten, never
+    loosen, under concurrency.
     """
-    if request.chunk_size_by_records is None:
-        yield
-        return
     conf = spark.conf
-    cap = min(10_000, request.chunk_size_by_records)
+    mode = "count" if request.chunk_size_by_records is not None else "byte"
     with _ARROW_CONF_LOCK:
-        if not _ARROW_CONF_STATE:
+        st = _ARROW_CONF_STATE
+        if not st:
             old = {}
             for k in (_MAX_BYTES_KEY, _MAX_RECS_KEY):
                 try:
                     old[k] = conf.get(k)
                 except Exception:
                     old[k] = None
-            _ARROW_CONF_STATE.update(saved=old, count=0, cap=cap)
-            conf.set(_MAX_BYTES_KEY, "2147483647")
-            conf.set(_MAX_RECS_KEY, str(cap))
-        elif cap < _ARROW_CONF_STATE["cap"]:
-            _ARROW_CONF_STATE["cap"] = cap
-            conf.set(_MAX_RECS_KEY, str(cap))
-        _ARROW_CONF_STATE["count"] += 1
+            st.update(saved=old, count=0, byte=0, cap=None)
+        st[mode] += 1
+        if mode == "count":
+            cap = min(10_000, request.chunk_size_by_records)
+            if st["cap"] is None or cap < st["cap"]:
+                st["cap"] = cap
+        _arrow_conf_sync(conf, st)
     try:
         yield
     finally:
         with _ARROW_CONF_LOCK:
-            _ARROW_CONF_STATE["count"] -= 1
-            if _ARROW_CONF_STATE["count"] == 0:
-                for k, v in _ARROW_CONF_STATE["saved"].items():
+            st = _ARROW_CONF_STATE
+            st[mode] -= 1
+            if st["count"] == 0 and st["byte"] == 0:
+                for k, v in st["saved"].items():
                     if v is None:
                         conf.unset(k)
                     else:
                         conf.set(k, v)
-                _ARROW_CONF_STATE.clear()
+                st.clear()
+            else:
+                _arrow_conf_sync(conf, st)
+
+
+def _arrow_conf_sync(conf, st: dict) -> None:
+    """Reconcile the Arrow batch caps with the active-drain census.
+
+    Called with ``_ARROW_CONF_LOCK`` held and ``st`` initialized. The
+    byte-size sentinel is safe only while every active drain is
+    count-mode (each batch then re-capped to a chunk's record count);
+    one byte-mode entrant and the saved cap comes straight back.
+    """
+
+    def _restore(key: str) -> None:
+        v = st["saved"][key]
+        if v is None:
+            conf.unset(key)
+        else:
+            conf.set(key, v)
+
+    if st["count"] > 0 and st["byte"] == 0:
+        conf.set(_MAX_BYTES_KEY, "2147483647")
+    else:
+        _restore(_MAX_BYTES_KEY)
+    if st["count"] > 0:
+        conf.set(_MAX_RECS_KEY, str(st["cap"]))
+    else:
+        _restore(_MAX_RECS_KEY)
 
 
 def ingest(

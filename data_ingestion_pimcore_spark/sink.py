@@ -223,8 +223,13 @@ class HttpTransport:
         n = payload.get("chunk_number", -1)
         last_exc = None
         for attempt in (0, 1):  # second try = one reconnect, see class doc
-            conn = self._connection()
             try:
+                # Connect INSIDE the try: a connect-time failure (consumer
+                # down or restarting between chunks) must surface as a
+                # transport NACK for send_chunk_with_retry's 3-attempt
+                # loop, not a raw socket exception — and must not leave
+                # self._conn pointing at a never-connected object.
+                conn = self._connection()
                 conn.request(
                     "POST",
                     self._path,

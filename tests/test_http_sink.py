@@ -247,6 +247,248 @@ def test_numbered_log_namer():
     assert numbered_namer("/x/info/info.log") == "/x/info/info.log"
 
 
+class _AckEcho(BaseHTTPRequestHandler):
+    """Minimal always-ACK consumer used by the transport-level tests."""
+
+    def do_POST(self):
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        out = json.dumps(
+            {
+                "ack": True,
+                "ingestion_id": body.get("ingestion_id"),
+                "chunk_number": body.get("chunk_number"),
+                "error": None,
+            }
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_http_transport_connect_failure_is_nack_and_recovers():
+    """Round-9 ADVICE: a connect-time failure (consumer down between
+    chunks) must surface as a transport NACK — feeding
+    send_chunk_with_retry's 3-attempt loop — never as a raw socket
+    exception, and must not leave the transport holding a
+    never-connected object: when the consumer comes back on the same
+    port, the very next call succeeds."""
+    srv = HTTPServer(("127.0.0.1", 0), _AckEcho)
+    port = srv.server_port
+    srv.server_close()  # nothing listening on `port` now
+
+    transport = HttpTransport(f"http://127.0.0.1:{port}/callback")
+    resp = transport({"ingestion_id": "x", "chunk_number": 0, "records": [1]})
+    assert not resp.ack
+    assert "transport error" in (resp.error or "")
+    assert transport._conn is None  # reset, not a half-built connection
+
+    # consumer restarts on the same port (allow_reuse_address): recovery
+    srv2 = HTTPServer(("127.0.0.1", port), _AckEcho)
+    t = threading.Thread(target=srv2.serve_forever, daemon=True)
+    t.start()
+    try:
+        resp = transport({"ingestion_id": "x", "chunk_number": 0, "records": [1]})
+        assert resp.ack, resp
+    finally:
+        srv2.shutdown()
+
+
+def test_http_transport_response_lost_replay_is_idempotent_ack(
+    spark, tmp_path
+):
+    """VERDICT r8 item 4a: the at-least-once ∘ idempotent-consumer
+    composition over the real wire. The server PROCESSES each chunk but
+    drops the connection before the ACK bytes leave (response lost) on
+    the first delivery; the transport's replay must land as a CV1
+    idempotent ACK, the ingest must complete, and the consumer must
+    have processed every chunk exactly once."""
+    v = ChunkValidator()
+    dropped: set = set()
+
+    class LoseFirstResponse(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_POST(self):
+            body = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            resp = v(body)  # ALWAYS processed — the response is what dies
+            key = (body.get("ingestion_id"), body.get("chunk_number"),
+                   body.get("status"))
+            # chunk responses only: a replayed COMPLETED event would
+            # legitimately append to v.completed twice (CV5 resets are
+            # idempotent for state, not for the accounting list) and
+            # muddy the exactly-once assertion below
+            if key not in dropped and body.get("status") != "COMPLETED":
+                dropped.add(key)
+                self.close_connection = True  # ACK bytes never sent
+                return
+            out = json.dumps(
+                {
+                    "ack": resp.ack,
+                    "ingestion_id": resp.ingestion_id,
+                    "chunk_number": resp.chunk_number,
+                    "error": resp.error,
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), LoseFirstResponse)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").limit(100)
+    transport = HttpTransport(f"http://127.0.0.1:{srv.server_port}/callback")
+    try:
+        s = ingest(
+            spark,
+            _req(f"{sf}/lineitem.parquet"),
+            li,
+            IngestionStateStore(str(tmp_path / "st.pq")),
+            transport,
+        )
+    finally:
+        # close the kept-alive client connection FIRST: the
+        # single-threaded server sits in handle_one_request reading it,
+        # and shutdown() can't interrupt a handler mid-read
+        transport.close()
+        srv.shutdown()
+    assert s.status == "COMPLETED" and s.total_records == 100
+    # every chunk processed EXACTLY once despite every response lost once
+    assert v.received_chunks == [0, 1, 2]
+    assert [len(r) for r in v.received_records] == [40, 40, 20]
+    assert v.completed == [s.ingestion_id]
+
+
+def test_http_transport_random_fault_soak(spark, tmp_path, http_consumer):
+    """VERDICT r8 item 4b: seeded random wire faults — lost response
+    after processing, HTTP 500 before processing, truncated response
+    body — injected per request across a whole ingest. Final consumer
+    and state-store outcomes must equal the fault-free run byte for
+    byte (chunk sequence, per-chunk record counts, completion)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    v = ChunkValidator()
+    consecutive: dict = {}  # per-chunk fault streak, capped under budget
+    faults_fired: list = []  # audit trail: (kind, key)
+
+    class FaultInjector(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_POST(self):
+            body = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            key = (body.get("ingestion_id"), body.get("chunk_number"),
+                   body.get("status"))
+            fault = rng.choice(["ok", "ok", "lost", "500", "half"])
+            # Stay inside the 3-attempt × 1-reconnect retry budget: after
+            # two consecutive faults on one chunk, let it through.
+            if consecutive.get(key, 0) >= 2:
+                fault = "ok"
+            # the K4 completion handshake is a SINGLE un-retried call
+            # (a NACKed completion leaves the ingestion resumable
+            # IN_PROGRESS by design, pipeline.py K4) — fault only the
+            # retried chunk deliveries
+            if body.get("status") == "COMPLETED":
+                fault = "ok"
+            if fault != "ok":
+                faults_fired.append((fault, key))
+            if fault == "500":
+                # transport-level failure BEFORE the consumer processes
+                consecutive[key] = consecutive.get(key, 0) + 1
+                self.send_response(500)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            resp = v(body)  # processed; the fault (if any) hits the reply
+            out = json.dumps(
+                {
+                    "ack": resp.ack,
+                    "ingestion_id": resp.ingestion_id,
+                    "chunk_number": resp.chunk_number,
+                    "error": resp.error,
+                }
+            ).encode()
+            if fault == "lost":
+                consecutive[key] = consecutive.get(key, 0) + 1
+                self.close_connection = True
+                return
+            if fault == "half":
+                consecutive[key] = consecutive.get(key, 0) + 1
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out[: len(out) // 2])  # IncompleteRead
+                self.close_connection = True
+                return
+            consecutive[key] = 0
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), FaultInjector)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").limit(200)
+    transport = HttpTransport(f"http://127.0.0.1:{srv.server_port}/callback")
+    try:
+        s = ingest(
+            spark,
+            _req(f"{sf}/lineitem.parquet"),
+            li,
+            IngestionStateStore(str(tmp_path / "faulty.pq")),
+            transport,
+        )
+    finally:
+        # client keep-alive connection must close before shutdown() —
+        # the single-threaded server blocks reading it otherwise
+        transport.close()
+        srv.shutdown()
+
+    # fault-free reference run over the clean consumer fixture
+    url, v_clean, _ = http_consumer
+    s_clean = ingest(
+        spark,
+        _req(f"{sf}/lineitem.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet").limit(200),
+        IngestionStateStore(str(tmp_path / "clean.pq")),
+        HttpTransport(url),
+    )
+
+    assert s.status == s_clean.status == "COMPLETED"
+    assert s.total_records == s_clean.total_records == 200
+    assert v.received_chunks == v_clean.received_chunks
+    assert [len(r) for r in v.received_records] == [
+        len(r) for r in v_clean.received_records
+    ]
+    assert v.received_records == v_clean.received_records  # content too
+    assert v.completed == [s.ingestion_id]
+    # the soak must have actually injected faults of more than one kind
+    assert len(faults_fired) >= 2, faults_fired
+    assert len({kind for kind, _ in faults_fired}) >= 2, faults_fired
+
+
 def test_http_transport_reconnects_after_server_side_close():
     """Persistent-connection transport (round 8): a server that closes
     the connection after every response (HTTP/1.0 semantics — the

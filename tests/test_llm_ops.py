@@ -945,3 +945,62 @@ def test_gopher_filters_match_hand_computed_fixture(spark):
         assert r["r_symbol_ratio"] is sym, doc_id
         assert r["r_stopwords"] is stop, doc_id
         assert r["verdict"] == verdict, doc_id
+
+
+def test_sim_knn_ivf_persisted_equals_ivf(spark, tmp_path, monkeypatch):
+    """The persisted index is a LIFECYCLE change, not a semantics one:
+    probing the parquet-materialized index must return exactly what
+    sim_knn_ivf computes inline (same deterministic centroids, same
+    probe sets, same true-cosine scores) — and a SECOND call must reuse
+    the on-disk artifact (build-once / query-many)."""
+    import os
+
+    from data_ingestion_pimcore_spark import registry
+    from data_ingestion_pimcore_spark.ops.similarity import _ivf_index_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = "/root/testdata/sf0.001"
+    qs = registry.all_queries()
+
+    def key(df):
+        return sorted(
+            (r.query_id, r.rk, r.neighbor_id, round(r.cosine, 9))
+            for r in df.toPandas().itertuples()
+        )
+
+    persisted = qs["sim_knn_ivf_persisted"].fn(spark, sf)
+    first = key(persisted)
+    assert first == key(qs["sim_knn_ivf"].fn(spark, sf))
+
+    idx_dir = _ivf_index_dir(sf)
+    assert os.path.isdir(os.path.join(idx_dir, "assignments"))
+    built_at = os.path.getmtime(os.path.join(idx_dir, "assignments"))
+    # second call: loads, never rebuilds, identical answer
+    assert key(qs["sim_knn_ivf_persisted"].fn(spark, sf)) == first
+    assert os.path.getmtime(os.path.join(idx_dir, "assignments")) == built_at
+    # the index layout IS the pruning story: one directory per cell
+    cells = [
+        d for d in os.listdir(os.path.join(idx_dir, "assignments"))
+        if d.startswith("cell=")
+    ]
+    assert len(cells) > 1
+
+
+def test_sim_quantize_int8_recall(spark):
+    """Int8 symmetric quantization keeps enough geometry that integer
+    top-5 overlaps float brute-force top-5 well above chance, on every
+    query."""
+    from data_ingestion_pimcore_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.all_queries()
+    bf = qs["sim_knn_bruteforce"].fn(spark, sf).toPandas()
+    q8 = qs["sim_quantize_int8_topk"].fn(spark, sf).toPandas()
+    assert len(q8) == len(bf)
+    overlaps = []
+    for qid in bf["query_id"].unique():
+        truth = set(bf[bf.query_id == qid].neighbor_id)
+        got = set(q8[q8.query_id == qid].neighbor_id)
+        overlaps.append(len(truth & got) / len(truth))
+    # int8 of 64-dim unit-ish vectors: near-lossless ranking expected
+    assert sum(overlaps) / len(overlaps) >= 0.8, overlaps

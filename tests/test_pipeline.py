@@ -773,10 +773,35 @@ def test_ingest_arrow_conf_window_refcounted(spark):
     assert spark.conf.get(_MAX_BYTES_KEY) == before_bytes
     assert spark.conf.get(_MAX_RECS_KEY) == before_recs
 
-    # byte-mode ingests leave the confs alone entirely
+    # byte-mode ingests leave the confs alone when running solo ...
     rb = IngestRequest(
         file_path="z", file_type="parquet",
         chunk_size_by_memory=1024, order_cols=("a",),
     )
     with _ingest_arrow_conf(spark, rb):
         assert spark.conf.get(_MAX_BYTES_KEY) == before_bytes
+        assert spark.conf.get(_MAX_RECS_KEY) == before_recs
+    assert spark.conf.get(_MAX_BYTES_KEY) == before_bytes
+
+    # ... and SUPPRESS the byte-cap sentinel while sharing the window
+    # with a count-mode drain: a blob-heavy byte-mode ingest must never
+    # silently lose the byte cap it relies on (round-9 ADVICE).
+    with _ingest_arrow_conf(spark, r1):
+        assert spark.conf.get(_MAX_BYTES_KEY) == "2147483647"
+        with _ingest_arrow_conf(spark, rb):
+            # byte-mode entrant drops the sentinel immediately ...
+            assert spark.conf.get(_MAX_BYTES_KEY) == before_bytes
+            # ... but the count-mode record cap stays (caps only tighten)
+            assert spark.conf.get(_MAX_RECS_KEY) == "4000"
+        # last byte-mode exit re-applies the sentinel for the survivor
+        assert spark.conf.get(_MAX_BYTES_KEY) == "2147483647"
+    assert spark.conf.get(_MAX_BYTES_KEY) == before_bytes
+    assert spark.conf.get(_MAX_RECS_KEY) == before_recs
+
+    # byte-mode entering FIRST blocks the sentinel for a later count-mode
+    with _ingest_arrow_conf(spark, rb):
+        with _ingest_arrow_conf(spark, r2):
+            assert spark.conf.get(_MAX_BYTES_KEY) == before_bytes
+            assert spark.conf.get(_MAX_RECS_KEY) == "2000"
+    assert spark.conf.get(_MAX_BYTES_KEY) == before_bytes
+    assert spark.conf.get(_MAX_RECS_KEY) == before_recs

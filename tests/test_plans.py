@@ -1542,3 +1542,42 @@ def test_mmr_plan_distributed_relevance_and_greedy_matches_brute(spark):
     # rank 1 must be the globally most relevant candidate's lambda*rel
     r1_vec, r1_mmr = got[1]
     assert abs(r1_mmr / MMR_LAMBDA) <= 1.0000001
+
+
+def test_quantize_int8_topk_plan_shape(spark):
+    """Int8 top-k must stay pure-JVM: quantization is a codegen'd
+    projection, the query side broadcasts, the per-query rank is a
+    WindowGroupLimit partial — shuffle O(queries x k)."""
+    plan = plan_of(spark, "sim_quantize_int8_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_ivf_persisted_probe_prunes_partitions(spark, tmp_path, monkeypatch):
+    """The persisted-index probe's plan must show PARTITION pruning on
+    the cell filter — the scan touches nprobe cell directories, not the
+    corpus (the 100 TB point of persisting the index cell-partitioned)."""
+    import re as _re
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    plan = plan_of(spark, "sim_knn_ivf_persisted")
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    # the index scan enumerates only the probed cells
+    pc = _re.search(r"PartitionCount: (\d+)", plan)
+    from data_ingestion_pimcore_spark.ops.similarity import N_CELLS
+
+    if pc:  # present in formatted scan details
+        assert int(pc.group(1)) < N_CELLS, plan
+
+
+def test_cross_snapshot_report_plan_shape(spark):
+    """Both probe layers are equi-joins against yesterday's manifest
+    (hash layer) and band index (LSH layer): no cartesian product, no
+    per-row Python, and the delta-side filters reach the scans."""
+    plan = plan_of(spark, "dedup_cross_snapshot_report")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan  # best-candidate rank is partial

@@ -23,6 +23,10 @@ NO_ORACLE_PROPERTY_TESTS = {
     "sim_knn_blocked": "tests/test_llm_ops.py::test_blocked_knn_equals_bruteforce",
     "sim_knn_ivf": "tests/test_llm_ops.py::test_sim_knn_ivf_recall_vs_bruteforce",
     "sim_knn_pq": "tests/test_llm_ops.py::test_sim_knn_pq_recall_vs_bruteforce",
+    # persisted-index lifecycle: exact equality vs the inline IVF query
+    "sim_knn_ivf_persisted": (
+        "tests/test_llm_ops.py::test_sim_knn_ivf_persisted_equals_ivf"
+    ),
 }
 
 
