@@ -1278,12 +1278,12 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ int8 quantization
 
 INT8_Q = 127.0  # symmetric per-vector scale: q = floor(x * 127/max|x| + .5)
+INT8_SHORTLIST = 4 * K  # int8 coarse shortlist fed to the exact re-rank
 
-
-@register(
-    "sim_quantize_int8_topk",
-    oracle=f"""
-WITH e AS (
+# Shared CTE chain: quantize -> integer norms -> integer-cosine rank.
+# Every step is exact (bigint) or a single correctly-rounded IEEE op on
+# exactly-representable doubles, so Spark and DuckDB match bit-for-bit.
+_INT8_SQL_CTES = f"""e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), s AS (
   SELECT vec_id, v,
@@ -1316,23 +1316,16 @@ WITH e AS (
                                         * CAST(qn_q AS DOUBLE)), 9) DESC,
                                  neighbor_id) AS rk
   FROM scored
-)
-SELECT query_id, neighbor_id, qdot, qcos, rk FROM ranked WHERE rk <= {K}
-""",
-    doc="Symmetric per-vector int8 quantization — PQ's cheaper cousin "
-    "and the standard first compression step at 100 TB (4x smaller "
-    "vectors, integer SIMD dot products, no codebook training). Each "
-    "vector scales to max|x| -> 127; top-k runs entirely on the "
-    "quantized integers (exact bigint arithmetic, so the DuckDB "
-    "oracle matches bit-for-bit: scale/multiply/floor are "
-    "deterministic IEEE double ops on both engines, the dot product "
-    "is integer). Recall vs the float brute-force is bounded in "
-    "tests/test_llm_ops.py::test_sim_quantize_int8_recall. The plan "
-    "is one corpus scan, broadcast query side, WindowGroupLimit "
-    "partial rank — shuffle O(queries x k), corpus-independent.",
-)
-def sim_quantize_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+)"""
+
+
+def _int8_ranked(e: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, qdot, qcos, rk) — the integer-cosine
+    rank over symmetric-int8-quantized vectors (Spark twin of
+    ``_INT8_SQL_CTES``). Integer cosine: exact bigint dot / sqrt of
+    exact bigint norms — a ratio of exactly-representable doubles, so
+    bit-identical cross-engine (raw qdot ranks by INNER PRODUCT, which
+    diverges from the float cosine baseline on unnormalized corpora)."""
     maxabs = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
@@ -1366,10 +1359,6 @@ def sim_quantize_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    # Integer cosine: exact bigint dot / sqrt of exact bigint norms —
-    # a ratio of exactly-representable doubles, so still bit-identical
-    # cross-engine (raw qdot ranks by INNER PRODUCT, which diverges
-    # from the float cosine baseline on unnormalized corpora).
     scored = q8n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -1384,10 +1373,101 @@ def sim_quantize_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = scored.select("query_id", "neighbor_id", "qdot", qcos.alias("qcos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w))
+
+
+@register(
+    "sim_quantize_int8_topk",
+    oracle=f"""
+WITH {_INT8_SQL_CTES}
+SELECT query_id, neighbor_id, qdot, qcos, rk FROM ranked WHERE rk <= {K}
+""",
+    doc="Symmetric per-vector int8 quantization — PQ's cheaper cousin "
+    "and the standard first compression step at 100 TB (4x smaller "
+    "vectors, integer SIMD dot products, no codebook training). Each "
+    "vector scales to max|x| -> 127; top-k runs entirely on the "
+    "quantized integers (exact bigint arithmetic, so the DuckDB "
+    "oracle matches bit-for-bit: scale/multiply/floor are "
+    "deterministic IEEE double ops on both engines, the dot product "
+    "is integer). Recall vs the float brute-force is bounded in "
+    "tests/test_llm_ops.py::test_sim_quantize_int8_recall. The plan "
+    "is one corpus scan, broadcast query side, WindowGroupLimit "
+    "partial rank — shuffle O(queries x k), corpus-independent.",
+)
+def sim_quantize_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        _int8_ranked(e)
         .where(F.col("rk") <= K)
         .select("query_id", "neighbor_id", "qdot", "qcos", "rk")
+    )
+
+
+@register(
+    "sim_knn_int8_rerank",
+    oracle=f"""
+WITH {_INT8_SQL_CTES}, short AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rk <= {INT8_SHORTLIST}
+), rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND(list_cosine_similarity(qe.v, ne.v), 9) AS cosine
+  FROM short s
+  JOIN e qe ON qe.vec_id = s.query_id
+  JOIN e ne ON ne.vec_id = s.neighbor_id
+), rr AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM rer
+)
+SELECT query_id, neighbor_id, cosine, rk FROM rr WHERE rk <= {K}
+""",
+    doc="The production int8 two-stage: coarse scan on quantized "
+    f"integers keeps a {INT8_SHORTLIST}-deep shortlist per query, then "
+    "the TRUE float cosine re-ranks only shortlist-many full vectors — "
+    "the same memory-bound shape as sim_knn_pq's ADC+re-rank but with "
+    "zero codebook training. Both stages are deterministic, so unlike "
+    "the PQ/IVF variants this composition carries an EXACT DuckDB "
+    "oracle end-to-end. At 100 TB the coarse stage reads 64 bytes/"
+    "vector instead of 256 and the re-rank touches O(queries x "
+    "shortlist) vectors; shuffle stays corpus-independent.",
+)
+def sim_knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "__nsq", nsq_col(F.col("embedding"))
+    )
+    short = (
+        _int8_ranked(e)
+        .where(F.col("rk") <= INT8_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qe = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("__nsq").alias("__qnsq"),
+    )
+    # tiny shortlist broadcasts into the corpus scan; query side is tiny
+    rer = (
+        e.join(
+            F.broadcast(short), e["vec_id"] == short["neighbor_id"]
+        )
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_col(
+                    F.col("qv"), F.col("embedding"), F.col("__qnsq"), F.col("__nsq")
+                ),
+                9,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
     )
 
 

@@ -1004,3 +1004,21 @@ def test_sim_quantize_int8_recall(spark):
         overlaps.append(len(truth & got) / len(truth))
     # int8 of 64-dim unit-ish vectors: near-lossless ranking expected
     assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
+
+
+def test_sim_knn_int8_rerank_recall(spark):
+    """Exact re-rank of the int8 coarse shortlist must recover (almost)
+    the float brute-force top-5: every returned cosine is a true cosine
+    and mean recall@5 beats the un-reranked int8 ranking."""
+    from data_ingestion_pimcore_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    qs = registry.all_queries()
+    bf = qs["sim_knn_bruteforce"].fn(spark, sf).toPandas()
+    rr = qs["sim_knn_int8_rerank"].fn(spark, sf).toPandas()
+    truth = {(r.query_id, r.neighbor_id): r.cosine for r in bf.itertuples()}
+    got = {(r.query_id, r.neighbor_id): r.cosine for r in rr.itertuples()}
+    hits = set(got) & set(truth)
+    for k in hits:  # re-ranked scores are TRUE cosines
+        assert abs(got[k] - truth[k]) < 1e-9
+    assert len(hits) / len(truth) >= 0.85, len(hits) / len(truth)
