@@ -179,6 +179,12 @@ HEADLINE = [
     "sim_hard_negatives",
     "text_hybrid_rrf_topk",
     "sim_mmr_diverse_topk",
+    # round-9 additions: int8 quantization + two-stage re-rank,
+    # persisted IVF index probe, cross-snapshot dedup report
+    "sim_quantize_int8_topk",
+    "sim_knn_int8_rerank",
+    "sim_knn_ivf_persisted",
+    "dedup_cross_snapshot_report",
 ]
 
 
@@ -778,6 +784,16 @@ REF_LOOP_QUIET_RPS = 250_000.0
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Soft wall budget: the scale probes are individually optional, and
+    # an external kill loses the WHOLE artifact (the driver parses the
+    # tail of stdout) — so each heavy probe is skipped unless enough
+    # budget remains for it plus the closing query passes.
+    t_start = time.time()
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3600"))
+
+    def _remaining() -> float:
+        return budget_s - (time.time() - t_start)
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -851,7 +867,9 @@ def main() -> None:
     timings["load_index"] = round(REF_LOOP_QUIET_RPS / timings["ref_loop_rps"], 3)
     print(f"# load_index: {timings['load_index']:.2f} (1.0 = quiet window)",
           file=sys.stderr)
-    conc = bench_ingest_concurrent(sf_dir)
+    conc = bench_ingest_concurrent(sf_dir) if _remaining() > 2700 else None
+    if conc is None and _remaining() <= 2700:
+        print("# concurrent probe SKIPPED (wall budget)", file=sys.stderr)
     if conc is not None:
         # Headline = the MAX bracket-paired trial (bursts only depress)
         timings["ingest_concurrent_4x"] = round(conc["agg_best"], 1)
@@ -874,7 +892,13 @@ def main() -> None:
             f"[{conc['scalings'][0]:.2f}, {conc['scalings'][-1]:.2f}]",
             file=sys.stderr,
         )
-    rps10 = bench_ingest_scale(sf_dir, factor=10, n_runs=3, discard=True)
+    rps10 = (
+        bench_ingest_scale(sf_dir, factor=10, n_runs=3, discard=True)
+        if _remaining() > 2400
+        else None
+    )
+    if rps10 is None and _remaining() <= 2400:
+        print("# ingest_10x probe SKIPPED (wall budget)", file=sys.stderr)
     if rps10 is not None:
         runs10, ref10, ratio10 = rps10
         timings["ingest_records_per_sec_10x"] = round(runs10[1], 1)
@@ -905,7 +929,13 @@ def main() -> None:
             f"decomposition)",
             file=sys.stderr,
         )
-    rps100 = bench_ingest_scale(sf_dir, factor=100, n_runs=2, discard=False)
+    rps100 = (
+        bench_ingest_scale(sf_dir, factor=100, n_runs=2, discard=False)
+        if _remaining() > 1800
+        else None
+    )
+    if rps100 is None and _remaining() <= 1800:
+        print("# ingest_100x probe SKIPPED (wall budget)", file=sys.stderr)
     if rps100 is not None:
         runs100, ref100, ratio100 = rps100
         timings["ingest_records_per_sec_100x"] = round(runs100[-1], 1)
@@ -919,7 +949,9 @@ def main() -> None:
             f"{ratio100[-1]:.2f}]",
             file=sys.stderr,
         )
-    sf1 = bench_core_sf1(sf_dir)
+    sf1 = bench_core_sf1(sf_dir) if _remaining() > 1200 else None
+    if sf1 is None and _remaining() <= 1200:
+        print("# sf1 core-set probe SKIPPED (wall budget)", file=sys.stderr)
     if sf1 is not None:
         timings["core_total_sec_sf1"] = sf1["core_total_sec_sf1"]
         timings["ingest_records_per_sec_sf1"] = sf1["ingest_rps_sf1"]
