@@ -794,6 +794,7 @@ def main() -> None:
     def _remaining() -> float:
         return budget_s - (time.time() - t_start)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -817,6 +818,16 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+
+    def _checkpoint() -> None:
+        # Crash insurance: the driver parses the LAST JSON line in its
+        # ~2000-char stdout tail, so if an external kill lands mid-run
+        # (the probe set has grown to ~35 min of wall), the most recent
+        # checkpoint still yields a parseable partial artifact instead
+        # of nothing. The final line, printed last, supersedes these.
+        t = round(sum(v for k, v in timings.items() if k not in _NON_TIMING), 3)
+        c = round(sum(v for k, v in timings.items() if k in _CORE), 3)
+        print(_compact_line(timings, t, c, sf_val), flush=True)
 
     # Ingest e2e runs FIRST: it is the measurement most sensitive to
     # accumulated JVM state (broadcast blocks, shuffle files, GC debt
@@ -892,6 +903,7 @@ def main() -> None:
             f"[{conc['scalings'][0]:.2f}, {conc['scalings'][-1]:.2f}]",
             file=sys.stderr,
         )
+    _checkpoint()
     rps10 = (
         bench_ingest_scale(sf_dir, factor=10, n_runs=3, discard=True)
         if _remaining() > 2400
@@ -929,6 +941,7 @@ def main() -> None:
             f"decomposition)",
             file=sys.stderr,
         )
+    _checkpoint()
     rps100 = (
         bench_ingest_scale(sf_dir, factor=100, n_runs=2, discard=False)
         if _remaining() > 1800
@@ -949,6 +962,7 @@ def main() -> None:
             f"{ratio100[-1]:.2f}]",
             file=sys.stderr,
         )
+    _checkpoint()
     sf1 = bench_core_sf1(sf_dir) if _remaining() > 1200 else None
     if sf1 is None and _remaining() <= 1200:
         print("# sf1 core-set probe SKIPPED (wall budget)", file=sys.stderr)
@@ -965,6 +979,7 @@ def main() -> None:
         for k, v in sorted(sf1["core_sf1"].items()):
             print(f"# sf1 {k}: {v:.2f}s", file=sys.stderr)
 
+    _checkpoint()
     all_q = registry.all_queries()
     names = sorted(all_q) if os.environ.get("BENCH_ALL") else HEADLINE
     # Two FULL passes, min per query: co-tenant CPU bursts on this
@@ -984,6 +999,8 @@ def main() -> None:
                 timings[name] = dt
             if _pass:
                 print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        if not _pass:
+            _checkpoint()
 
     excel = bench_excel_multifile(spark)
     if excel is not None:
@@ -997,42 +1014,6 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    _NON_TIMING = (
-        "ingest_records_per_sec",
-        "ingest_records_per_sec_min",
-        "ingest_records_per_sec_max",
-        "ingest_records_per_sec_10x",
-        "ingest_records_per_sec_10x_min",
-        "ingest_records_per_sec_10x_max",
-        "ingest_records_per_sec_100x",
-        "ingest_records_per_sec_100x_min",
-        "ingest_records_per_sec_sf1",
-        "core_total_sec_sf1",
-        "ingest_e2e_cold",
-        "ingest_concurrent_4x",
-        "ingest_concurrent_4x_min",
-        "ingest_concurrent_4x_max",
-        "ingest_single_http",
-        "ingest_concurrent_scaling",
-        "ingest_concurrent_scaling_min",
-        "ingest_concurrent_scaling_med",
-        "ref_loop_rps",
-        "ref_loop_rps_min",
-        "ref_loop_rps_max",
-        "ref_loop_rps_10x",
-        "bar_ratio",
-        "bar_ratio_min",
-        "bar_ratio_max",
-        "bar_ratio_10x",
-        "bar_ratio_10x_min",
-        "bar_ratio_10x_max",
-        "bar_ratio_100x",
-        "bar_ratio_100x_max",
-        "load_index",
-        "excel_scan_32files_speedup",
-        "excel_scan_1file_sec",
-        "excel_scan_32files_sec",
-    )
     total = round(
         sum(v for k, v in timings.items() if k not in _NON_TIMING), 3
     )
@@ -1041,7 +1022,6 @@ def main() -> None:
     # the FIXED round-1 query set only (module-level _CORE), so it is
     # the number to compare across BENCH_r{N}.json files.
     core = round(sum(v for k, v in timings.items() if k in _CORE), 3)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
         "metric": "headline_total_sec",
         "value": total,
@@ -1068,49 +1048,96 @@ def main() -> None:
             json.dump(full, f)
     except OSError:
         pass
+    sys.stdout.flush()
+    print(_compact_line(timings, total, core, sf_val))
+
+
+_COMPACT_EXTRAS = (
+    "ingest_records_per_sec",
+    "ingest_records_per_sec_min",
+    "ingest_records_per_sec_max",
+    "ingest_records_per_sec_10x",
+    "ingest_records_per_sec_10x_min",
+    "ingest_records_per_sec_10x_max",
+    "ingest_records_per_sec_100x",
+    "ingest_records_per_sec_100x_min",
+    "ingest_records_per_sec_sf1",
+    "core_total_sec_sf1",
+    "ingest_concurrent_4x",
+    "ingest_concurrent_scaling",
+    "ingest_concurrent_scaling_min",
+    "ingest_concurrent_scaling_med",
+    "ref_loop_rps",
+    "ref_loop_rps_10x",
+    "bar_ratio",
+    "bar_ratio_min",
+    "bar_ratio_max",
+    "bar_ratio_10x",
+    "bar_ratio_10x_min",
+    "bar_ratio_10x_max",
+    "bar_ratio_100x",
+    "load_index",
+    "excel_scan_32files_speedup",
+)
+
+
+# Metric keys excluded from the headline_total_sec wall-time sum
+# (throughputs, ratios, speedups — not seconds of query time).
+_NON_TIMING = (
+    "ingest_records_per_sec",
+    "ingest_records_per_sec_min",
+    "ingest_records_per_sec_max",
+    "ingest_records_per_sec_10x",
+    "ingest_records_per_sec_10x_min",
+    "ingest_records_per_sec_10x_max",
+    "ingest_records_per_sec_100x",
+    "ingest_records_per_sec_100x_min",
+    "ingest_records_per_sec_sf1",
+    "core_total_sec_sf1",
+    "ingest_e2e_cold",
+    "ingest_concurrent_4x",
+    "ingest_concurrent_4x_min",
+    "ingest_concurrent_4x_max",
+    "ingest_single_http",
+    "ingest_concurrent_scaling",
+    "ingest_concurrent_scaling_min",
+    "ingest_concurrent_scaling_med",
+    "ref_loop_rps",
+    "ref_loop_rps_min",
+    "ref_loop_rps_max",
+    "ref_loop_rps_10x",
+    "bar_ratio",
+    "bar_ratio_min",
+    "bar_ratio_max",
+    "bar_ratio_10x",
+    "bar_ratio_10x_min",
+    "bar_ratio_10x_max",
+    "bar_ratio_100x",
+    "bar_ratio_100x_max",
+    "load_index",
+    "excel_scan_32files_speedup",
+    "excel_scan_1file_sec",
+    "excel_scan_32files_sec",
+)
+
+
+def _compact_line(timings: dict, total: float, core: float, sf_val) -> str:
+    """The ~1.6 kB summary line the driver's tail capture parses: the
+    fixed core-set per-query timings plus the headline scale metrics."""
     compact_q = {k: v for k, v in timings.items() if k in _CORE}
-    for extra in (
-        "ingest_records_per_sec",
-        "ingest_records_per_sec_min",
-        "ingest_records_per_sec_max",
-        "ingest_records_per_sec_10x",
-        "ingest_records_per_sec_10x_min",
-        "ingest_records_per_sec_10x_max",
-        "ingest_records_per_sec_100x",
-        "ingest_records_per_sec_100x_min",
-        "ingest_records_per_sec_sf1",
-        "core_total_sec_sf1",
-        "ingest_concurrent_4x",
-        "ingest_concurrent_scaling",
-        "ingest_concurrent_scaling_min",
-        "ingest_concurrent_scaling_med",
-        "ref_loop_rps",
-        "ref_loop_rps_10x",
-        "bar_ratio",
-        "bar_ratio_min",
-        "bar_ratio_max",
-        "bar_ratio_10x",
-        "bar_ratio_10x_min",
-        "bar_ratio_10x_max",
-        "bar_ratio_100x",
-        "load_index",
-        "excel_scan_32files_speedup",
-    ):
+    for extra in _COMPACT_EXTRAS:
         if extra in timings:
             compact_q[extra] = timings[extra]
-    sys.stdout.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "core_total_sec": core,
-                "queries": compact_q,
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
+    return json.dumps(
+        {
+            "metric": "headline_total_sec",
+            "value": total,
+            "unit": "sec",
+            "core_total_sec": core,
+            "queries": compact_q,
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
     )
 
 
