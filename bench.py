@@ -185,6 +185,7 @@ HEADLINE = [
     "sim_knn_int8_rerank",
     "sim_knn_ivf_persisted",
     "dedup_cross_snapshot_report",
+    "sim_ivf_index_upsert",
 ]
 
 

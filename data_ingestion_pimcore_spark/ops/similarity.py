@@ -244,14 +244,19 @@ _IVF_SEED = 7
 _CENTROID_CACHE: dict[tuple, np.ndarray] = {}
 
 
-def _ivf_centroids(e: DataFrame, n_cells: int, iters: int = 2) -> np.ndarray:
+def _ivf_centroids(
+    e: DataFrame, n_cells: int, iters: int = 2, cache_salt: str = ""
+) -> np.ndarray:
     """Deterministic k-means centroids: seed with the ``n_cells``
     hash-smallest vectors (one TakeOrdered job, same sampler as the
     chunker), then ``iters`` Lloyd rounds where assignment is a single
     broadcast matmul per Arrow batch and the update is one groupBy —
     every round is one pass, no iterative driver collect of data rows."""
     files = tuple(sorted(e.inputFiles()))
-    ck = (files, n_cells, iters) if files else None
+    # cache_salt: inputFiles() can't see a row FILTER on e, so callers
+    # training on a subset of the same files (the upsert base corpus)
+    # must salt the key or they'd collide with the full-corpus entry.
+    ck = (files, n_cells, iters, cache_salt) if files else None
     if ck is not None and ck in _CENTROID_CACHE:
         return _CENTROID_CACHE[ck]
     seed_rows = (
@@ -1492,18 +1497,12 @@ def _ivf_index_dir(sf_dir: str) -> str:
     return os.path.join(root, hashlib.sha256(key.encode()).hexdigest()[:16])
 
 
-def _build_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
-    """Materialize the IVF index as parquet: a 16-row centroid table
-    plus the full corpus assignments written ``partitionBy("cell")`` —
-    on disk, a cell IS a directory, so probe-time cell filters become
-    partition pruning and nprobe/ncells of the bytes are ever read.
-    Build-then-rename keeps concurrent readers off a partial index."""
-    import os
-    import shutil
-
-    e = load(spark, sf_dir, "embeddings")
-    cents = _ivf_centroids(e, N_CELLS)
-    bc = spark.sparkContext.broadcast(cents)
+def _assign_cells(source: DataFrame, cents: np.ndarray) -> DataFrame:
+    """(vec_id, embedding, cell): nearest-centroid assignment, one
+    broadcast matmul per Arrow batch — the shared encode step of index
+    build AND incremental append (same math as sim_knn_ivf's
+    query-time assignment, so all three agree on cells)."""
+    bc = source.sparkSession.sparkContext.broadcast(cents)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cmat = bc.value
@@ -1514,9 +1513,43 @@ def _build_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             yield pdf.assign(cell=np.argmax(mat @ cmat.T, axis=1).astype("int64"))
 
-    assigned = spread(e.select("vec_id", "embedding")).mapInPandas(
+    return spread(source.select("vec_id", "embedding")).mapInPandas(
         assign, schema="vec_id long, embedding array<float>, cell long"
     )
+
+
+def _read_centroids(spark: SparkSession, path: str) -> np.ndarray:
+    import os
+
+    crows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    cents = np.zeros((len(crows), len(crows[0]["centroid"])))
+    for r in crows:
+        cents[r["cell"]] = r["centroid"]
+    return cents
+
+
+def _build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    source: DataFrame | None = None,
+    cents: np.ndarray | None = None,
+) -> None:
+    """Materialize the IVF index as parquet: a 16-row centroid table
+    plus the full corpus assignments written ``partitionBy("cell")`` —
+    on disk, a cell IS a directory, so probe-time cell filters become
+    partition pruning and nprobe/ncells of the bytes are ever read.
+    Build-then-rename keeps concurrent readers off a partial index.
+    ``source``/``cents`` overrides support the incremental-upsert
+    lifecycle (build over a corpus subset; rebuild with pinned
+    centroids for the equality property test)."""
+    import os
+    import shutil
+
+    e = source if source is not None else load(spark, sf_dir, "embeddings")
+    if cents is None:
+        cents = _ivf_centroids(e, N_CELLS)
+    assigned = _assign_cells(e, cents)
     tmp = f"{path}.build-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
@@ -1553,11 +1586,15 @@ def sim_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ivf_index_dir(sf_dir)
     if not os.path.isdir(os.path.join(path, "assignments")):
         _build_ivf_index(spark, sf_dir, path)
+    return _probe_ivf_index(spark, sf_dir, path)
 
-    crows = spark.read.parquet(os.path.join(path, "centroids")).collect()
-    cents = np.zeros((len(crows), len(crows[0]["centroid"])))
-    for r in crows:
-        cents[r["cell"]] = r["centroid"]
+
+def _probe_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Query the persisted index at ``path``: load centroids, pick each
+    query's nprobe cells, scan ONLY those cell partitions, score."""
+    import os
+
+    cents = _read_centroids(spark, path)
     e = load(spark, sf_dir, "embeddings")
     qrows = (
         e.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
@@ -1611,3 +1648,51 @@ def sim_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+UPSERT_MOD = 10
+UPSERT_SLOT = 7  # vec_id % 10 == 7 is "today's new vectors"
+
+
+@register(
+    "sim_ivf_index_upsert",
+    oracle=None,  # equality vs a pinned-centroid full rebuild in pytest
+    doc="Incremental index maintenance — the third leg of the "
+    "production vector-store lifecycle after build-once "
+    "(sim_knn_ivf_persisted) and query-many: a NEW batch of vectors "
+    "(vec_id % 10 == 7, today's ingest) is appended to yesterday's "
+    "persisted index without touching the existing data. Append = "
+    "assign the batch to the EXISTING centroids (one broadcast matmul "
+    "pass over just the batch) and write new parquet files into the "
+    "matching cell directories — O(batch), not O(corpus), and the "
+    "probe path is unchanged. Centroids intentionally stay fixed "
+    "(re-training shifts assignments of already-indexed vectors; "
+    "production systems re-train offline and swap whole index "
+    "generations — the build-then-rename path here). Idempotence is a "
+    "marker file; a real deployment would commit the append through a "
+    "manifest like ts_stream_exactly_once_sink's. Equality with a "
+    "pinned-centroid full rebuild is asserted in "
+    "tests/test_llm_ops.py::test_sim_ivf_index_upsert_equals_rebuild.",
+)
+def sim_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = _ivf_index_dir(sf_dir) + "-upsertbase"
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") % UPSERT_MOD != UPSERT_SLOT)
+    batch = e.where(F.col("vec_id") % UPSERT_MOD == UPSERT_SLOT)
+    if not os.path.isdir(os.path.join(path, "assignments")):
+        # yesterday's index: built over the corpus WITHOUT today's
+        # batch; salted centroid training (the subset filter is
+        # invisible to the inputFiles-keyed cache)
+        cents = _ivf_centroids(corpus, N_CELLS, cache_salt="upsertbase")
+        _build_ivf_index(spark, sf_dir, path, source=corpus, cents=cents)
+    marker = os.path.join(path, "_UPSERTED")
+    if not os.path.exists(marker):
+        cents = _read_centroids(spark, path)
+        _assign_cells(batch, cents).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(os.path.join(path, "assignments"))
+        with open(marker, "w") as f:
+            f.write("1")
+    return _probe_ivf_index(spark, sf_dir, path)

@@ -1022,3 +1022,44 @@ def test_sim_knn_int8_rerank_recall(spark):
     for k in hits:  # re-ranked scores are TRUE cosines
         assert abs(got[k] - truth[k]) < 1e-9
     assert len(hits) / len(truth) >= 0.85, len(hits) / len(truth)
+
+
+def test_sim_ivf_index_upsert_equals_rebuild(spark, tmp_path, monkeypatch):
+    """Appending today's batch to yesterday's index must be
+    INDISTINGUISHABLE from rebuilding the whole index from scratch with
+    the same (pinned) centroids — and a second call must not re-append
+    (idempotence marker)."""
+    import os
+
+    from data_ingestion_pimcore_spark import registry
+    from data_ingestion_pimcore_spark.ops.similarity import (
+        _build_ivf_index,
+        _ivf_index_dir,
+        _probe_ivf_index,
+        _read_centroids,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = "/root/testdata/sf0.001"
+    qs = registry.all_queries()
+
+    def key(df):
+        return sorted(
+            (r.query_id, r.rk, r.neighbor_id, round(r.cosine, 9))
+            for r in df.toPandas().itertuples()
+        )
+
+    upserted = key(qs["sim_ivf_index_upsert"].fn(spark, sf))
+
+    base = _ivf_index_dir(sf) + "-upsertbase"
+    assert os.path.exists(os.path.join(base, "_UPSERTED"))
+    # from-scratch rebuild over the FULL corpus with the base centroids
+    cents = _read_centroids(spark, base)
+    full_path = str(tmp_path / "fullrebuild")
+    _build_ivf_index(spark, sf, full_path, cents=cents)
+    assert key(_probe_ivf_index(spark, sf, full_path)) == upserted
+
+    # idempotence: marker present -> no duplicate append, same answer
+    n_files = sum(len(fs) for _, _, fs in os.walk(base))
+    assert key(qs["sim_ivf_index_upsert"].fn(spark, sf)) == upserted
+    assert sum(len(fs) for _, _, fs in os.walk(base)) == n_files

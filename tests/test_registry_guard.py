@@ -27,6 +27,10 @@ NO_ORACLE_PROPERTY_TESTS = {
     "sim_knn_ivf_persisted": (
         "tests/test_llm_ops.py::test_sim_knn_ivf_persisted_equals_ivf"
     ),
+    # incremental append: exact equality vs a pinned-centroid rebuild
+    "sim_ivf_index_upsert": (
+        "tests/test_llm_ops.py::test_sim_ivf_index_upsert_equals_rebuild"
+    ),
 }
 
 
