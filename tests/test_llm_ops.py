@@ -1052,14 +1052,64 @@ def test_sim_ivf_index_upsert_equals_rebuild(spark, tmp_path, monkeypatch):
     upserted = key(qs["sim_ivf_index_upsert"].fn(spark, sf))
 
     base = _ivf_index_dir(sf) + "-upsertbase"
-    assert os.path.exists(os.path.join(base, "_UPSERTED"))
+    mpath = os.path.join(base, "manifest", "upsert-slot7.json")
+    assert os.path.exists(mpath)
     # from-scratch rebuild over the FULL corpus with the base centroids
     cents = _read_centroids(spark, base)
     full_path = str(tmp_path / "fullrebuild")
     _build_ivf_index(spark, sf, full_path, cents=cents)
     assert key(_probe_ivf_index(spark, sf, full_path)) == upserted
 
-    # idempotence: marker present -> no duplicate append, same answer
+    # idempotence: manifest entry present -> no duplicate append, same answer
     n_files = sum(len(fs) for _, _, fs in os.walk(base))
     assert key(qs["sim_ivf_index_upsert"].fn(spark, sf)) == upserted
     assert sum(len(fs) for _, _, fs in os.walk(base)) == n_files
+
+
+def test_sim_ivf_index_upsert_crash_window_atomic(spark, tmp_path, monkeypatch):
+    """Kill between segment write and manifest commit: the staged
+    segment must stay INVISIBLE to probes (never duplicate vectors),
+    and the rerun must re-append exactly one committed copy and land on
+    the same answer — the manifest os.replace is the only commit point."""
+    import json
+    import os
+
+    from data_ingestion_pimcore_spark import registry
+    from data_ingestion_pimcore_spark.ops.similarity import (
+        _ivf_index_dir,
+        _probe_ivf_index,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = "/root/testdata/sf0.001"
+    qs = registry.all_queries()
+
+    def key(df):
+        return sorted(
+            (r.query_id, r.rk, r.neighbor_id, round(r.cosine, 9))
+            for r in df.toPandas().itertuples()
+        )
+
+    expected = key(qs["sim_ivf_index_upsert"].fn(spark, sf))
+    base = _ivf_index_dir(sf) + "-upsertbase"
+    mpath = os.path.join(base, "manifest", "upsert-slot7.json")
+    with open(mpath) as f:
+        first_seg = json.load(f)["path"]
+
+    # crash replay state: staged segment on disk, manifest entry GONE
+    os.remove(mpath)
+    # the uncommitted segment is invisible: probe sees base only and
+    # returns zero duplicate (query_id, neighbor_id) pairs
+    degraded = _probe_ivf_index(spark, sf, base).toPandas()
+    pairs = list(zip(degraded.query_id, degraded.neighbor_id))
+    assert len(pairs) == len(set(pairs))
+
+    # rerun: re-appends a FRESH segment, commits it atomically, and the
+    # answer matches the pre-crash result exactly — no double-insert
+    assert key(qs["sim_ivf_index_upsert"].fn(spark, sf)) == expected
+    with open(mpath) as f:
+        second_seg = json.load(f)["path"]
+    assert second_seg != first_seg  # old staged segment stays orphaned
+    assert os.path.isdir(first_seg)  # ...on disk but never read
+    segs = os.listdir(os.path.join(base, "segments"))
+    assert len(segs) == 2  # one orphan + one committed

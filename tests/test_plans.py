@@ -1581,3 +1581,39 @@ def test_cross_snapshot_report_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "WindowGroupLimit" in plan  # best-candidate rank is partial
+
+
+def test_ann_recall_companion_plan_shape(spark):
+    """The recall harness must add only K-row-sided work on top of the
+    audited ANN pipeline: the ANN result and query set BROADCAST into
+    the exact-cosine join, the ground-truth merge is an equi full-outer
+    of two (queries x K)-row sides, and the output is one partial+final
+    single-row aggregate — no corpus-scale shuffle beyond what the
+    underlying sim_knn_* plan already does."""
+    plan = plan_of(spark, "sim_recall_ivf")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ann_recall_companions_emit_expected_literals(spark):
+    """At every shipped SF the companions must emit EXACTLY the row the
+    DuckDB oracle states as literals (den=50, both booleans true) —
+    this is the repo-local twin of the driver's sf0.01 hash gate."""
+    from data_ingestion_pimcore_spark import registry
+
+    qs = registry.all_queries()
+    for name, method in [
+        ("sim_recall_ivf", "ivf"),
+        ("sim_recall_pq", "pq"),
+        ("sim_recall_ivf_persisted", "ivf_persisted"),
+        ("sim_recall_upsert", "upsert"),
+    ]:
+        rows = qs[name].fn(spark, SF).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (
+            r["method"], r["k"], r["recall_den"],
+            r["meets_floor"], r["scores_exact"],
+        ) == (method, 5, 50, True, True), (name, r)

@@ -19,8 +19,9 @@ NO_ORACLE_PROPERTY_TESTS = {
     # approximate distinct-count sketches: tolerance-banded vs exact
     "agg_approx": "tests/test_llm_ops.py::test_agg_approx_within_tolerance",
     "agg_hll_union": "tests/test_llm_ops.py::test_hll_union_tracks_exact",
-    # ANN variants: exactness/recall vs the brute-force oracle query
-    "sim_knn_blocked": "tests/test_llm_ops.py::test_blocked_knn_equals_bruteforce",
+    # ANN variants: exactness/recall vs the brute-force oracle query.
+    # (sim_knn_blocked graduated to a direct oracle in r10; each entry
+    # below ALSO has an oracle-gated sim_recall_* companion query.)
     "sim_knn_ivf": "tests/test_llm_ops.py::test_sim_knn_ivf_recall_vs_bruteforce",
     "sim_knn_pq": "tests/test_llm_ops.py::test_sim_knn_pq_recall_vs_bruteforce",
     # persisted-index lifecycle: exact equality vs the inline IVF query
