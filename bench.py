@@ -186,6 +186,12 @@ HEADLINE = [
     "sim_knn_ivf_persisted",
     "dedup_cross_snapshot_report",
     "sim_ivf_index_upsert",
+    # round-10 additions: oracle-gated ANN recall companions (each runs
+    # its audited ANN pipeline + the brute-force ground truth in-plan)
+    "sim_recall_ivf",
+    "sim_recall_pq",
+    "sim_recall_ivf_persisted",
+    "sim_recall_upsert",
 ]
 
 
@@ -430,18 +436,20 @@ def bench_ingest_concurrent(
                 aggs = [float(v) for v in d["agg_runs"]]
                 singles = sorted(float(v) for v in d["single_http"])
                 scalings = [float(v) for v in d["scalings"]]
-                # Headline = the MAX trial's pairing (round-8 verdict
-                # item 1): a co-tenant burst can only DEPRESS a trial,
-                # so across >=3 bracket-paired trials the max is the
-                # least-contaminated estimate of the code's scaling;
-                # the full band is reported alongside.
-                best = max(range(len(scalings)), key=lambda i: scalings[i])
+                # Headline = the MEDIAN bracket-paired trial (r9 advice
+                # reverting r8's max-of-trials: a burst hitting only a
+                # trial's bracketing singles — not the trial itself —
+                # INFLATES that trial's ratio, so one-sided max
+                # selection can bias the headline upward). The max
+                # stays visible as the top of the reported band.
+                order = sorted(range(len(scalings)), key=lambda i: scalings[i])
+                med = order[len(order) // 2]
                 return {
                     "runs": sorted(aggs),
-                    "agg_best": aggs[best],
+                    "agg_med": aggs[med],
                     "single_http": singles[len(singles) // 2],
                     "scalings": sorted(scalings),
-                    "scaling_best": scalings[best],
+                    "scaling_med": scalings[med],
                     "n_conc": n_conc,
                 }
         return None
@@ -647,7 +655,7 @@ import pandas as _pd
 
 timings = {{}}
 all_q = registry.all_queries()
-for name in sorted(_bench._CORE - {{"ingest_e2e"}}):
+for name in sorted((_bench._CORE | _bench._SF1_EXTRA) - {{"ingest_e2e"}}):
     t0 = time.time()
     all_q[name].fn(spark, out).count()
     timings[name] = round(time.time() - t0, 3)
@@ -666,7 +674,11 @@ ingest_sec = time.time() - t0
 timings["ingest_e2e"] = round(ingest_sec, 3)
 print(json.dumps({{
     "core_sf1": timings,
-    "core_total_sec_sf1": round(sum(timings.values()), 3),
+    # sum over the FIXED core set only: _SF1_EXTRA entries are timed
+    # and reported per-query but excluded so this number stays
+    # comparable across rounds
+    "core_total_sec_sf1": round(
+        sum(v for k, v in timings.items() if k in _bench._CORE), 3),
     "ingest_rps_sf1": round(s.total_records / ingest_sec, 1),
     "build_sec": build_sec,
 }}))
@@ -771,6 +783,14 @@ _CORE = {
     "q17_small_quantity_revenue", "q18_large_orders",
     "join_salted_skew", "sim_knn_ivf", "text_chunk_udtf",
     "dedup_embedding_cosine", "q7_nation_volume", "q21_waiting_suppliers",
+}
+
+# Extra heavy non-ingest queries timed at sf1 ONLY (round-9 verdict
+# item 5: the wall-vs-SF slope must cover the heaviest queries, not
+# just the core set) — kept out of _CORE so core_total_sec{,_sf1}
+# remain comparable across rounds.
+_SF1_EXTRA = {
+    "graph_pagerank", "dedup_minhash_pairs",
 }
 
 # Quiet-window 1-thread reference-loop throughput on THIS container
@@ -883,21 +903,20 @@ def main() -> None:
     if conc is None and _remaining() <= 2700:
         print("# concurrent probe SKIPPED (wall budget)", file=sys.stderr)
     if conc is not None:
-        # Headline = the MAX bracket-paired trial (bursts only depress)
-        timings["ingest_concurrent_4x"] = round(conc["agg_best"], 1)
+        # Headline = the MEDIAN bracket-paired trial (r9 advice); the
+        # band top carries the max.
+        timings["ingest_concurrent_4x"] = round(conc["agg_med"], 1)
         timings["ingest_concurrent_4x_min"] = round(conc["runs"][0], 1)
         timings["ingest_concurrent_4x_max"] = round(conc["runs"][-1], 1)
         timings["ingest_single_http"] = round(conc["single_http"], 1)
         # scaling vs the IN-PROBE bracketing singles: same JVM, same
         # transport (HTTP + consumer process), same co-tenant window
-        timings["ingest_concurrent_scaling"] = round(conc["scaling_best"], 3)
+        timings["ingest_concurrent_scaling"] = round(conc["scaling_med"], 3)
         timings["ingest_concurrent_scaling_min"] = round(conc["scalings"][0], 3)
-        timings["ingest_concurrent_scaling_med"] = round(
-            conc["scalings"][len(conc["scalings"]) // 2], 3
-        )
+        timings["ingest_concurrent_scaling_max"] = round(conc["scalings"][-1], 3)
         print(
-            f"# ingest_concurrent_4x: {conc['agg_best']:,.0f} rec/s aggregate "
-            f"over {conc['n_conc']} simultaneous ingestions (best paired "
+            f"# ingest_concurrent_4x: {conc['agg_med']:,.0f} rec/s aggregate "
+            f"over {conc['n_conc']} simultaneous ingestions (median paired "
             f"trial), agg band [{conc['runs'][0]:,.0f}, {conc['runs'][-1]:,.0f}]; "
             f"in-probe single {conc['single_http']:,.0f} rec/s → "
             f"{timings['ingest_concurrent_scaling']:.2f}x scaling "
@@ -989,6 +1008,7 @@ def main() -> None:
     # of one query would both sit inside it; separating the attempts by
     # a whole pass means a burst must last the entire bench to skew a
     # query's min.
+    readings: dict[str, list[float]] = {}
     for _pass in range(2):
         for name in names:
             q = all_q[name]
@@ -996,12 +1016,43 @@ def main() -> None:
             df = q.fn(spark, sf_dir)
             n = df.count()
             dt = round(time.time() - t0, 3)
+            readings.setdefault(name, []).append(dt)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             if _pass:
                 print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
         if not _pass:
             _checkpoint()
+    # Adaptive third measurement (round-9 verdict item 4): when a
+    # query's two separated readings disagree by >1.5x, one of them sat
+    # inside a co-tenant burst — a single noisy pair can masquerade as
+    # a regression (r9's dedup_minhash_signatures read 1.30 s in the
+    # headline session vs 0.61 s in the sweep). Re-measure just those
+    # and keep the min; the count goes to stderr so an artifact reader
+    # can see how noisy the session was.
+    unstable = [
+        n for n in names
+        if len(readings[n]) == 2
+        and max(readings[n]) > 1.5 * max(min(readings[n]), 0.05)
+    ]
+    for name in unstable:
+        t0 = time.time()
+        all_q[name].fn(spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        if dt < timings[name]:
+            timings[name] = dt
+        print(
+            f"# {name}: re-measured {dt:.2f}s (pass readings "
+            f"{readings[name][0]:.2f}/{readings[name][1]:.2f}) -> "
+            f"{timings[name]:.2f}s",
+            file=sys.stderr,
+        )
+    if unstable:
+        print(
+            f"# {len(unstable)}/{len(names)} queries re-measured "
+            f"(>1.5x pass disagreement)",
+            file=sys.stderr,
+        )
 
     excel = bench_excel_multifile(spark)
     if excel is not None:
@@ -1067,7 +1118,7 @@ _COMPACT_EXTRAS = (
     "ingest_concurrent_4x",
     "ingest_concurrent_scaling",
     "ingest_concurrent_scaling_min",
-    "ingest_concurrent_scaling_med",
+    "ingest_concurrent_scaling_max",
     "ref_loop_rps",
     "ref_loop_rps_10x",
     "bar_ratio",
@@ -1102,7 +1153,7 @@ _NON_TIMING = (
     "ingest_single_http",
     "ingest_concurrent_scaling",
     "ingest_concurrent_scaling_min",
-    "ingest_concurrent_scaling_med",
+    "ingest_concurrent_scaling_max",
     "ref_loop_rps",
     "ref_loop_rps_min",
     "ref_loop_rps_max",

@@ -25,12 +25,18 @@ fsspec stack honors:
   blob endpoint parsed from ``AZURE_STORAGE_CONNECTION_STRING``
   (``BlobEndpoint=...``) — the Azurite/azure-storage-blob standard.
 
-Requests are UNSIGNED (anonymous GET): the seam targets in-VPC
-S3/GCS/Azure-compatible endpoints and tests; against real private
-buckets, use the JVM connectors (full SigV4 / OAuth / SAS support) or
-install s3fs/gcsfs/adlfs — when the matching fsspec package IS
-importable it is preferred automatically, matching the reference's
-stack.
+S3 requests are SigV4-SIGNED (stdlib hmac/sha256, AWS public spec)
+whenever the standard credential variables are present
+(``AWS_ACCESS_KEY_ID`` / ``AWS_SECRET_ACCESS_KEY``, optional
+``AWS_SESSION_TOKEN``, region from ``AWS_REGION`` /
+``AWS_DEFAULT_REGION``) — so private S3-compatible buckets work with
+no fsspec installed, matching the reference's s3fs credential
+behavior (``json_reader.py:42``, ``requirements.txt:26``). Without
+credentials the GET is anonymous. GCS/Azure stay anonymous-endpoint
+(emulator/in-VPC) on the stdlib path: for private buckets there, use
+the JVM connectors (OAuth / SAS) or install gcsfs/adlfs — when the
+matching fsspec package IS importable it is preferred automatically,
+matching the reference's stack.
 
 Scale note: these Python readers stream one object per input
 partition with O(read_size) memory (json_array) or one in-memory
@@ -65,20 +71,26 @@ OPTION_ENV = {
     "s3_endpoint": "AWS_ENDPOINT_URL_S3",
     "gcs_endpoint": _GCS_ENV_VAR,
     "azure_connection_string": _AZURE_ENV_VAR,
+    # SigV4 credentials ride the same option channel as endpoints so
+    # worker-side readers sign exactly like the driver would
+    "s3_access_key_id": "AWS_ACCESS_KEY_ID",
+    "s3_secret_access_key": "AWS_SECRET_ACCESS_KEY",
+    "s3_session_token": "AWS_SESSION_TOKEN",
+    "s3_region": "AWS_REGION",
 }
 
 
 def configured_endpoints() -> dict[str, str]:
-    """Driver-side capture of every configured object-store endpoint,
-    as the DataSource options that ``worker_env`` reverses."""
+    """Driver-side capture of every configured object-store endpoint
+    (and S3 signing credential), as the DataSource options that
+    ``worker_env`` reverses."""
     out: dict[str, str] = {}
     s3 = configured_endpoint()
     if s3:
         out["s3_endpoint"] = s3
-    for opt, var in (
-        ("gcs_endpoint", _GCS_ENV_VAR),
-        ("azure_connection_string", _AZURE_ENV_VAR),
-    ):
+    for opt, var in OPTION_ENV.items():
+        if opt == "s3_endpoint":
+            continue
         v = os.environ.get(var)
         if v:
             out[opt] = v
@@ -187,15 +199,103 @@ def _bucket_key(uri: str) -> tuple[str, str]:
 
 _GET_RETRIES = 3  # bounded like the sink's chunk retry (sink.py)
 
+# sha256 of the empty payload — every signed GET carries it
+_EMPTY_SHA256 = (
+    "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+)
 
-def _http_get_retry(url: str, what: str):
+
+def _s3_credentials() -> tuple[str, str, str | None, str] | None:
+    """Standard AWS credential env vars (the same ones the reference's
+    s3fs honors), or None → anonymous GET."""
+    ak = os.environ.get("AWS_ACCESS_KEY_ID")
+    sk = os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if not (ak and sk):
+        return None
+    token = os.environ.get("AWS_SESSION_TOKEN") or None
+    region = (
+        os.environ.get("AWS_REGION")
+        or os.environ.get("AWS_DEFAULT_REGION")
+        or "us-east-1"
+    )
+    return ak, sk, token, region
+
+
+def _sigv4_headers(url: str) -> dict[str, str]:
+    """AWS Signature Version 4 headers for a GET of ``url`` (public
+    spec: docs.aws.amazon.com sigv4-create-signed-request), stdlib
+    hmac/sha256 only. Returns {} when no credentials are configured.
+    Called fresh per attempt so retries carry a current x-amz-date."""
+    creds = _s3_credentials()
+    if creds is None:
+        return {}
+    import datetime
+    import hashlib
+    import hmac
+
+    ak, sk, token, region = creds
+    p = urlparse(url)
+    now = datetime.datetime.now(datetime.timezone.utc)
+    amzdate = now.strftime("%Y%m%dT%H%M%SZ")
+    datestamp = now.strftime("%Y%m%d")
+    headers = {
+        "host": p.netloc,
+        "x-amz-content-sha256": _EMPTY_SHA256,
+        "x-amz-date": amzdate,
+    }
+    if token:
+        headers["x-amz-security-token"] = token
+    signed_headers = ";".join(sorted(headers))
+    canonical_headers = "".join(f"{k}:{headers[k]}\n" for k in sorted(headers))
+    # canonical query: sorted key=value pairs (our S3 GETs carry none
+    # today; handled for completeness)
+    canonical_query = "&".join(
+        sorted(seg if "=" in seg else f"{seg}=" for seg in p.query.split("&"))
+    ) if p.query else ""
+    canonical_request = "\n".join(
+        [
+            "GET",
+            p.path or "/",  # already percent-encoded by the URL builder
+            canonical_query,
+            canonical_headers,
+            signed_headers,
+            _EMPTY_SHA256,
+        ]
+    )
+    scope = f"{datestamp}/{region}/s3/aws4_request"
+    string_to_sign = "\n".join(
+        [
+            "AWS4-HMAC-SHA256",
+            amzdate,
+            scope,
+            hashlib.sha256(canonical_request.encode()).hexdigest(),
+        ]
+    )
+    key = f"AWS4{sk}".encode()
+    for part in (datestamp, region, "s3", "aws4_request"):
+        key = hmac.new(key, part.encode(), hashlib.sha256).digest()
+    sig = hmac.new(key, string_to_sign.encode(), hashlib.sha256).hexdigest()
+    out = {k: v for k, v in headers.items() if k != "host"}  # urllib adds Host
+    out["Authorization"] = (
+        f"AWS4-HMAC-SHA256 Credential={ak}/{scope}, "
+        f"SignedHeaders={signed_headers}, Signature={sig}"
+    )
+    return out
+
+
+def _http_get_retry(url: str, what: str, headers_fn=None):
     """GET with bounded retry on transient failures (5xx / connection
     resets — at fleet scale some GETs always flake; 4xx are permanent
-    and raise immediately). Returns the open response stream."""
+    and raise immediately). ``headers_fn(url)`` is evaluated per
+    attempt (signatures embed a timestamp). Returns the open response
+    stream."""
     last: Exception | None = None
     for attempt in range(_GET_RETRIES):
         try:
-            return urllib.request.urlopen(url)
+            req = urllib.request.Request(
+                url, headers=headers_fn(url) if headers_fn else {}
+            )
+            return urllib.request.urlopen(req)
         except urllib.error.HTTPError as e:
             if e.code < 500:
                 raise  # permanent: 403/404/…
@@ -253,7 +353,7 @@ def open_object_binary(uri: str):
     # '#', '?', '+', … which would otherwise truncate or corrupt the
     # request path ('/' stays — it separates key segments).
     url = f"{s3_endpoint()}/{quote(bucket, safe='')}/{quote(key, safe='/')}"
-    return _http_get_retry(url, "S3")
+    return _http_get_retry(url, "S3", headers_fn=_sigv4_headers)
 
 
 def open_s3_binary(uri: str):

@@ -368,3 +368,140 @@ def test_s3_get_retries_transient_500s(tmp_path, monkeypatch):
             fetch_bytes("s3://b/missing")
     finally:
         srv.shutdown()
+
+
+class _SigV4VerifyingHandler(_S3StubHandler):
+    """Serves like the anonymous stub but REJECTS (403) any request
+    whose Authorization header is missing or whose SigV4 signature does
+    not verify. The verification is an INDEPENDENT re-implementation of
+    the AWS public spec (not a call into the client's signer), so a
+    canonicalization bug on either side fails the test instead of
+    cancelling out."""
+
+    access_key = "AKIATESTEXAMPLE"
+    secret_key = "test/secret+key=42"
+    region = "eu-central-7"
+
+    def do_GET(self):
+        import hashlib
+        import hmac
+        import re
+
+        auth = self.headers.get("Authorization", "")
+        m = re.fullmatch(
+            r"AWS4-HMAC-SHA256 Credential=([^/]+)/(\d{8})/([^/]+)/s3/"
+            r"aws4_request, SignedHeaders=([^,]+), Signature=([0-9a-f]{64})",
+            auth,
+        )
+        if not m or m.group(1) != self.access_key or m.group(3) != self.region:
+            self.send_response(403)
+            self.end_headers()
+            return
+        datestamp, signed_headers, got_sig = m.group(2), m.group(4), m.group(5)
+        hdrs = {}
+        for name in signed_headers.split(";"):
+            v = self.headers.get("Host" if name == "host" else name)
+            if v is None:
+                self.send_response(403)
+                self.end_headers()
+                return
+            hdrs[name] = v.strip()
+        canonical = "\n".join(
+            [
+                "GET",
+                self.path.partition("?")[0],
+                "",  # the engine's S3 GETs carry no query string
+                "".join(f"{k}:{hdrs[k]}\n" for k in signed_headers.split(";")),
+                signed_headers,
+                self.headers.get("x-amz-content-sha256", ""),
+            ]
+        )
+        sts = "\n".join(
+            [
+                "AWS4-HMAC-SHA256",
+                self.headers.get("x-amz-date", ""),
+                f"{datestamp}/{self.region}/s3/aws4_request",
+                hashlib.sha256(canonical.encode()).hexdigest(),
+            ]
+        )
+        key = f"AWS4{self.secret_key}".encode()
+        for part in (datestamp, self.region, "s3", "aws4_request"):
+            key = hmac.new(key, part.encode(), hashlib.sha256).digest()
+        want = hmac.new(key, sts.encode(), hashlib.sha256).hexdigest()
+        if not hmac.compare_digest(want, got_sig):
+            self.send_response(403)
+            self.end_headers()
+            return
+        from urllib.parse import unquote
+
+        self.path = unquote(self.path)  # base stub resolves raw paths
+        _S3StubHandler.do_GET(self)
+
+
+@pytest.fixture()
+def s3_sigv4_stub(tmp_path, monkeypatch):
+    """A signature-VERIFYING private S3 endpoint + the standard AWS
+    credential env vars; yields the bucket dir."""
+    handler = type("H", (_SigV4VerifyingHandler,), {"root": tmp_path})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    monkeypatch.setenv(
+        "AWS_ENDPOINT_URL_S3", f"http://127.0.0.1:{srv.server_address[1]}"
+    )
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", _SigV4VerifyingHandler.access_key)
+    monkeypatch.setenv(
+        "AWS_SECRET_ACCESS_KEY", _SigV4VerifyingHandler.secret_key
+    )
+    monkeypatch.setenv("AWS_REGION", _SigV4VerifyingHandler.region)
+    bucket = tmp_path / "pim"
+    bucket.mkdir()
+    try:
+        yield bucket
+    finally:
+        srv.shutdown()
+
+
+def test_s3_sigv4_signed_fetch(s3_sigv4_stub, monkeypatch):
+    """Signed GETs stream from a private bucket; stripping the
+    credentials makes the SAME endpoint reject the request (403,
+    permanent — no retry loop)."""
+    import urllib.error
+
+    recs = _products(25)
+    (s3_sigv4_stub / "data.json").write_text(json.dumps(recs))
+    assert json.loads(fetch_bytes("s3://pim/data.json")) == recs
+    # keys with spaces exercise canonical-path percent-encoding
+    (s3_sigv4_stub / "a b.json").write_text("[1]")
+    assert fetch_bytes("s3://pim/a b.json") == b"[1]"
+    got = list(iter_json_array("s3://pim/data.json", read_size=64))
+    assert got == recs
+    monkeypatch.delenv("AWS_ACCESS_KEY_ID")
+    monkeypatch.delenv("AWS_SECRET_ACCESS_KEY")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        fetch_bytes("s3://pim/data.json")
+    assert ei.value.code == 403
+
+
+def test_ingestion_chunk_stream_through_private_s3(
+    spark, tmp_path, s3_sigv4_stub
+):
+    """Reference parity (json_reader.py:42 + s3fs credentials): the
+    FULL pipeline against a PRIVATE signature-verifying bucket — the
+    credentials must reach the Python workers through the DataSource
+    option channel and every worker-side GET must carry a valid
+    signature."""
+    (s3_sigv4_stub / "products.json").write_text(json.dumps(_products(100)))
+    validator = ChunkValidator()
+    state = IngestionStateStore(str(tmp_path / "state.parquet"))
+    req = IngestRequest(
+        file_path="s3://pim/products.json",
+        file_type="json",
+        chunk_size_by_records=10,
+        order_cols=("product_id",),
+    )
+    s = run_ingestion(spark, req, state, validator)
+    assert s.status == "COMPLETED"
+    assert s.chunks_sent == 10 and s.total_records == 100
+    ids = [r["product_id"] for chunk in validator.received_records for r in chunk]
+    assert ids == list(range(1, 101))
