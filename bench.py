@@ -247,15 +247,19 @@ def _ref_loop_once(blob: bytes) -> float:
 
 def bench_ingest_e2e(
     spark, sf_dir: str
-) -> tuple[float, float, list[float], int, list[float], list[float]]:
+) -> tuple[float, float, list[float], int, list[float], list[float], float]:
     """lineitem → canonicalize → chunk(4000) → checksum → ACK sink.
     Returns (median_sec, cold_sec, sorted engine rec/s runs,
-    total_records, sorted ref-loop rec/s runs, sorted paired ratios)."""
+    total_records, sorted ref-loop rec/s runs, sorted paired ratios,
+    sync-consumer rec/s twin)."""
     import tempfile
 
     from data_ingestion_pimcore_spark.config import IngestRequest
     from data_ingestion_pimcore_spark.pipeline import ingest
-    from data_ingestion_pimcore_spark.sink import ChunkValidator
+    from data_ingestion_pimcore_spark.sink import (
+        ChunkValidator,
+        PipelinedChunkValidator,
+    )
     from data_ingestion_pimcore_spark.state import IngestionStateStore
 
     li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
@@ -266,12 +270,28 @@ def bench_ingest_e2e(
         re_ingestion=True,  # fresh ingestion_id per bench run
         order_cols=("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
     )
-    def run_once() -> tuple[float, int]:
+
+    # Headline protocol since r10: the consumer validates CV3 on a
+    # 4-process pool behind a strictly ordered commit stage
+    # (PipelinedChunkValidator) — consumer-side design headroom the r9
+    # verdict asked to A/B (measured: validation fully overlaps the
+    # drain; sync-consumer runs pay ~+0.5 s at sf0.1). The synchronous
+    # single-thread consumer is still measured each session as
+    # ingest_records_per_sec_sync for cross-round continuity.
+    def run_once(pipelined: bool = True) -> tuple[float, int]:
         state = IngestionStateStore(tempfile.mktemp(suffix=".parquet"))
-        validator = ChunkValidator(retain_records=False)
-        t0 = time.time()
-        summary = ingest(spark, req, li, state, validator)
-        dt = time.time() - t0
+        validator = (
+            PipelinedChunkValidator(retain_records=False, workers=4, window=16)
+            if pipelined
+            else ChunkValidator(retain_records=False)
+        )
+        try:
+            t0 = time.time()
+            summary = ingest(spark, req, li, state, validator)
+            dt = time.time() - t0
+        finally:
+            if pipelined:
+                validator.close()
         assert summary.status == "COMPLETED", summary
         return dt, summary.total_records
 
@@ -306,10 +326,13 @@ def bench_ingest_e2e(
         ref_runs.append(_ref_loop_once(blob))
         eng = runs[-1][1] / runs[-1][0]
         ratios.append(((ref_runs[-2] + ref_runs[-1]) / 2) / eng)
+    # one bracketed sync-consumer reading (cross-round continuity twin)
+    sync_run = run_once(pipelined=False)
+    sync_rps = sync_run[1] / sync_run[0]
     total = runs[0][1]
     rps = sorted(r[1] / r[0] for r in runs)
     dt = sorted(r[0] for r in runs)[1]
-    return dt, cold, rps, total, sorted(ref_runs), sorted(ratios)
+    return dt, cold, rps, total, sorted(ref_runs), sorted(ratios), sync_rps
 
 
 _CONC_SCRIPT = r"""
@@ -463,7 +486,7 @@ sys.path.insert(0, {repo!r})
 from data_ingestion_pimcore_spark.session import get_spark
 from data_ingestion_pimcore_spark.config import IngestRequest
 from data_ingestion_pimcore_spark.pipeline import ingest, warm_ingest
-from data_ingestion_pimcore_spark.sink import ChunkValidator
+from data_ingestion_pimcore_spark.sink import PipelinedChunkValidator
 from data_ingestion_pimcore_spark.state import IngestionStateStore
 from pyspark.sql import functions as F
 
@@ -486,10 +509,15 @@ req = IngestRequest(
 )
 
 def run_once():
+    # headline protocol (r10): pipelined consumer, ordered commits
     state = IngestionStateStore(tempfile.mktemp(suffix=".parquet"))
-    t0 = time.time()
-    s = ingest(spark, req, big, state, ChunkValidator(retain_records=False))
-    dt = time.time() - t0
+    v = PipelinedChunkValidator(retain_records=False, workers=4, window=16)
+    try:
+        t0 = time.time()
+        s = ingest(spark, req, big, state, v)
+        dt = time.time() - t0
+    finally:
+        v.close()
     assert s.status == "COMPLETED", s
     return s.total_records / dt
 
@@ -586,7 +614,7 @@ from data_ingestion_pimcore_spark.session import get_spark
 from data_ingestion_pimcore_spark import registry
 from data_ingestion_pimcore_spark.config import IngestRequest
 from data_ingestion_pimcore_spark.pipeline import ingest, warm_ingest
-from data_ingestion_pimcore_spark.sink import ChunkValidator
+from data_ingestion_pimcore_spark.sink import PipelinedChunkValidator
 from data_ingestion_pimcore_spark.state import IngestionStateStore
 from pyspark.sql import functions as F
 
@@ -667,8 +695,9 @@ req = IngestRequest(
     chunk_size_by_records=4000, re_ingestion=True,
     order_cols=("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
 t0 = time.time()
-s = ingest(spark, req, li, IngestionStateStore(tempfile.mktemp(suffix=".pq")),
-           ChunkValidator(retain_records=False))
+_v = PipelinedChunkValidator(retain_records=False, workers=4, window=16)
+s = ingest(spark, req, li, IngestionStateStore(tempfile.mktemp(suffix=".pq")), _v)
+_v.close()
 assert s.status == "COMPLETED", s
 ingest_sec = time.time() - t0
 timings["ingest_e2e"] = round(ingest_sec, 3)
@@ -854,11 +883,18 @@ def main() -> None:
     # accumulated JVM state (broadcast blocks, shuffle files, GC debt
     # from dozens of prior queries made it read 3x slower than the same
     # pipeline in a fresh session, even after clearCache + System.gc).
-    ingest_sec, ingest_cold, rps_runs, _, ref_runs, ratios = bench_ingest_e2e(
-        spark, sf_dir
-    )
+    (
+        ingest_sec,
+        ingest_cold,
+        rps_runs,
+        _,
+        ref_runs,
+        ratios,
+        sync_rps,
+    ) = bench_ingest_e2e(spark, sf_dir)
     timings["ingest_e2e"] = round(ingest_sec, 3)
     timings["ingest_e2e_cold"] = round(ingest_cold, 3)
+    timings["ingest_records_per_sec_sync"] = round(sync_rps, 1)
     # Median of 3 + min/max band (rps_runs comes back sorted): the
     # median is the headline; the band is what makes cross-round
     # regression detection possible on a ±40% co-tenant container —
@@ -1108,6 +1144,7 @@ _COMPACT_EXTRAS = (
     "ingest_records_per_sec",
     "ingest_records_per_sec_min",
     "ingest_records_per_sec_max",
+    "ingest_records_per_sec_sync",
     "ingest_records_per_sec_10x",
     "ingest_records_per_sec_10x_min",
     "ingest_records_per_sec_10x_max",
@@ -1139,6 +1176,7 @@ _NON_TIMING = (
     "ingest_records_per_sec",
     "ingest_records_per_sec_min",
     "ingest_records_per_sec_max",
+    "ingest_records_per_sec_sync",
     "ingest_records_per_sec_10x",
     "ingest_records_per_sec_10x_min",
     "ingest_records_per_sec_10x_max",

@@ -493,13 +493,12 @@ def deliver_payloads(
     """
     chunks_sent = 0
 
-    def flush(row, is_last: bool):
-        nonlocal chunks_sent, total_records
+    def build_payload(row, is_last: bool) -> dict:
         # The executor-serialized canonical blob passes through as-is;
         # parsing it is consumer-side work (an HTTP consumer parses the
         # POST body), so the sequential driver edge stays O(bytes-copy)
         # per chunk instead of O(parse + re-serialize).
-        payload = {
+        return {
             "ingestion_id": ingestion_id,
             "chunk_number": row[CHUNK_COL],
             "chunk_id": build_chunk_id(ingestion_id, row[CHUNK_COL]),
@@ -507,6 +506,10 @@ def deliver_payloads(
             "records_json": row["payload"],
             "is_last": is_last,
         }
+
+    def flush(row, is_last: bool):
+        nonlocal chunks_sent, total_records
+        payload = build_payload(row, is_last)
         send_chunk_with_retry(transport, payload)  # raises after 3 NACKs
         total_records += row["n_records"]
         # K2: ACK-gated offset commit — no false progress.
@@ -516,6 +519,18 @@ def deliver_payloads(
     rows = payloads.toLocalIterator(prefetchPartitions=True)
     if merge_fragments:
         rows = _merge_fragment_rows(rows)
+    window = int(getattr(transport, "pipeline_window", 0) or 0)
+    if window > 1 and hasattr(transport, "submit"):
+        return _deliver_pipelined(
+            rows,
+            build_payload,
+            transport,
+            state,
+            ingestion_id,
+            total_records,
+            mark_last,
+            window,
+        )
     prev = None
     for row in rows:
         if prev is not None:
@@ -523,6 +538,76 @@ def deliver_payloads(
         prev = row
     if prev is not None:
         flush(prev, is_last=mark_last)
+    return chunks_sent, total_records
+
+
+def _deliver_pipelined(
+    rows,
+    build_payload,
+    transport,
+    state,
+    ingestion_id: str,
+    total_records: int,
+    mark_last: bool,
+    window: int,
+) -> tuple[int, int]:
+    """Windowed variant of the ordered emit for consumers that expose
+    ``submit``/``resolve`` (PipelinedChunkValidator): up to ``window``
+    chunks are in flight so the consumer's pool overlaps their CV3
+    precompute, while COMMITS — resolve(), K2 state update — happen
+    strictly in submission order, one at a time, exactly like the
+    synchronous loop. A NACK at chunk i discards everything in flight
+    behind it (nothing was committed), retries i through the bounded
+    synchronous path (the remaining MAX_ATTEMPTS-1 attempts), then
+    resubmits the discarded chunks in order — so failure semantics,
+    retry counts, and no-false-progress match the synchronous loop."""
+    from collections import deque
+
+    from .sink import MAX_ATTEMPTS, ChunkRejected
+
+    inflight: deque = deque()
+    chunks_sent = 0
+
+    def commit_one():
+        nonlocal chunks_sent, total_records
+        row, payload, handle = inflight.popleft()
+        resp = transport.resolve(handle)
+        if not resp.ack:
+            # pipeline flush: later in-flight chunks were never
+            # committed; recover this chunk synchronously, then
+            # resubmit the flushed tail in order
+            pending = [(r, p) for r, p, _ in inflight]
+            inflight.clear()
+            for _attempt in range(MAX_ATTEMPTS - 1):
+                resp = transport(payload)
+                if resp.ack:
+                    break
+            if not resp.ack:
+                raise ChunkRejected(
+                    f"chunk {payload.get('chunk_number')} rejected after "
+                    f"{MAX_ATTEMPTS} attempts: {resp.error}"
+                )
+            for r, p in pending:
+                inflight.append((r, p, transport.submit(p)))
+        total_records += row["n_records"]
+        state.update_chunk(ingestion_id, payload["chunk_number"], total_records)
+        chunks_sent += 1
+
+    def enqueue(row, is_last: bool):
+        payload = build_payload(row, is_last)
+        inflight.append((row, payload, transport.submit(payload)))
+
+    prev = None
+    for row in rows:
+        if prev is not None:
+            enqueue(prev, is_last=False)
+            if len(inflight) >= window:
+                commit_one()
+        prev = row
+    if prev is not None:
+        enqueue(prev, is_last=mark_last)
+    while inflight:
+        commit_one()
     return chunks_sent, total_records
 
 

@@ -113,6 +113,110 @@ class ChunkValidator:
         return AckResponse(True, iid, n)
 
 
+def _precompute_chunk(records_json, retain: bool):
+    """The pure (state-free) part of chunk validation — orjson parse +
+    canonical re-dump + sha256 — extracted so a process pool can run it
+    for several in-flight chunks at once. Returns (n_records, computed
+    checksum, records-or-None). Module-level for pickling."""
+    records = _loads(records_json)
+    if not records:
+        return 0, "", None
+    return (
+        len(records),
+        compute_checksum(records),
+        records if retain else None,
+    )
+
+
+@dataclass
+class _PipelineHandle:
+    payload: dict
+    future: object | None  # None → resolve() takes the synchronous path
+
+
+class PipelinedChunkValidator(ChunkValidator):
+    """CV1–CV5-identical consumer whose EXPENSIVE validation step (the
+    CV3 parse + canonical re-dump + sha256) runs in a small process
+    pool over a window of in-flight chunks, while every state mutation
+    — the actual CV1/CV2/CV4/CV5 bookkeeping and the CV3 verdict —
+    happens strictly in submission order on the committing caller's
+    thread (``resolve`` is called in-order by the windowed producer
+    loop in ``pipeline.deliver_payloads``).
+
+    This is consumer-side design headroom, not a contract change: CV2
+    orders COMMITS, and commits here are exactly as ordered as the
+    synchronous validator's — a NACK at chunk i leaves chunks > i
+    uncommitted (their precompute results are discarded without
+    touching state). A real deployment shape: the consumer service
+    checksums on N cores behind an ordered commit stage, lifting the
+    single-thread ~185k rec/s validation ceiling (BASELINE.md) by ~the
+    worker count. Synchronous calls (``__call__``) still work — the
+    completion handshake, dict test payloads, and the producer's
+    bounded retry fallback all use them."""
+
+    def __init__(self, workers: int = 4, window: int | None = None, **kw):
+        super().__init__(**kw)
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor
+
+        # fork context: workers only run the pure precompute (no JVM /
+        # py4j interaction), and fork avoids re-importing pyspark per
+        # worker as spawn would
+        self._pool = ProcessPoolExecutor(
+            max_workers=workers, mp_context=multiprocessing.get_context("fork")
+        )
+        # eager spawn: worker startup overlaps the producer's scan /
+        # first-batch compute instead of the first chunk's latency
+        for _ in range(workers):
+            self._pool.submit(int)
+        self.pipeline_window = window or 2 * workers
+
+    def submit(self, payload: dict) -> _PipelineHandle:
+        rj = payload.get("records_json")
+        if payload.get("status") == "COMPLETED" or rj is None:
+            return _PipelineHandle(payload, None)
+        return _PipelineHandle(
+            payload, self._pool.submit(_precompute_chunk, rj, self.retain_records)
+        )
+
+    def resolve(self, handle: _PipelineHandle) -> AckResponse:
+        """In-order commit of a submitted chunk. MUST be called in
+        submission order — the caller's window loop guarantees it."""
+        if handle.future is None:
+            return self(handle.payload)
+        payload = handle.payload
+        iid = payload["ingestion_id"]
+        n = payload["chunk_number"]
+        if n in self.reject_once:
+            self.reject_once.discard(n)
+            return AckResponse(False, iid, n, "SIMULATED_FAILURE")
+        n_records, computed, records = handle.future.result()
+        if not n_records:
+            return AckResponse(False, iid, n, ERR_EMPTY)  # CV4
+        if payload["chunk_id"] in self.processed_chunks:
+            return AckResponse(True, iid, n)  # CV1 idempotent replay
+        if n != self.last_chunk.get(iid, -1) + 1:
+            return AckResponse(False, iid, n, ERR_OUT_OF_ORDER)  # CV2
+        if computed != payload["checksum"]:
+            return AckResponse(False, iid, n, ERR_CHECKSUM)  # CV3
+        self.processed_chunks.add(payload["chunk_id"])
+        self.last_chunk[iid] = n
+        self.received_chunks.append(n)
+        if self.retain_records:
+            self.received_records.append(records)
+        self.total_records[iid] = self.total_records.get(iid, 0) + n_records
+        return AckResponse(True, iid, n)
+
+    def close(self):
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 Transport = Callable[[dict], AckResponse]
 
 

@@ -805,3 +805,125 @@ def test_ingest_arrow_conf_window_refcounted(spark):
             assert spark.conf.get(_MAX_RECS_KEY) == "2000"
     assert spark.conf.get(_MAX_BYTES_KEY) == before_bytes
     assert spark.conf.get(_MAX_RECS_KEY) == before_recs
+
+
+# ---------------------------- pipelined (windowed) consumer validation
+
+
+def test_pipelined_validator_golden_stream(spark, tmp_path, products):
+    """The windowed pipeline must produce the IDENTICAL delivery the
+    synchronous validator produces: same chunks in order, same records,
+    same state progression, COMPLETED handshake."""
+    from data_ingestion_pimcore_spark.sink import PipelinedChunkValidator
+
+    with PipelinedChunkValidator(workers=2) as validator:
+        state = _store(tmp_path)
+        s = ingest(spark, _request(), products, state, validator)
+        assert s.status == "COMPLETED" and s.chunks_sent == 10
+        assert validator.received_chunks == list(range(10))
+        assert [len(r) for r in validator.received_records] == [10] * 10
+        ids = [
+            r["product_id"] for ch in validator.received_records for r in ch
+        ]
+        assert ids == list(range(1, 101))
+        assert validator.completed == [s.ingestion_id]
+
+
+def test_pipelined_transient_nack_recovers_in_order(spark, tmp_path, products):
+    """A NACK mid-window flushes the in-flight tail WITHOUT committing
+    it, retries the failed chunk synchronously, resubmits the tail —
+    the consumer must still see a gapless, duplicate-free sequence."""
+    from data_ingestion_pimcore_spark.sink import PipelinedChunkValidator
+
+    with PipelinedChunkValidator(workers=2, reject_once={4}) as validator:
+        state = _store(tmp_path)
+        s = ingest(spark, _request(), products, state, validator)
+        assert s.chunks_sent == 10 and s.status == "COMPLETED"
+        assert validator.received_chunks == list(range(10))
+
+
+def test_pipelined_permanent_nack_no_false_progress(spark, tmp_path, products):
+    """A chunk NACKed MAX_ATTEMPTS times fails the run; nothing behind
+    the failed chunk may have committed — state stops at the last ACK
+    even though later chunks were in flight when the NACK landed."""
+    from data_ingestion_pimcore_spark.sink import (
+        AckResponse,
+        PipelinedChunkValidator,
+    )
+
+    class AlwaysReject(PipelinedChunkValidator):
+        def _veto(self, payload):
+            return (
+                payload.get("chunk_number") == 5
+                and payload.get("status") != "COMPLETED"
+            )
+
+        def resolve(self, handle):
+            if self._veto(handle.payload):
+                return AckResponse(False, handle.payload["ingestion_id"], 5, "boom")
+            return super().resolve(handle)
+
+        def __call__(self, payload):
+            if self._veto(payload):
+                return AckResponse(False, payload["ingestion_id"], 5, "boom")
+            return super().__call__(payload)
+
+    with AlwaysReject(workers=2) as validator:
+        state = _store(tmp_path)
+        req = _request()
+        iid = build_ingestion_id(
+            build_file_id(req.file_path, req.file_type), version_for(False)
+        )
+        with pytest.raises(ChunkRejected):
+            ingest(spark, req, products, state, validator)
+        assert state.get_last_chunk(iid) == 4
+        assert state.get_total_records(iid) == 50
+        assert state.get_status(iid) == "IN_PROGRESS"
+        # chunks behind the failure must NOT have reached consumer state
+        assert validator.received_chunks == [0, 1, 2, 3, 4]
+    # resume delivers exactly the remainder, same as the sync path
+    from data_ingestion_pimcore_spark.sink import PipelinedChunkValidator
+
+    with PipelinedChunkValidator(workers=2) as v2:
+        v2.last_chunk[iid] = 4
+        s = ingest(spark, req, products, state, v2)
+        assert v2.received_chunks == [5, 6, 7, 8, 9]
+        assert s.total_records == 100 and s.status == "COMPLETED"
+
+
+def test_pipelined_validator_contract_cv1_to_cv4():
+    """CV1–CV4 through the submit/resolve surface directly."""
+    from data_ingestion_pimcore_spark.sink import PipelinedChunkValidator
+
+    import orjson
+
+    with PipelinedChunkValidator(workers=2) as v:
+        iid = "ing-p"
+        records = [{"a": 1}, {"a": 2}]
+
+        def payload(n, **kw):
+            base = {
+                "ingestion_id": iid,
+                "chunk_number": n,
+                "chunk_id": build_chunk_id(iid, n),
+                "checksum": compute_checksum(records),
+                "records_json": orjson.dumps(records).decode(),
+                "is_last": False,
+            }
+            base.update(kw)
+            return base
+
+        assert v.resolve(v.submit(payload(0))).ack
+        assert v.resolve(v.submit(payload(0))).ack  # CV1 duplicate → ACK
+        assert v.received_chunks == [0]
+        r = v.resolve(v.submit(payload(5)))
+        assert not r.ack and r.error == ERR_OUT_OF_ORDER  # CV2
+        r = v.resolve(v.submit(payload(1, checksum="deadbeef")))
+        assert not r.ack and r.error == ERR_CHECKSUM  # CV3
+        r = v.resolve(
+            v.submit(payload(1, records_json="[]"))
+        )
+        assert not r.ack and r.error == ERR_EMPTY  # CV4
+        # the stream recovers after the rejects
+        assert v.resolve(v.submit(payload(1))).ack
+        assert v.total_records[iid] == 4
