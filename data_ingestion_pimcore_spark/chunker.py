@@ -72,7 +72,22 @@ _SEED = 42
 _LAST_PID_PATH: str | None = None
 
 
-_ROWS_PER_RANGE = 50_000
+# Rows per range for the data-scaled task width (_auto_ranges). 50k was
+# the CPU-parity point of the JFR per-task-overhead table below; the
+# round-10 interleaved A/B (pipelined consumer, sf0.1, 600k rows)
+# re-measured the WALL optimum at 20k: 30-wide canonicalize read a
+# median 234k rec/s vs 166k at 12-wide — the ~5 extra core-s of Arrow
+# runner setup buys 2.6x more parallel width on the dominant map stage.
+# Inputs ≥ 1.6M rows hit the shuffle-partition cap either way, so the
+# 10x/100x probes are unaffected; concurrent-ingest scaling re-verified
+# after the change (BASELINE.md r10). Env-overridable for A/Bs.
+def _rows_per_range_default() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_ROWS_PER_RANGE", "20000"))
+
+
+_ROWS_PER_RANGE = _rows_per_range_default()
 
 
 def _rows_estimate(df: DataFrame) -> int | None:
