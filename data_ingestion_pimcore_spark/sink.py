@@ -170,6 +170,20 @@ class PipelinedChunkValidator(ChunkValidator):
         for _ in range(workers):
             self._pool.submit(int)
         self.pipeline_window = window or 2 * workers
+        # GC/interp-exit safety net for callers that skip close():
+        # cancel pending precomputes instead of blocking atexit on them
+        import functools
+        import weakref
+
+        self._finalizer = weakref.finalize(
+            self,
+            functools.partial(
+                type(self._pool).shutdown,
+                self._pool,
+                wait=False,
+                cancel_futures=True,
+            ),
+        )
 
     def submit(self, payload: dict) -> _PipelineHandle:
         rj = payload.get("records_json")
@@ -208,6 +222,7 @@ class PipelinedChunkValidator(ChunkValidator):
         return AckResponse(True, iid, n)
 
     def close(self):
+        self._finalizer.detach()
         self._pool.shutdown(wait=False, cancel_futures=True)
 
     def __enter__(self):
