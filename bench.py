@@ -192,6 +192,7 @@ HEADLINE = [
     "sim_recall_pq",
     "sim_recall_ivf_persisted",
     "sim_recall_upsert",
+    "ingest_pipelined_parity",
 ]
 
 
