@@ -1981,6 +1981,111 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group.crossJoin(F.broadcast(unioned)).crossJoin(F.broadcast(exact))
 
 
+# Sketch-audit bounds for agg_sketch_bounds. Published error rates:
+# approx_count_distinct runs HLL++ at the requested rsd=0.02 (3 sigma
+# = 6% relative), hll_sketch_agg's default lgConfigK=12 gives rsd ~
+# 1.04/sqrt(2^12) = 1.6% (3 sigma ~ 5%). Measured worst relative error
+# across the shipped SFs is far inside both (see
+# tests/test_llm_ops.py::test_agg_sketch_bounds_all_true); the pinned
+# bounds keep >=2x margin over measured while still catching a broken
+# sketch — an order-of-magnitude drift trips every clause.
+_HLL_REL_BOUND = 0.06
+_ACD_REL_BOUND = 0.08
+# percentile_approx(accuracy=10000) guarantees rank error <= n/1e4;
+# allow 20x the published bound (still only 0.2% of group rows).
+_PCTL_RANK_TOL = 20.0 / 10000.0
+
+
+@register(
+    "agg_sketch_bounds",
+    oracle="""
+SELECT CAST(5 AS BIGINT) AS hll_groups, TRUE AS hll_groups_ok,
+       TRUE AS hll_union_ok, CAST(3 AS BIGINT) AS pctl_groups,
+       TRUE AS approx_cd_ok, TRUE AS pctl_rank_ok
+""",
+    doc="Driver-gated audit of the two sketch queries whose raw "
+    "estimates are approximate by construction (agg_approx, "
+    "agg_hll_union — the registry's only oracle-less aggregates, "
+    "no_oracle since r05): recomputes each estimate IN-PLAN next to "
+    "its exact counterpart and emits constant booleans — HLL per-group "
+    "and union estimates within their published relative-error bounds "
+    "of exact COUNT(DISTINCT), approx_count_distinct likewise, and "
+    "each percentile_approx value within rank tolerance of its "
+    "requested quantile — against a literal all-TRUE DuckDB oracle "
+    "(the sim_recall_* companion pattern, ops/similarity.py). Group "
+    "counts are emitted too so a silently-empty audit can't pass. "
+    "Scale shape: one broadcast of the tiny estimate rows into each "
+    "fact scan, partial+final single-row aggregates, no corpus-scale "
+    "shuffle beyond what the audited queries already do.",
+)
+def agg_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # --- HLL side: agg_hll_union's estimates vs exact distincts ---
+    o = load(spark, sf_dir, "orders")
+    exact_pg = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("__exact_custs")
+    )
+    hll = agg_hll_union(spark, sf_dir).join(
+        F.broadcast(exact_pg), "o_orderpriority"
+    )
+    hll_row = hll.agg(
+        F.count(F.lit(1)).alias("hll_groups"),
+        F.bool_and(
+            F.abs(F.col("est_custs") - F.col("__exact_custs"))
+            <= F.lit(_HLL_REL_BOUND) * F.col("__exact_custs")
+        ).alias("hll_groups_ok"),
+        F.bool_and(
+            F.abs(F.col("est_union") - F.col("exact_union"))
+            <= F.lit(_HLL_REL_BOUND) * F.col("exact_union")
+        ).alias("hll_union_ok"),
+    )
+
+    # --- KLL/HLL++ side: agg_approx's per-group estimates. The 3-row
+    # estimate table broadcasts into the lineitem scan; per group we
+    # count rows strictly below / at-or-below each reported percentile
+    # value (its rank interval) and the exact distinct order count.
+    ap = agg_approx(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    )
+    j = li.join(F.broadcast(ap), "l_returnflag")
+    rank_aggs = []
+    for col in ("p50_price", "p95_price", "p99_price"):
+        rank_aggs.append(
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col(col), 1).otherwise(0)
+            ).alias(f"__lt_{col}")
+        )
+        rank_aggs.append(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col(col), 1).otherwise(0)
+            ).alias(f"__le_{col}")
+        )
+    g = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct("l_orderkey").alias("__exact_orders"),
+        F.first("approx_orders").alias("__approx_orders"),
+        *rank_aggs,
+    )
+    rank_ok = F.lit(True)
+    for q, col in ((0.5, "p50_price"), (0.95, "p95_price"), (0.99, "p99_price")):
+        rank_ok = (
+            rank_ok
+            & (F.col(f"__lt_{col}") <= F.lit(q + _PCTL_RANK_TOL) * F.col("__n"))
+            & (F.col(f"__le_{col}") >= F.lit(q - _PCTL_RANK_TOL) * F.col("__n"))
+        )
+    pctl_row = g.agg(
+        F.count(F.lit(1)).alias("pctl_groups"),
+        F.bool_and(
+            F.abs(F.col("__approx_orders") - F.col("__exact_orders"))
+            <= F.lit(_ACD_REL_BOUND) * F.col("__exact_orders")
+        ).alias("approx_cd_ok"),
+        F.bool_and(rank_ok).alias("pctl_rank_ok"),
+    )
+    # 1-row x 1-row: pin the broadcast so AQE-off plans the same BNLJ
+    # AQE would pick (tests/test_plans.py one-row crossJoin pin).
+    return hll_row.crossJoin(F.broadcast(pctl_row))
+
+
 @register(
     "sql_api_parameterized",
     oracle="""

@@ -1597,6 +1597,44 @@ def test_ann_recall_companion_plan_shape(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_agg_sketch_bounds_plan_shape(spark):
+    """The sketch-audit companion must stay estimate-row-sided: the
+    tiny estimate tables (5-row HLL groups, 3-row percentile groups)
+    BROADCAST into the exact-count scans, the two 1-row audit
+    aggregates meet in a pinned BroadcastNestedLoopJoin (never a
+    CartesianProduct, even AQE-off), and everything is JVM-side."""
+    keep = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        tree = tree_of(spark, "agg_sketch_bounds")
+        assert tree.count("BroadcastNestedLoopJoin") == 3  # 2 inherited
+        assert tree.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in tree
+        assert "CartesianProduct" not in tree
+        assert "BatchEvalPython" not in tree
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", keep)
+
+
+def test_agg_sketch_bounds_all_true(spark):
+    """The audit row must be EXACTLY the literal row its DuckDB oracle
+    states (the driver's hash gate twin): all four bound checks true,
+    group counts 5 (o_orderpriority) and 3 (l_returnflag). Measured
+    margins behind the pinned bounds (2026-08-16, all shipped SFs):
+    HLL per-group relerr <= 2.02% vs the 6% bound, union <= 1.0%,
+    approx_count_distinct <= 3.3% vs 8%, percentile ranks exact within
+    tolerance at every SF."""
+    from data_ingestion_pimcore_spark import registry
+
+    rows = registry.all_queries()["agg_sketch_bounds"].fn(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r["hll_groups"], r["hll_groups_ok"], r["hll_union_ok"],
+        r["pctl_groups"], r["approx_cd_ok"], r["pctl_rank_ok"],
+    ) == (5, True, True, 3, True, True), r
+
+
 def test_ann_recall_companions_emit_expected_literals(spark):
     """At every shipped SF the companions must emit EXACTLY the row the
     DuckDB oracle states as literals (den=50, both booleans true) —

@@ -16,7 +16,9 @@ from data_ingestion_pimcore_spark import registry
 
 # no-oracle query -> the named property test that covers it
 NO_ORACLE_PROPERTY_TESTS = {
-    # approximate distinct-count sketches: tolerance-banded vs exact
+    # approximate distinct-count sketches: tolerance-banded vs exact.
+    # (Since r11 BOTH also sit under the driver's DuckDB gate via the
+    # oracle-bearing agg_sketch_bounds companion query.)
     "agg_approx": "tests/test_llm_ops.py::test_agg_approx_within_tolerance",
     "agg_hll_union": "tests/test_llm_ops.py::test_hll_union_tracks_exact",
     # ANN variants: exactness/recall vs the brute-force oracle query.
