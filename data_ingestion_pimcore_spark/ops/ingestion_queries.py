@@ -20,10 +20,20 @@ from pyspark.sql.window import Window
 
 from ..chunker import (
     CHUNK_COL,
+    ascending_chunk_layout,
     assign_chunks_by_count,
     byte_chunk_stats,
     global_row_number,
 )
+
+# Integrity-chain drain sizing: manifest rows are tiny (3 columns),
+# but each drain partition is one toLocalIterator job — ~16 chunks per
+# partition pipelines executor compute under the sequential fold at
+# bench scale, while the 2048-partition cap bounds job count (and
+# makes driver state O(n_chunks/2048) rows) at 100 TB. Finished chain
+# rows spill to parquet past this batch size instead of accumulating.
+_CHAIN_CHUNKS_PER_PART = 16
+_CHAIN_SPILL_BATCH = 100_000
 from ..integrity import (
     build_file_id,
     build_ingestion_id,
@@ -1319,16 +1329,60 @@ def ingest_integrity_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = chunk_manifest(li, _LI_ORDER, CHUNK_SIZE, _INGESTION_ID).select(
         "chunk_number", "n_records", "checksum"
     )
-    rows = sorted(manifest.collect(), key=lambda r: r["chunk_number"])
-    prev = None
-    out = []
-    for r in rows:
-        seed = ("GENESIS|" + r["checksum"]) if prev is None else (prev + "|" + r["checksum"])
-        prev = hashlib.sha256(seed.encode()).hexdigest()
-        out.append((r["chunk_number"], r["n_records"], r["checksum"], prev))
-    return spark.createDataFrame(
-        out, "chunk_number long, n_records bigint, checksum string, chain_hash string"
+    # Stream the inherently-sequential fold instead of collect()ing the
+    # whole manifest (r10 verdict: at 100 TB / ~37M chunks that list is
+    # multi-GB driver state). ascending_chunk_layout gives an ordered
+    # drain with no sampling pass and no AQE-mergeable coalesce (the
+    # chunker's own drain layout); toLocalIterator then holds ONE
+    # partition of tiny manifest rows at a time, and finished chain
+    # rows spill to a local parquet every _CHAIN_SPILL_BATCH chunks —
+    # driver state is O(partition + batch), independent of chunk count.
+    n_chunks = -(-li.count() // CHUNK_SIZE)  # metadata-only parquet count
+    n_parts = min(max(n_chunks // _CHAIN_CHUNKS_PER_PART, 1), 2048)
+    ordered = ascending_chunk_layout(manifest, n_chunks, n_parts)
+    schema = (
+        "chunk_number long, n_records bigint, checksum string, chain_hash string"
     )
+    prev: str | None = None
+    expected = 0
+    batch: list[tuple] = []
+    spill_dir: str | None = None
+    for r in ordered.toLocalIterator():
+        if r["chunk_number"] != expected:  # chain integrity precondition
+            raise ValueError(
+                f"manifest drain out of order: got chunk {r['chunk_number']}, "
+                f"expected {expected}"
+            )
+        expected += 1
+        seed = (
+            ("GENESIS|" + r["checksum"])
+            if prev is None
+            else (prev + "|" + r["checksum"])
+        )
+        prev = hashlib.sha256(seed.encode()).hexdigest()
+        batch.append((r["chunk_number"], r["n_records"], r["checksum"], prev))
+        if len(batch) >= _CHAIN_SPILL_BATCH:
+            import tempfile
+
+            if spill_dir is None:
+                spill_dir = tempfile.mkdtemp(prefix="integrity_chain_")
+            spark.createDataFrame(batch, schema).write.mode("append").parquet(
+                spill_dir
+            )
+            batch = []
+    if spill_dir is None:  # test/bench scale: one local relation, no IO
+        return spark.createDataFrame(batch, schema)
+    import shutil
+
+    try:
+        if batch:
+            spark.createDataFrame(batch, schema).write.mode("append").parquet(
+                spill_dir
+            )
+        # materialize before the temp dir is removed
+        return spark.read.parquet(spill_dir).localCheckpoint()
+    finally:
+        shutil.rmtree(spill_dir, ignore_errors=True)
 
 
 @register(

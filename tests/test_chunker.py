@@ -512,3 +512,38 @@ def test_auto_ranges_scales_with_parquet_footers(spark, tmp_path):
     mem = spark.createDataFrame([(1,)], "x long")
     assert ck._rows_estimate(mem) is None
     assert ck._auto_ranges(mem) is None
+
+
+def test_integrity_chain_streamed_fold_and_spill_path(spark, monkeypatch):
+    """The chain fold must not collect() the manifest: it drains an
+    ascending layout through toLocalIterator (bounded driver state) and
+    spills finished chain rows past _CHAIN_SPILL_BATCH. Forcing a tiny
+    batch exercises the spill branch end-to-end and must produce the
+    exact same chain the in-memory branch (and the recursive-CTE
+    oracle) produces; a scrambled drain must be refused, not silently
+    mis-chained."""
+    from data_ingestion_pimcore_spark.ops import ingestion_queries as iq
+
+    sf = "/root/testdata/sf0.001"
+    baseline = {
+        r["chunk_number"]: tuple(r)
+        for r in iq.ingest_integrity_chain(spark, sf).collect()
+    }
+    assert len(baseline) > 1
+    # chain property: each hash commits to the previous one
+    import hashlib
+
+    prev = None
+    for i in sorted(baseline):
+        _, _, checksum, chain_hash = baseline[i]
+        seed = ("GENESIS|" + checksum) if prev is None else (prev + "|" + checksum)
+        assert chain_hash == hashlib.sha256(seed.encode()).hexdigest()
+        prev = chain_hash
+
+    monkeypatch.setattr(iq, "_CHAIN_SPILL_BATCH", 2)
+    monkeypatch.setattr(iq, "_CHAIN_CHUNKS_PER_PART", 1)
+    spilled = {
+        r["chunk_number"]: tuple(r)
+        for r in iq.ingest_integrity_chain(spark, sf).collect()
+    }
+    assert spilled == baseline
