@@ -25,18 +25,25 @@ fsspec stack honors:
   blob endpoint parsed from ``AZURE_STORAGE_CONNECTION_STRING``
   (``BlobEndpoint=...``) — the Azurite/azure-storage-blob standard.
 
-S3 requests are SigV4-SIGNED (stdlib hmac/sha256, AWS public spec)
-whenever the standard credential variables are present
-(``AWS_ACCESS_KEY_ID`` / ``AWS_SECRET_ACCESS_KEY``, optional
-``AWS_SESSION_TOKEN``, region from ``AWS_REGION`` /
-``AWS_DEFAULT_REGION``) — so private S3-compatible buckets work with
-no fsspec installed, matching the reference's s3fs credential
-behavior (``json_reader.py:42``, ``requirements.txt:26``). Without
-credentials the GET is anonymous. GCS/Azure stay anonymous-endpoint
-(emulator/in-VPC) on the stdlib path: for private buckets there, use
-the JVM connectors (OAuth / SAS) or install gcsfs/adlfs — when the
-matching fsspec package IS importable it is preferred automatically,
-matching the reference's stack.
+All three stores authenticate on the stdlib path when the standard
+credential variables are present (anonymous GET otherwise), matching
+the reference's fsspec credential behavior (``json_reader.py:42``,
+``requirements.txt:1,26,27``):
+
+* **S3**: SigV4-SIGNED requests (stdlib hmac/sha256, AWS public
+  spec) from ``AWS_ACCESS_KEY_ID`` / ``AWS_SECRET_ACCESS_KEY``,
+  optional ``AWS_SESSION_TOKEN``, region from ``AWS_REGION`` /
+  ``AWS_DEFAULT_REGION``.
+* **GCS**: ``Authorization: Bearer`` from
+  ``GOOGLE_OAUTH_ACCESS_TOKEN`` (the token variable gcsfs/google-auth
+  tooling honors; mint one with ``gcloud auth print-access-token``).
+* **Azure Blob**: a SAS token appended as the query string, from
+  ``AZURE_STORAGE_SAS_TOKEN`` (the Azure CLI variable) or a
+  ``SharedAccessSignature=`` entry in the connection string.
+
+When the matching fsspec package IS importable it is preferred
+automatically (full credential chains), matching the reference's
+stack; the JVM connectors cover parquet/CSV/JSONL separately.
 
 Scale note: these Python readers stream one object per input
 partition with O(read_size) memory (json_array) or one in-memory
@@ -71,12 +78,18 @@ OPTION_ENV = {
     "s3_endpoint": "AWS_ENDPOINT_URL_S3",
     "gcs_endpoint": _GCS_ENV_VAR,
     "azure_connection_string": _AZURE_ENV_VAR,
-    # SigV4 credentials ride the same option channel as endpoints so
-    # worker-side readers sign exactly like the driver would
+    # Credentials ride the same option channel as endpoints so
+    # worker-side readers authenticate exactly like the driver would.
+    # Secret-bearing names deliberately contain "secret"/"token" so
+    # Spark's default redaction regexes mask them in explain()/UI/event
+    # logs (pinned by tests/test_object_store.py::
+    # test_credential_options_are_redacted_by_spark).
     "s3_access_key_id": "AWS_ACCESS_KEY_ID",
     "s3_secret_access_key": "AWS_SECRET_ACCESS_KEY",
     "s3_session_token": "AWS_SESSION_TOKEN",
     "s3_region": "AWS_REGION",
+    "gcs_oauth_token": "GOOGLE_OAUTH_ACCESS_TOKEN",
+    "azure_sas_token": "AZURE_STORAGE_SAS_TOKEN",
 }
 
 
@@ -94,6 +107,14 @@ def configured_endpoints() -> dict[str, str]:
         v = os.environ.get(var)
         if v:
             out[opt] = v
+    # Resolve the region exactly like _s3_credentials() does: a driver
+    # with only AWS_DEFAULT_REGION set must forward THAT region, or
+    # workers (which see neither var) would sign for us-east-1 and take
+    # permanent 403s on a real cluster (r10 advice).
+    if "s3_region" not in out:
+        v = os.environ.get("AWS_DEFAULT_REGION")
+        if v:
+            out["s3_region"] = v
     return out
 
 
@@ -221,6 +242,31 @@ def _s3_credentials() -> tuple[str, str, str | None, str] | None:
     return ak, sk, token, region
 
 
+def _gcs_headers(url: str) -> dict[str, str]:
+    """Bearer-token auth for GCS JSON-API GETs (public OAuth2 scheme)
+    from ``GOOGLE_OAUTH_ACCESS_TOKEN`` — the short-lived access token
+    gcloud/google-auth tooling mints. {} → anonymous (emulator)."""
+    tok = os.environ.get("GOOGLE_OAUTH_ACCESS_TOKEN")
+    return {"Authorization": f"Bearer {tok}"} if tok else {}
+
+
+def _azure_sas_query() -> str:
+    """SAS token query string for Azure Blob GETs (public shared-access
+    -signature scheme), from ``AZURE_STORAGE_SAS_TOKEN`` or a
+    ``SharedAccessSignature=`` connection-string entry. '' → anonymous
+    (Azurite / public container). Leading '?' is normalized away."""
+    sas = os.environ.get("AZURE_STORAGE_SAS_TOKEN")
+    if not sas:
+        conn = os.environ.get(_AZURE_ENV_VAR, "")
+        for part in conn.split(";"):
+            k, sep, v = part.partition("=")
+            if sep and k.strip().lower() == "sharedaccesssignature" and v:
+                # '=' inside the SAS was split off; rejoin the remainder
+                sas = part.partition("=")[2]
+                break
+    return sas.lstrip("?") if sas else ""
+
+
 def _sigv4_headers(url: str) -> dict[str, str]:
     """AWS Signature Version 4 headers for a GET of ``url`` (public
     spec: docs.aws.amazon.com sigv4-create-signed-request), stdlib
@@ -328,7 +374,7 @@ def open_object_binary(uri: str):
             f"{gcs_endpoint()}/storage/v1/b/{quote(bucket, safe='')}"
             f"/o/{quote(key, safe='')}?alt=media"
         )
-        return _http_get_retry(url, "GCS")
+        return _http_get_retry(url, "GCS", headers_fn=_gcs_headers)
     if is_azure_uri(uri):
         try:
             import adlfs  # type: ignore
@@ -341,6 +387,9 @@ def open_object_binary(uri: str):
             f"{azure_blob_endpoint()}/{quote(container, safe='')}"
             f"/{quote(blob, safe='/')}"
         )
+        sas = _azure_sas_query()
+        if sas:
+            url += f"?{sas}"
         return _http_get_retry(url, "Azure Blob")
     try:
         import s3fs  # type: ignore
