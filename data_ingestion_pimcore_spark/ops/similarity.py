@@ -1519,8 +1519,19 @@ def _ivf_index_dir(sf_dir: str) -> str | None:
     except OSError:
         return None
     # 0o700: the default root lives under the world-writable /tmp —
-    # scope it to this user so another account can't pre-plant an index
+    # scope it to this user so another account can't pre-plant an index.
+    # makedirs only applies the mode on CREATE: if another local user
+    # pre-created the path (the exact pre-plant attack), exist_ok=True
+    # would silently adopt it — verify ownership and that group/other
+    # have no write bit, and skip cross-run persistence on mismatch
+    # (callers treat None as "ephemeral index only", r10 advice).
     os.makedirs(root, mode=0o700, exist_ok=True)
+    try:
+        st_root = os.stat(root)
+    except OSError:
+        return None
+    if st_root.st_uid != os.getuid() or (st_root.st_mode & 0o022):
+        return None
     # v2: upserts moved from in-place appends to manifest-committed
     # segment dirs; the version in the key orphans v1 layouts whose
     # assignments/ may contain marker-era appended rows.

@@ -159,9 +159,25 @@ class PipelinedChunkValidator(ChunkValidator):
         import multiprocessing
         from concurrent.futures import ProcessPoolExecutor
 
-        # fork context: workers only run the pure precompute (no JVM /
-        # py4j interaction), and fork avoids re-importing pyspark per
-        # worker as spawn would
+        # fork context — a DELIBERATE trade-off (r10 advice evaluated):
+        # forking a driver that hosts py4j/JVM threads risks a child
+        # deadlocking on a lock held at fork time (malloc/logging), and
+        # fork-with-threads is deprecated toward CPython 3.14. BUT the
+        # alternatives are worse for a library: forkserver and spawn
+        # both re-import the caller's __main__ in every worker
+        # (spawn.get_preparation_data ships main_path for plain
+        # `python script.py` entrypoints), so an unguarded driver
+        # script — bench harnesses, notebook exports, the external
+        # driver — would re-execute wholesale inside each worker
+        # (measured: instant BrokenProcessPool via the bootstrap guard
+        # when the caller builds pools/Spark at module level). Exposure
+        # is contained instead: workers run ONLY the pure precompute
+        # (_precompute_chunk: orjson loads + sha256 — no JVM, py4j,
+        # logging, or locks), are spawned eagerly right after pool
+        # creation (before heavy driver activity widens the forked-lock
+        # window), and a worker death surfaces as BrokenProcessPool on
+        # resolve(), which the producer's bounded retry converts into
+        # the synchronous fallback path rather than a hang.
         self._pool = ProcessPoolExecutor(
             max_workers=workers, mp_context=multiprocessing.get_context("fork")
         )
@@ -189,9 +205,14 @@ class PipelinedChunkValidator(ChunkValidator):
         rj = payload.get("records_json")
         if payload.get("status") == "COMPLETED" or rj is None:
             return _PipelineHandle(payload, None)
-        return _PipelineHandle(
-            payload, self._pool.submit(_precompute_chunk, rj, self.retain_records)
-        )
+        try:
+            fut = self._pool.submit(_precompute_chunk, rj, self.retain_records)
+        except RuntimeError:
+            # BrokenProcessPool (a worker died) or pool shut down:
+            # degrade to the synchronous path — same validation, no
+            # precompute overlap — instead of failing the ingestion
+            return _PipelineHandle(payload, None)
+        return _PipelineHandle(payload, fut)
 
     def resolve(self, handle: _PipelineHandle) -> AckResponse:
         """In-order commit of a submitted chunk. MUST be called in
@@ -204,7 +225,14 @@ class PipelinedChunkValidator(ChunkValidator):
         if n in self.reject_once:
             self.reject_once.discard(n)
             return AckResponse(False, iid, n, "SIMULATED_FAILURE")
-        n_records, computed, records = handle.future.result()
+        try:
+            n_records, computed, records = handle.future.result()
+        except Exception:
+            # Worker death mid-precompute (BrokenProcessPool): the
+            # precompute is PURE, so nothing was lost — revalidate this
+            # chunk synchronously (identical CV1–CV5 semantics); later
+            # submits see the broken pool and degrade to sync too.
+            return self(handle.payload)
         if not n_records:
             return AckResponse(False, iid, n, ERR_EMPTY)  # CV4
         if payload["chunk_id"] in self.processed_chunks:

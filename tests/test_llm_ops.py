@@ -1113,3 +1113,28 @@ def test_sim_ivf_index_upsert_crash_window_atomic(spark, tmp_path, monkeypatch):
     assert os.path.isdir(first_seg)  # ...on disk but never read
     segs = os.listdir(os.path.join(base, "segments"))
     assert len(segs) == 2  # one orphan + one committed
+
+
+def test_ivf_index_root_rejects_preplanted_dir(tmp_path, monkeypatch):
+    """The content-keyed index root under /tmp must be OWNED by this
+    user with no group/other write bits: exist_ok=True on a pre-planted
+    (attacker-created) root would silently adopt it and serve planted
+    indexes. On mismatch the callers fall back to the ephemeral
+    build-inline path (None), same as an un-stat-able corpus."""
+    import os
+
+    from data_ingestion_pimcore_spark.ops.similarity import _ivf_index_dir
+
+    sf = "/root/testdata/sf0.001"
+    root = tmp_path / "idx"
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(root))
+    # fresh root: created 0700, accepted
+    p = _ivf_index_dir(sf)
+    assert p is not None and p.startswith(str(root))
+    assert (os.stat(root).st_mode & 0o777) == 0o700
+    # pre-planted group/other-writable root: rejected -> ephemeral
+    os.chmod(root, 0o777)
+    assert _ivf_index_dir(sf) is None
+    # tightening the bits restores persistence (same process/user)
+    os.chmod(root, 0o700)
+    assert _ivf_index_dir(sf) == p

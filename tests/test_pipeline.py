@@ -927,3 +927,85 @@ def test_pipelined_validator_contract_cv1_to_cv4():
         # the stream recovers after the rejects
         assert v.resolve(v.submit(payload(1))).ack
         assert v.total_records[iid] == 4
+
+
+def test_pipelined_worker_death_degrades_to_sync(spark, tmp_path, products):
+    """Fault injection for the CV3 pool (r10 verdict item 7): SIGKILL
+    every pool worker mid-stream. The precompute is pure, so the
+    in-flight chunk revalidates synchronously, later submits see the
+    broken pool and degrade to the synchronous path, and the delivery
+    must still be the golden stream — gapless, duplicate-free,
+    COMPLETED — not a crashed ingestion."""
+    import os
+    import signal
+
+    from data_ingestion_pimcore_spark.sink import PipelinedChunkValidator
+
+    class KillAfter3(PipelinedChunkValidator):
+        submits = 0
+
+        def submit(self, payload):
+            h = super().submit(payload)
+            KillAfter3.submits += 1
+            if KillAfter3.submits == 3:
+                for pid in list(self._pool._processes):
+                    os.kill(pid, signal.SIGKILL)
+            return h
+
+    with KillAfter3(workers=2) as validator:
+        state = _store(tmp_path)
+        s = ingest(spark, _request(), products, state, validator)
+        assert s.status == "COMPLETED" and s.chunks_sent == 10
+        assert validator.received_chunks == list(range(10))
+        ids = [
+            r["product_id"] for ch in validator.received_records for r in ch
+        ]
+        assert ids == list(range(1, 101))
+        assert validator.completed == [s.ingestion_id]
+
+
+def test_pipelined_parity_under_faults(spark, tmp_path, products):
+    """The ingest_pipelined_parity booleans, exercised UNDER FAILURE
+    (r10 verdict item 7): the pipelined run takes a NACK mid-window
+    (flush + synchronous retry + resubmit, pipeline.deliver_payloads)
+    AND a pool-worker SIGKILL — and must still deliver the byte-
+    identical stream the synchronous consumer delivers."""
+    import os
+    import signal
+
+    from data_ingestion_pimcore_spark.integrity import compute_checksum
+    from data_ingestion_pimcore_spark.sink import (
+        ChunkValidator,
+        PipelinedChunkValidator,
+    )
+
+    v_sync = ChunkValidator()
+    s_sync = ingest(spark, _request(), products, _store(tmp_path), v_sync)
+    assert s_sync.status == "COMPLETED"
+
+    class KillAfter5(PipelinedChunkValidator):
+        submits = 0
+
+        def submit(self, payload):
+            h = super().submit(payload)
+            KillAfter5.submits += 1
+            if KillAfter5.submits == 5:
+                for pid in list(self._pool._processes):
+                    os.kill(pid, signal.SIGKILL)
+            return h
+
+    store2 = IngestionStateStore(str(tmp_path / "state2.parquet"))
+    with KillAfter5(workers=2, reject_once={3}) as v_pipe:
+        s_pipe = ingest(spark, _request(), products, store2, v_pipe)
+        assert s_pipe.status == "COMPLETED"
+
+    n = s_sync.chunks_sent
+    assert s_pipe.chunks_sent == n
+    assert v_pipe.received_chunks == v_sync.received_chunks == list(range(n))
+    assert v_pipe.received_records == v_sync.received_records
+    assert all(
+        compute_checksum(a) == compute_checksum(b)
+        for a, b in zip(v_sync.received_records, v_pipe.received_records)
+    )
+    assert len(v_sync.completed) == len(v_pipe.completed) == 1
+    assert s_sync.total_records == s_pipe.total_records == 100
