@@ -1045,7 +1045,7 @@ _ZTEST_SQL = """
 WITH g AS (
   SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
-         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS base
+         COUNT(*) AS base
   FROM events WHERE event_type IN ('click', 'purchase')
   GROUP BY CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
 ),
@@ -1070,12 +1070,18 @@ FROM w
     "stats_ab_ztest",
     oracle=_ZTEST_SQL,
     doc="Two-proportion z-test between deterministic experiment arms "
-    "(user_id parity): purchase-per-click conversion difference over "
-    "the pooled-variance standard error. One conditional hash "
-    "aggregate over the event stream builds all four integer counts; "
-    "the z statistic is a single structurally-identical chain of "
-    "row-local IEEE ops on exact integers, ROUND 9 both sides. The "
-    "experiment-analysis primitive next to the bootstrap CI.",
+    "(user_id parity): each arm's conversion is its purchase SHARE of "
+    "engagement (click+purchase) events, differenced over the pooled-"
+    "variance standard error. A share-of-superset proportion is "
+    "guaranteed in [0, 1] at every data volume — the original "
+    "purchase-PER-CLICK ratio exceeded 1 at sf0.1 (purchases outnumber "
+    "clicks there), driving the pooled variance negative: Spark's sqrt "
+    "silently returned NaN while DuckDB's raised, caught by the r11 "
+    "full-surface sf0.1 sweep. One conditional hash aggregate builds "
+    "all four integer counts; the z statistic is a single structurally-"
+    "identical chain of row-local IEEE ops on exact integers, ROUND 9 "
+    "both sides. The experiment-analysis primitive next to the "
+    "bootstrap CI.",
 )
 def stats_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_type")
@@ -1088,9 +1094,7 @@ def stats_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
                 "conv"
             ),
-            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
-                "base"
-            ),
+            F.count(F.lit(1)).alias("base"),
         )
     )
     w = g.agg(

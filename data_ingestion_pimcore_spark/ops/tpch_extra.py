@@ -804,15 +804,17 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH monthly AS (
     SELECT o_orderpriority,
            strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_d
     FROM orders
     GROUP BY 1, 2
 )
-SELECT o_orderpriority, month, ROUND(rev, 6) AS rev,
-       ROUND(SUM(rev) OVER (PARTITION BY o_orderpriority ORDER BY month), 6)
-           AS cum_rev,
-       ROUND(rev / SUM(rev) OVER (PARTITION BY o_orderpriority), 9)
-           AS share_of_priority
+SELECT o_orderpriority, month,
+       CAST(rev_d AS DOUBLE) AS rev,
+       CAST(SUM(rev_d) OVER (PARTITION BY o_orderpriority
+                             ORDER BY month) AS DOUBLE) AS cum_rev,
+       ROUND(CAST(rev_d AS DOUBLE)
+               / CAST(SUM(rev_d) OVER (PARTITION BY o_orderpriority)
+                      AS DOUBLE), 9) AS share_of_priority
 FROM monthly
 """,
     doc="TPC-DS Q51-style cumulative analysis: monthly revenue per "
@@ -821,8 +823,15 @@ FROM monthly
     "plans both windows in a single Window operator chain after one "
     "sort). The aggregate collapses orders to O(priorities x months) "
     "rows before any window touches them, so window state is tiny at "
-    "any fact volume. Exact-decimal monthly sums make the running "
-    "totals order-insensitive.",
+    "any fact volume. The windowed sums stay in the exact DECIMAL "
+    "domain end-to-end and cast to double at output WITHOUT a double-"
+    "domain ROUND: at sf0.1 both the double running sums (window fold "
+    "association differs across engines) and ROUND(double, 6) itself "
+    "(Spark rounds the shortest decimal repr, DuckDB the binary "
+    "expansion — a one-ulp tie once value*1e6 nears 2^53) diverged; "
+    "the decimal→double CAST is correctly rounded and bit-identical "
+    "in both engines, measured (caught by the r11 full-surface sf0.1 "
+    "sweep).",
 )
 def dsq_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -835,7 +844,7 @@ def dsq_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
         .groupBy("o_orderpriority", "month")
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_d"))
     )
     w_cum = (
         Window.partitionBy("o_orderpriority")
@@ -846,11 +855,13 @@ def dsq_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         "o_orderpriority",
         "month",
-        F.round("rev", 6).alias("rev"),
-        F.round(F.sum("rev").over(w_cum), 6).alias("cum_rev"),
-        F.round(F.col("rev") / F.sum("rev").over(w_all), 9).alias(
-            "share_of_priority"
-        ),
+        F.col("rev_d").cast("double").alias("rev"),
+        F.sum("rev_d").over(w_cum).cast("double").alias("cum_rev"),
+        F.round(
+            F.col("rev_d").cast("double")
+            / F.sum("rev_d").over(w_all).cast("double"),
+            9,
+        ).alias("share_of_priority"),
     )
 
 
