@@ -961,10 +961,49 @@ def main() -> None:
             file=sys.stderr,
         )
     _checkpoint()
-    rps10 = (
-        bench_ingest_scale(sf_dir, factor=10, n_runs=3, discard=True)
+
+    # Quiet-window gate for the scale probes (round-10 verdict item 3):
+    # the paired in-probe ratios are load-immune by construction, but
+    # the recorded ABSOLUTE rec/s (and the cross-round story readers
+    # build from them) are not — r10's 10x ref-loop denominator (77.5k
+    # vs r9's 173.6k) made the ratio look like a step-change when only
+    # the window differed. Each probe now carries its own load index
+    # (quiet const / that probe's in-probe ref loop); a loaded probe
+    # (> QUIET_LOAD_MAX) is re-run ONCE if budget allows and the
+    # quieter of the two windows is recorded.
+    QUIET_LOAD_MAX = 1.1
+
+    def _probe_load(ref_runs_sorted: list[float]) -> float:
+        return round(REF_LOOP_QUIET_RPS / statistics.median(ref_runs_sorted), 3)
+
+    def _quiet_scale_probe(factor, n_runs, discard, budget_floor):
+        probe = bench_ingest_scale(
+            sf_dir, factor=factor, n_runs=n_runs, discard=discard
+        )
+        if probe is None:
+            return None, None, False
+        load = _probe_load(probe[1])
+        if load <= QUIET_LOAD_MAX or _remaining() <= budget_floor:
+            return probe, load, False
+        print(
+            f"# ingest_{factor}x window loaded (load {load:.2f} > "
+            f"{QUIET_LOAD_MAX}) — re-running once for a quiet window",
+            file=sys.stderr,
+        )
+        retry = bench_ingest_scale(
+            sf_dir, factor=factor, n_runs=n_runs, discard=discard
+        )
+        if retry is None:
+            return probe, load, True
+        load2 = _probe_load(retry[1])
+        if load2 < load:
+            return retry, load2, True
+        return probe, load, True
+
+    rps10, load10, retried10 = (
+        _quiet_scale_probe(10, 3, True, budget_floor=2400)
         if _remaining() > 2400
-        else None
+        else (None, None, False)
     )
     if rps10 is None and _remaining() <= 2400:
         print("# ingest_10x probe SKIPPED (wall budget)", file=sys.stderr)
@@ -977,12 +1016,14 @@ def main() -> None:
         timings["bar_ratio_10x"] = round(ratio10[1], 3)
         timings["bar_ratio_10x_min"] = round(ratio10[0], 3)
         timings["bar_ratio_10x_max"] = round(ratio10[-1], 3)
+        timings["load_index_10x"] = load10
         print(
             f"# ingest_10x: {runs10[1]:,.0f} rec/s median at 10x rows, band "
             f"[{runs10[0]:,.0f}, {runs10[-1]:,.0f}]; in-probe ref loop "
             f"{timings['ref_loop_rps_10x']:,.0f} rec/s → paired bar_ratio_10x "
             f"{timings['bar_ratio_10x']:.2f} "
-            f"[{ratio10[0]:.2f}, {ratio10[-1]:.2f}]",
+            f"[{ratio10[0]:.2f}, {ratio10[-1]:.2f}]; probe load "
+            f"{load10:.2f}{' (best of 2 windows)' if retried10 else ''}",
             file=sys.stderr,
         )
         # Headline ORDER (round-7 verdict item 7): the 10x paired
@@ -999,10 +1040,10 @@ def main() -> None:
             file=sys.stderr,
         )
     _checkpoint()
-    rps100 = (
-        bench_ingest_scale(sf_dir, factor=100, n_runs=2, discard=False)
+    rps100, load100, retried100 = (
+        _quiet_scale_probe(100, 2, False, budget_floor=1800)
         if _remaining() > 1800
-        else None
+        else (None, None, False)
     )
     if rps100 is None and _remaining() <= 1800:
         print("# ingest_100x probe SKIPPED (wall budget)", file=sys.stderr)
@@ -1012,11 +1053,13 @@ def main() -> None:
         timings["ingest_records_per_sec_100x_min"] = round(runs100[0], 1)
         timings["bar_ratio_100x"] = round(ratio100[0], 3)
         timings["bar_ratio_100x_max"] = round(ratio100[-1], 3)
+        timings["load_index_100x"] = load100
         print(
             f"# ingest_100x: {runs100[-1]:,.0f} rec/s best of {len(runs100)} "
             f"at 100x rows (60M), band [{runs100[0]:,.0f}, {runs100[-1]:,.0f}]; "
             f"paired bar_ratio_100x {ratio100[0]:.2f} [{ratio100[0]:.2f}, "
-            f"{ratio100[-1]:.2f}]",
+            f"{ratio100[-1]:.2f}]; probe load {load100:.2f}"
+            f"{' (best of 2 windows)' if retried100 else ''}",
             file=sys.stderr,
         )
     _checkpoint()
@@ -1167,6 +1210,8 @@ _COMPACT_EXTRAS = (
     "bar_ratio_10x_max",
     "bar_ratio_100x",
     "load_index",
+    "load_index_10x",
+    "load_index_100x",
     "excel_scan_32files_speedup",
 )
 
@@ -1206,6 +1251,8 @@ _NON_TIMING = (
     "bar_ratio_100x",
     "bar_ratio_100x_max",
     "load_index",
+    "load_index_10x",
+    "load_index_100x",
     "excel_scan_32files_speedup",
     "excel_scan_1file_sec",
     "excel_scan_32files_sec",
