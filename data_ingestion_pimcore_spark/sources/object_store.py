@@ -261,8 +261,9 @@ def _azure_sas_query() -> str:
         for part in conn.split(";"):
             k, sep, v = part.partition("=")
             if sep and k.strip().lower() == "sharedaccesssignature" and v:
-                # '=' inside the SAS was split off; rejoin the remainder
-                sas = part.partition("=")[2]
+                # v holds everything after the FIRST '=', so '='s
+                # inside the SAS value itself survive intact
+                sas = v
                 break
     return sas.lstrip("?") if sas else ""
 
