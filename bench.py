@@ -823,13 +823,17 @@ _SF1_EXTRA = {
     "graph_pagerank", "dedup_minhash_pairs",
 }
 
-# Quiet-window 1-thread reference-loop throughput on THIS container
-# (median of quiet-session readings, BASELINE.md r7/r8: ~226-280k
-# rec/s). load_index = this constant / the session's observed
-# ref_loop_rps — ~1.0 on a quiet window, rising with co-tenant load —
-# so a future reader can separate code regressions from window noise
-# without digging through sweep logs (round-8 verdict item 7).
-REF_LOOP_QUIET_RPS = 250_000.0
+# Quiet-window 1-thread reference-loop throughput on THIS container.
+# load_index = this constant / the session's observed ref_loop_rps —
+# ~1.0 on a quiet window, rising with co-tenant load — so a future
+# reader can separate code regressions from window noise without
+# digging through sweep logs (round-8 verdict item 7).
+# Recalibrated r12 open (r11 verdict item 2): 9-run median 203.8k
+# rec/s at load-average 0.07 (runs 180-211k; the r7-era 250k constant
+# overstated load indices ~1.2x after container frequency/tenancy
+# drift). Rebase noted in BASELINE.md — r12+ load indices are NOT
+# comparable to r7-r11 ones without scaling by 250/204.
+REF_LOOP_QUIET_RPS = 204_000.0
 
 
 def main() -> None:
