@@ -34,6 +34,41 @@ from ..chunker import (
 # rows spill to parquet past this batch size instead of accumulating.
 _CHAIN_CHUNKS_PER_PART = 16
 _CHAIN_SPILL_BATCH = 100_000
+
+# Conf key naming a CLUSTER-VISIBLE scratch location for driver-fold
+# spills. Executors, not the driver, execute the spill write/read
+# tasks, so a driver-local tempfile.mkdtemp path only works in local
+# mode (r11 advice, medium): on a multi-node cluster the write tasks
+# would land on executor-local disks and the read-back would find
+# nothing. Resolution order: this conf, the SparkContext checkpoint
+# dir (cluster-visible by definition when set), then the SQL warehouse
+# dir (shared storage on any real deployment; the local working dir in
+# local mode — where it is equally visible).
+SPILL_DIR_CONF = "spark.data_ingestion_pimcore_spark.spill.dir"
+
+
+def _spill_dir(spark: SparkSession, prefix: str) -> str:
+    import uuid
+
+    root = spark.conf.get(SPILL_DIR_CONF, None)
+    if not root:
+        root = spark.sparkContext.getCheckpointDir()
+    if not root:
+        root = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{root.rstrip('/')}/{prefix}_{uuid.uuid4().hex}"
+
+
+def _hadoop_rmtree(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API so cleanup
+    works for any scheme the spill root may live on (hdfs://, s3a://,
+    file:/ …) — shutil can only delete local paths."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:
+        pass  # best-effort cleanup; an orphaned spill dir is harmless
 from ..integrity import (
     build_file_id,
     build_ingestion_id,
@@ -1335,9 +1370,17 @@ def ingest_integrity_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drain with no sampling pass and no AQE-mergeable coalesce (the
     # chunker's own drain layout); toLocalIterator then holds ONE
     # partition of tiny manifest rows at a time, and finished chain
-    # rows spill to a local parquet every _CHAIN_SPILL_BATCH chunks —
+    # rows spill to parquet every _CHAIN_SPILL_BATCH chunks —
     # driver state is O(partition + batch), independent of chunk count.
-    n_chunks = -(-li.count() // CHUNK_SIZE)  # metadata-only parquet count
+    #
+    # n_chunks sizing: exact, not a proxy — chunk_manifest over li with
+    # a count-based chunker yields precisely ceil(count/CHUNK_SIZE)
+    # DENSE chunk_numbers 0..n-1 by construction; the function REQUIRES
+    # that density (a filtered/resumed manifest has no well-defined
+    # chain), and the drain-order check below enforces it at runtime
+    # (r11 advice, low). The count itself is a metadata-only parquet
+    # job (footers, no data scan).
+    n_chunks = -(-li.count() // CHUNK_SIZE)
     n_parts = min(max(n_chunks // _CHAIN_CHUNKS_PER_PART, 1), 2048)
     ordered = ascending_chunk_layout(manifest, n_chunks, n_parts)
     schema = (
@@ -1362,27 +1405,23 @@ def ingest_integrity_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = hashlib.sha256(seed.encode()).hexdigest()
         batch.append((r["chunk_number"], r["n_records"], r["checksum"], prev))
         if len(batch) >= _CHAIN_SPILL_BATCH:
-            import tempfile
-
             if spill_dir is None:
-                spill_dir = tempfile.mkdtemp(prefix="integrity_chain_")
+                spill_dir = _spill_dir(spark, "integrity_chain")
             spark.createDataFrame(batch, schema).write.mode("append").parquet(
                 spill_dir
             )
             batch = []
     if spill_dir is None:  # test/bench scale: one local relation, no IO
         return spark.createDataFrame(batch, schema)
-    import shutil
-
     try:
         if batch:
             spark.createDataFrame(batch, schema).write.mode("append").parquet(
                 spill_dir
             )
-        # materialize before the temp dir is removed
+        # materialize (executor block manager) before the dir is removed
         return spark.read.parquet(spill_dir).localCheckpoint()
     finally:
-        shutil.rmtree(spill_dir, ignore_errors=True)
+        _hadoop_rmtree(spark, spill_dir)
 
 
 @register(

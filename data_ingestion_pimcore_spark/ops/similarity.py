@@ -1527,8 +1527,16 @@ def _ivf_index_dir(sf_dir: str) -> str | None:
     # (callers treat None as "ephemeral index only", r10 advice).
     os.makedirs(root, mode=0o700, exist_ok=True)
     try:
-        st_root = os.stat(root)
+        # lstat, not stat: a pre-planted SYMLINK at the well-known /tmp
+        # root would pass a follow-links uid/mode check against its
+        # victim-owned target while redirecting all index IO to an
+        # attacker-chosen directory (r11 advice) — reject links outright.
+        st_root = os.lstat(root)
     except OSError:
+        return None
+    import stat as stat_mod
+
+    if stat_mod.S_ISLNK(st_root.st_mode):
         return None
     if st_root.st_uid != os.getuid() or (st_root.st_mode & 0o022):
         return None

@@ -330,14 +330,43 @@ def _sigv4_headers(url: str) -> dict[str, str]:
     return out
 
 
-def _http_get_retry(url: str, what: str, headers_fn=None):
+def _redact(url: str) -> str:
+    """URL safe for error messages / logs: the query string is where
+    secrets ride (Azure SAS ``sig=``), so it is dropped wholesale —
+    task-failure messages propagate into executor logs and Spark UI
+    error panes, the exact channels explain()-redaction doesn't cover
+    (r11 advice)."""
+    base, sep, _ = url.partition("?")
+    return base + "?<redacted>" if sep else url
+
+
+def _scrubbed_http_error(e, url: str):
+    """An ``HTTPError`` equal in type/code/reason but carrying the
+    REDACTED url (the original embeds the full signed URL in its
+    ``.url``/``.filename`` attributes, which caller log formatting may
+    surface)."""
+    return urllib.error.HTTPError(_redact(url), e.code, e.reason, e.headers, None)
+
+
+def _http_get_retry(url, what: str, headers_fn=None, url_fn=None, cred_fn=None):
     """GET with bounded retry on transient failures (5xx / connection
     resets — at fleet scale some GETs always flake; 4xx are permanent
-    and raise immediately). ``headers_fn(url)`` is evaluated per
-    attempt (signatures embed a timestamp). Returns the open response
-    stream."""
+    and raise immediately). Per ATTEMPT, not per call: ``url_fn()``
+    rebuilds the URL (Azure SAS rides the query string),
+    ``headers_fn(url)`` rebuilds auth headers (SigV4 embeds a
+    timestamp, GCS re-reads the Bearer token), and on a 401/403 the
+    attempt is retried IF ``cred_fn()`` reports the ambient credentials
+    changed since the failing request was signed — so a long-running
+    stream survives an expiring-token rotation (new env/token) without
+    ever retrying a genuinely-denied request (stable credentials still
+    fail fast). All raised errors carry redacted URLs; secrets never
+    reach executor logs. Returns the open response stream."""
     last: Exception | None = None
     for attempt in range(_GET_RETRIES):
+        if url_fn is not None:
+            url = url_fn()
+        used_cred = cred_fn() if cred_fn else None
+        permanent = None
         try:
             req = urllib.request.Request(
                 url, headers=headers_fn(url) if headers_fn else {}
@@ -345,13 +374,30 @@ def _http_get_retry(url: str, what: str, headers_fn=None):
             return urllib.request.urlopen(req)
         except urllib.error.HTTPError as e:
             if e.code < 500:
-                raise  # permanent: 403/404/…
-            last = e
+                if (
+                    e.code in (401, 403)
+                    and cred_fn
+                    and attempt + 1 < _GET_RETRIES
+                    and cred_fn() != used_cred
+                ):
+                    last = e  # credentials rotated mid-flight: retry once
+                else:
+                    # permanent: 403/404/… — scrubbed twin raised BELOW,
+                    # outside the except block, so neither __cause__ nor
+                    # __context__ chains the full-URL-bearing original
+                    # into log channels
+                    permanent = _scrubbed_http_error(e, url)
+            else:
+                last = e
         except urllib.error.URLError as e:
             last = e
+        if permanent is not None:
+            raise permanent
         time.sleep(0.05 * (2**attempt))
+    if isinstance(last, urllib.error.HTTPError):
+        last = _scrubbed_http_error(last, url)
     raise OSError(
-        f"{what} GET failed after {_GET_RETRIES} attempts: {url}"
+        f"{what} GET failed after {_GET_RETRIES} attempts: {_redact(url)}"
     ) from last
 
 
@@ -375,7 +421,12 @@ def open_object_binary(uri: str):
             f"{gcs_endpoint()}/storage/v1/b/{quote(bucket, safe='')}"
             f"/o/{quote(key, safe='')}?alt=media"
         )
-        return _http_get_retry(url, "GCS", headers_fn=_gcs_headers)
+        return _http_get_retry(
+            url,
+            "GCS",
+            headers_fn=_gcs_headers,
+            cred_fn=lambda: os.environ.get("GOOGLE_OAUTH_ACCESS_TOKEN"),
+        )
     if is_azure_uri(uri):
         try:
             import adlfs  # type: ignore
@@ -384,14 +435,21 @@ def open_object_binary(uri: str):
         except ImportError:
             pass
         container, blob = _bucket_key(uri)
-        url = (
+        base = (
             f"{azure_blob_endpoint()}/{quote(container, safe='')}"
             f"/{quote(blob, safe='/')}"
         )
-        sas = _azure_sas_query()
-        if sas:
-            url += f"?{sas}"
-        return _http_get_retry(url, "Azure Blob")
+
+        def _azure_url() -> str:
+            # SAS re-read per ATTEMPT: a rotated AZURE_STORAGE_SAS_TOKEN
+            # takes effect on the retry after a 401/403 (expiring-token
+            # refresh on long streaming runs, r11 verdict item 6)
+            sas = _azure_sas_query()
+            return f"{base}?{sas}" if sas else base
+
+        return _http_get_retry(
+            base, "Azure Blob", url_fn=_azure_url, cred_fn=_azure_sas_query
+        )
     try:
         import s3fs  # type: ignore
 
@@ -403,7 +461,9 @@ def open_object_binary(uri: str):
     # '#', '?', '+', … which would otherwise truncate or corrupt the
     # request path ('/' stays — it separates key segments).
     url = f"{s3_endpoint()}/{quote(bucket, safe='')}/{quote(key, safe='/')}"
-    return _http_get_retry(url, "S3", headers_fn=_sigv4_headers)
+    return _http_get_retry(
+        url, "S3", headers_fn=_sigv4_headers, cred_fn=_s3_credentials
+    )
 
 
 def open_s3_binary(uri: str):

@@ -1138,3 +1138,22 @@ def test_ivf_index_root_rejects_preplanted_dir(tmp_path, monkeypatch):
     # tightening the bits restores persistence (same process/user)
     os.chmod(root, 0o700)
     assert _ivf_index_dir(sf) == p
+
+
+def test_ivf_index_root_rejects_symlinked_root(tmp_path, monkeypatch):
+    """r11 advice (low): a pre-planted SYMLINK at the well-known root
+    defeats a follow-links stat — the victim-owned 0700 TARGET passes
+    the uid/mode check while index IO lands in the attacker-chosen
+    directory. The check must lstat and reject links outright, even
+    links to a directory that would itself pass."""
+    import os
+
+    from data_ingestion_pimcore_spark.ops.similarity import _ivf_index_dir
+
+    sf = "/root/testdata/sf0.001"
+    target = tmp_path / "victim_owned"
+    target.mkdir(mode=0o700)
+    link = tmp_path / "idx_link"
+    os.symlink(target, link)
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(link))
+    assert _ivf_index_dir(sf) is None  # ephemeral fallback, no adoption

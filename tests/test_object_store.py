@@ -741,3 +741,139 @@ def test_credential_options_are_redacted_by_spark(spark, tmp_path):
         )
         leaked = [v for v in secret_opts.values() if v in s]
         assert not leaked, (mode, leaked)
+
+
+def test_expired_token_rotation_retries_gcs(gcs_private_stub, monkeypatch):
+    """Expiring-credential refresh (r11 verdict item 6): a GET that is
+    401-rejected because the ambient GOOGLE_OAUTH_ACCESS_TOKEN expired
+    must be retried with the FRESH token once the env var is rotated
+    mid-flight — a long-running stream survives a token refresh without
+    a restart. The rotation is injected between the failing response
+    and the retry decision (the deterministic stand-in for an external
+    refresher racing the request)."""
+    import os
+    import urllib.error
+    import urllib.request
+
+    recs = _products(10)
+    (gcs_private_stub / "data.json").write_text(json.dumps(recs))
+    good = _GcsTokenVerifyingHandler.expected_token
+    monkeypatch.setenv("GOOGLE_OAUTH_ACCESS_TOKEN", "ya29.EXPIRED")
+    real_urlopen = urllib.request.urlopen
+    calls = {"n": 0}
+
+    def rotating(req, *a, **kw):
+        calls["n"] += 1
+        try:
+            return real_urlopen(req, *a, **kw)
+        except urllib.error.HTTPError:
+            if calls["n"] == 1:  # refresher lands during the first GET
+                os.environ["GOOGLE_OAUTH_ACCESS_TOKEN"] = good
+            raise
+
+    monkeypatch.setattr(urllib.request, "urlopen", rotating)
+    assert json.loads(fetch_bytes("gs://pim/data.json")) == recs
+    assert calls["n"] == 2  # one rejected, one fresh-token success
+    # mid-STREAM variant: the streaming parser's open sees the same
+    # retry path (stale token again, rotated on first 401)
+    monkeypatch.setenv("GOOGLE_OAUTH_ACCESS_TOKEN", "ya29.EXPIRED2")
+    calls["n"] = 0
+
+    def rotating2(req, *a, **kw):
+        calls["n"] += 1
+        try:
+            return real_urlopen(req, *a, **kw)
+        except urllib.error.HTTPError:
+            if calls["n"] == 1:
+                os.environ["GOOGLE_OAUTH_ACCESS_TOKEN"] = good
+            raise
+
+    monkeypatch.setattr(urllib.request, "urlopen", rotating2)
+    assert list(iter_json_array("gs://pim/data.json", read_size=64)) == recs
+    # a token that stays stale is a PERMANENT failure — exactly one
+    # extra attempt is spent on the rotation check, never a retry loop
+    monkeypatch.setattr(urllib.request, "urlopen", real_urlopen)
+    monkeypatch.setenv("GOOGLE_OAUTH_ACCESS_TOKEN", "ya29.STILL-EXPIRED")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        fetch_bytes("gs://pim/data.json")
+    assert ei.value.code == 401
+
+
+def test_expired_sas_rotation_rebuilds_url_azure(azure_private_stub, monkeypatch):
+    """The Azure SAS rides the URL query string, so rotation must
+    REBUILD the URL per attempt, not just the headers: a stale
+    AZURE_STORAGE_SAS_TOKEN 403s, the env rotates mid-flight, and the
+    retry must carry the fresh signature."""
+    import os
+    import urllib.error
+    import urllib.request
+
+    recs = _products(10)
+    (azure_private_stub / "data.json").write_text(json.dumps(recs))
+    good = "?" + _AzureSasVerifyingHandler.expected_sas
+    monkeypatch.setenv("AZURE_STORAGE_SAS_TOKEN", "sv=2020&sig=EXPIRED")
+    real_urlopen = urllib.request.urlopen
+    calls = {"n": 0}
+
+    def rotating(req, *a, **kw):
+        calls["n"] += 1
+        try:
+            return real_urlopen(req, *a, **kw)
+        except urllib.error.HTTPError:
+            if calls["n"] == 1:
+                os.environ["AZURE_STORAGE_SAS_TOKEN"] = good
+            raise
+
+    monkeypatch.setattr(urllib.request, "urlopen", rotating)
+    assert json.loads(fetch_bytes("az://pim/data.json")) == recs
+    assert calls["n"] == 2
+
+
+def test_error_messages_redact_signed_query(azure_private_stub, monkeypatch):
+    """r11 advice (medium): the SAS token must NOT leak through error
+    channels — the permanent-4xx HTTPError and the retries-exhausted
+    OSError both ride into task-failure messages and executor logs, so
+    their message AND url/filename attributes must carry the redacted
+    URL, never the signature."""
+    import urllib.error
+
+    (azure_private_stub / "data.json").write_text("[]")
+    # permanent 403: stale SAS that never rotates
+    monkeypatch.setenv("AZURE_STORAGE_SAS_TOKEN", "sv=2020&sig=LEAKME403")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        fetch_bytes("az://pim/data.json")
+    e = ei.value
+    assert e.code == 403
+    for chan in (str(e), repr(e), e.filename or "", getattr(e, "url", "") or ""):
+        assert "LEAKME403" not in chan, chan
+    assert (e.filename or "").endswith("?<redacted>")
+    assert e.__cause__ is None and e.__context__ is None  # no chained full-URL error
+    # retries exhausted (5xx): the OSError message and its chained
+    # cause must both be redacted
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    class Always503(_S3StubHandler):
+        def do_GET(self):
+            self.send_response(503)
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Always503)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    ep = f"http://127.0.0.1:{srv.server_address[1]}/devstoreaccount1"
+    monkeypatch.setenv(
+        "AZURE_STORAGE_CONNECTION_STRING",
+        f"DefaultEndpointsProtocol=http;AccountName=devstoreaccount1;"
+        f"BlobEndpoint={ep};",
+    )
+    monkeypatch.setenv("AZURE_STORAGE_SAS_TOKEN", "sv=2020&sig=LEAKME503")
+    try:
+        with pytest.raises(OSError) as ei2:
+            fetch_bytes("az://pim/data.json")
+    finally:
+        srv.shutdown()
+    msg = str(ei2.value)
+    assert "LEAKME503" not in msg and "?<redacted>" in msg
+    cause = ei2.value.__cause__
+    assert isinstance(cause, urllib.error.HTTPError)
+    assert "LEAKME503" not in (cause.filename or "")
