@@ -157,29 +157,43 @@ class PipelinedChunkValidator(ChunkValidator):
     def __init__(self, workers: int = 4, window: int | None = None, **kw):
         super().__init__(**kw)
         import multiprocessing
+        import os
         from concurrent.futures import ProcessPoolExecutor
 
-        # fork context — a DELIBERATE trade-off (r10 advice evaluated):
-        # forking a driver that hosts py4j/JVM threads risks a child
-        # deadlocking on a lock held at fork time (malloc/logging), and
-        # fork-with-threads is deprecated toward CPython 3.14. BUT the
-        # alternatives are worse for a library: forkserver and spawn
-        # both re-import the caller's __main__ in every worker
-        # (spawn.get_preparation_data ships main_path for plain
-        # `python script.py` entrypoints), so an unguarded driver
-        # script — bench harnesses, notebook exports, the external
-        # driver — would re-execute wholesale inside each worker
-        # (measured: instant BrokenProcessPool via the bootstrap guard
-        # when the caller builds pools/Spark at module level). Exposure
-        # is contained instead: workers run ONLY the pure precompute
-        # (_precompute_chunk: orjson loads + sha256 — no JVM, py4j,
-        # logging, or locks), are spawned eagerly right after pool
-        # creation (before heavy driver activity widens the forked-lock
-        # window), and a worker death surfaces as BrokenProcessPool on
-        # resolve(), which the producer's bounded retry converts into
-        # the synchronous fallback path rather than a hang.
+        # fork context by DEFAULT — a deliberate trade-off (r10 advice
+        # evaluated): forking a driver that hosts py4j/JVM threads
+        # risks a child deadlocking on a lock held at fork time
+        # (malloc/logging), and fork-with-threads is deprecated toward
+        # CPython 3.14. BUT the alternatives are worse as a library
+        # default: forkserver and spawn both re-import the caller's
+        # __main__ in every worker (spawn.get_preparation_data ships
+        # main_path for plain `python script.py` entrypoints), so an
+        # unguarded driver script — bench harnesses, notebook exports,
+        # the external driver — would re-execute wholesale inside each
+        # worker (measured: instant BrokenProcessPool via the bootstrap
+        # guard when the caller builds pools/Spark at module level).
+        # Exposure is contained instead: workers run ONLY the pure
+        # precompute (_precompute_chunk: orjson loads + sha256 — no
+        # JVM, py4j, logging, or locks), are spawned eagerly right
+        # after pool creation (before heavy driver activity widens the
+        # forked-lock window), and a worker death surfaces as
+        # BrokenProcessPool on resolve(), which the producer's bounded
+        # retry converts into the synchronous fallback path rather
+        # than a hang.
+        #
+        # GUARDED opt-out (r11 verdict item 4): callers whose entry
+        # script IS import-guarded (`if __name__ == "__main__":`) can
+        # set SPARK_GRAFT_POOL_START_METHOD=forkserver|spawn to drop
+        # the fork-with-threads hazard entirely — with forkserver,
+        # session.get_spark pre-starts the server BEFORE any JVM/py4j
+        # threads exist, so workers fork from a clean template. The
+        # same degrade-to-sync containment applies under every method:
+        # a mis-set flag on an unguarded script breaks the pool, and
+        # delivery falls back to the synchronous path instead of
+        # failing the ingestion.
+        method = os.environ.get("SPARK_GRAFT_POOL_START_METHOD", "fork")
         self._pool = ProcessPoolExecutor(
-            max_workers=workers, mp_context=multiprocessing.get_context("fork")
+            max_workers=workers, mp_context=multiprocessing.get_context(method)
         )
         # eager spawn: worker startup overlaps the producer's scan /
         # first-batch compute instead of the first chunk's latency

@@ -929,17 +929,30 @@ def test_pipelined_validator_contract_cv1_to_cv4():
         assert v.total_records[iid] == 4
 
 
-def test_pipelined_worker_death_degrades_to_sync(spark, tmp_path, products):
+@pytest.mark.parametrize("start_method", ["fork", "forkserver", "spawn"])
+def test_pipelined_worker_death_degrades_to_sync(
+    spark, tmp_path, products, monkeypatch, start_method
+):
     """Fault injection for the CV3 pool (r10 verdict item 7): SIGKILL
     every pool worker mid-stream. The precompute is pure, so the
     in-flight chunk revalidates synchronously, later submits see the
     broken pool and degrade to the synchronous path, and the delivery
     must still be the golden stream — gapless, duplicate-free,
-    COMPLETED — not a crashed ingestion."""
+    COMPLETED — not a crashed ingestion. Parametrized over the guarded
+    start methods (r11 verdict item 4): under pytest __main__ is
+    pytest's own (import-guarded), so forkserver/spawn are safe here —
+    the same guarantee a flag-setting caller promises for their entry
+    script."""
     import os
     import signal
 
     from data_ingestion_pimcore_spark.sink import PipelinedChunkValidator
+
+    monkeypatch.setenv("SPARK_GRAFT_POOL_START_METHOD", start_method)
+    if start_method == "forkserver":
+        from multiprocessing import forkserver
+
+        forkserver.ensure_running()  # the session-factory hook's job
 
     class KillAfter3(PipelinedChunkValidator):
         submits = 0
@@ -964,14 +977,24 @@ def test_pipelined_worker_death_degrades_to_sync(spark, tmp_path, products):
         assert validator.completed == [s.ingestion_id]
 
 
-def test_pipelined_parity_under_faults(spark, tmp_path, products):
+@pytest.mark.parametrize("start_method", ["fork", "forkserver", "spawn"])
+def test_pipelined_parity_under_faults(
+    spark, tmp_path, products, monkeypatch, start_method
+):
     """The ingest_pipelined_parity booleans, exercised UNDER FAILURE
     (r10 verdict item 7): the pipelined run takes a NACK mid-window
     (flush + synchronous retry + resubmit, pipeline.deliver_payloads)
     AND a pool-worker SIGKILL — and must still deliver the byte-
-    identical stream the synchronous consumer delivers."""
+    identical stream the synchronous consumer delivers. Parametrized
+    over the guarded start methods (r11 verdict item 4)."""
     import os
     import signal
+
+    monkeypatch.setenv("SPARK_GRAFT_POOL_START_METHOD", start_method)
+    if start_method == "forkserver":
+        from multiprocessing import forkserver
+
+        forkserver.ensure_running()
 
     from data_ingestion_pimcore_spark.integrity import compute_checksum
     from data_ingestion_pimcore_spark.sink import (
