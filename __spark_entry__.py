@@ -37,3 +37,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query."""
     return registry.oracles()
+
+
+def query_gates() -> dict[str, str]:
+    """Gate linkage for the queries absent from ``oracle_sql()`` —
+    every approximate-by-construction query maps to the ORACLE-BEARING
+    companion query that externally verifies it (e.g. ``agg_approx`` →
+    ``agg_sketch_bounds``: the companion recomputes the sketch IN-PLAN
+    next to its exact counterpart and hash-matches an all-TRUE bound
+    oracle). A correctness artifact row reading ``err: no_oracle`` for
+    a key of this dict is gated through its value's row in the same
+    artifact; the same linkage is stamped into each such query's own
+    output as a literal ``gated_by`` column. Validated at load time:
+    every target exists and carries an oracle."""
+    return registry.gates()

@@ -959,6 +959,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx",
     oracle=None,  # approximate by design; tolerance asserted in pytest
+    gated_by="agg_sketch_bounds",  # oracle-bearing in-plan bound audit
     doc="Sketch aggregations for 100-TB cardinality/quantile work: "
     "approx_count_distinct (HyperLogLog++) and approx_percentile "
     "(KLL-ish) — fixed-size sketches merge map-side, so the shuffle "
@@ -1951,6 +1952,7 @@ def agg_topk_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_hll_union",
     oracle=None,  # sketch estimates are impl-specific; tolerance pytest
+    gated_by="agg_sketch_bounds",  # oracle-bearing in-plan bound audit
     doc="Mergeable HLL sketches (Apache DataSketches): per-priority "
     "customer sketches built with hll_sketch_agg, then UNIONED with "
     "hll_union_agg into a global estimate — the property that makes "

@@ -332,6 +332,7 @@ def _ivf_centroids(
 @register(
     "sim_knn_ivf",
     oracle=None,  # approximate; recall vs sim_knn_bruteforce asserted in pytest
+    gated_by="sim_recall_ivf",  # oracle-bearing recall/score-exactness gate
     doc=f"IVF ANN: {N_CELLS} deterministic k-means cells partition the "
     f"corpus; each query probes its {N_PROBE} nearest cells only, so the "
     "scan touches nprobe/ncells of the data. Cell assignment and scoring "
@@ -447,6 +448,7 @@ def _pq_codebooks(e: DataFrame) -> np.ndarray:
 @register(
     "sim_knn_pq",
     oracle=None,  # approximate; shortlist recall asserted in pytest
+    gated_by="sim_recall_pq",  # oracle-bearing recall/score-exactness gate
     doc=f"Product-quantization ANN: vectors compress to {PQ_M} 4-bit "
     f"codes ({PQ_M}x{PQ_KSUB} codebooks trained on a deterministic "
     f"{_PQ_TRAIN}-vector sample), queries score candidates via ADC — "
@@ -1618,6 +1620,7 @@ def _build_ivf_index(
 @register(
     "sim_knn_ivf_persisted",
     oracle=None,  # equality vs sim_knn_ivf + recall asserted in pytest
+    gated_by="sim_recall_ivf_persisted",  # oracle-bearing recall gate
     doc="The build-once / query-many ANN lifecycle every production "
     "vector store has (sim_knn_ivf rebuilds per query): the IVF index "
     "— centroid table + cell-assigned corpus — is PERSISTED as parquet "
@@ -1743,6 +1746,7 @@ UPSERT_SLOT = 7  # vec_id % 10 == 7 is "today's new vectors"
 @register(
     "sim_ivf_index_upsert",
     oracle=None,  # equality vs a pinned-centroid full rebuild in pytest
+    gated_by="sim_recall_upsert",  # oracle-bearing recall gate
     doc="Incremental index maintenance — the third leg of the "
     "production vector-store lifecycle after build-once "
     "(sim_knn_ivf_persisted) and query-many: a NEW batch of vectors "

@@ -34,18 +34,55 @@ class Query:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL; None → driver does a rows-only check
     doc: str = ""
+    # For oracle-less (approximate-by-construction) queries: the name
+    # of the ORACLE-BEARING companion query that externally gates this
+    # one (e.g. agg_approx → agg_sketch_bounds, sim_knn_ivf →
+    # sim_recall_ivf). Machine-readable so artifact readers don't need
+    # to know the companion convention (r11 verdict item 3); the
+    # registered callable also stamps it into the query's own output
+    # as a literal ``gated_by`` column, so even a bare rows-only
+    # correctness record corresponds to rows that name their gate.
+    gated_by: str | None = None
 
 
 _REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
-    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    gated_by: str | None = None,
+):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
+
+    ``gated_by`` (oracle-less queries only) names the oracle-bearing
+    companion query that externally verifies this one; the REGISTERED
+    callable appends it as a literal ``gated_by`` output column, while
+    the decorated function itself is returned unwrapped so in-engine
+    composition (e.g. agg_sketch_bounds reusing agg_hll_union) and
+    property tests see the raw output."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or fn.__doc__ or "")
+        reg_fn = fn
+        if gated_by is not None:
+            import functools
+
+            @functools.wraps(fn)
+            def reg_fn(spark, sf_dir, _fn=fn):
+                from pyspark.sql import functions as F
+
+                return _fn(spark, sf_dir).withColumn("gated_by", F.lit(gated_by))
+
+        _REGISTRY[name] = Query(
+            name=name,
+            fn=reg_fn,
+            oracle=oracle,
+            doc=doc or fn.__doc__ or "",
+            gated_by=gated_by,
+        )
         return fn
 
     return deco
@@ -62,6 +99,20 @@ def queries() -> dict[str, QueryFn]:
 
 def oracles() -> dict[str, str]:
     return {q.name: q.oracle for q in all_queries().values() if q.oracle is not None}
+
+
+def gates() -> dict[str, str]:
+    """Oracle-less query → its oracle-bearing gate query. Every entry's
+    target is validated (exists, carries an oracle) at load time."""
+    out = {q.name: q.gated_by for q in all_queries().values() if q.gated_by}
+    for name, target in out.items():
+        tq = _REGISTRY.get(target)
+        if tq is None or tq.oracle is None:
+            raise ValueError(
+                f"{name}: gated_by target {target!r} must be a registered "
+                "oracle-bearing query"
+            )
+    return out
 
 
 _LOADED = False

@@ -46,6 +46,27 @@ def test_every_query_has_oracle_or_named_property_test():
     )
 
 
+def test_every_no_oracle_query_declares_its_gate(spark):
+    """r11 verdict item 3: the companion-gate convention must be
+    machine-readable, not tribal knowledge. Every oracle-less query
+    declares gated_by → a registered ORACLE-BEARING query (validated
+    by registry.gates()), and its REGISTERED callable stamps that name
+    into the output as a literal gated_by column (the raw module-level
+    function stays unwrapped for in-engine composition)."""
+    gates = registry.gates()
+    qs = registry.all_queries()
+    no_oracle = {n for n, q in qs.items() if q.oracle is None}
+    assert set(gates) == no_oracle
+    for name, target in gates.items():
+        assert qs[target].oracle is not None, (name, target)
+    # the registered callable carries the linkage in-band; pick the
+    # cheapest gated query to execute the wrapped projection
+    df = qs["agg_approx"].fn(spark, "/root/testdata/sf0.001")
+    assert "gated_by" in df.columns
+    vals = {r["gated_by"] for r in df.select("gated_by").distinct().collect()}
+    assert vals == {"agg_sketch_bounds"}
+
+
 def test_named_property_tests_exist():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for name, ref in NO_ORACLE_PROPERTY_TESTS.items():
