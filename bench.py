@@ -682,12 +682,37 @@ import pandas as _pd
    .applyInPandas(lambda pdf: _pd.DataFrame({{"n": [len(pdf)]}}), schema="n long")
    .count())
 
-timings = {{}}
+# In-probe load pricing + burst-proof per-query protocol (r11 verdict
+# item 1: BENCH_r11's sf1 sweep shipped sim_knn_blocked at 19.44 s —
+# a co-tenant burst, 1.72 s in both bench sessions — with no
+# annotation and no retry). Same defenses as the main sweep: (a) the
+# 1x ref-loop blob prices this probe's co-tenant window (ref-loop
+# work is size-independent, so the 1x blob is a cheap flat control);
+# (b) TWO full separated passes, min per query — a burst must span
+# the whole sweep to touch a min; (c) queries whose two pass readings
+# still disagree >1.5x get a third interleaved measurement.
+blob = _bench._ref_loop_blob(src)
+refs = [_bench._ref_loop_once(blob)]
 all_q = registry.all_queries()
-for name in sorted((_bench._CORE | _bench._SF1_EXTRA) - {{"ingest_e2e"}}):
-    t0 = time.time()
-    all_q[name].fn(spark, out).count()
-    timings[name] = round(time.time() - t0, 3)
+names = sorted((_bench._CORE | _bench._SF1_EXTRA) - {{"ingest_e2e"}})
+readings = {{}}
+for _pass in range(2):
+    for name in names:
+        t0 = time.time()
+        all_q[name].fn(spark, out).count()
+        readings.setdefault(name, []).append(round(time.time() - t0, 3))
+    refs.append(_bench._ref_loop_once(blob))
+timings = {{k: min(v) for k, v in readings.items()}}
+remeasured = {{}}
+for name in names:
+    r = readings[name]
+    if max(r) > 1.5 * max(min(r), 0.05):
+        t0 = time.time()
+        all_q[name].fn(spark, out).count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = min(timings[name], dt)
+        remeasured[name] = r + [dt]
+refs.append(_bench._ref_loop_once(blob))
 
 warm_ingest(spark, like=li, like_order_cols=(
     "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
@@ -701,7 +726,11 @@ s = ingest(spark, req, li, IngestionStateStore(tempfile.mktemp(suffix=".pq")), _
 _v.close()
 assert s.status == "COMPLETED", s
 ingest_sec = time.time() - t0
+refs.append(_bench._ref_loop_once(blob))
 timings["ingest_e2e"] = round(ingest_sec, 3)
+refs_sorted = sorted(refs)
+mid = (refs_sorted[(len(refs_sorted) - 1) // 2]
+       + refs_sorted[len(refs_sorted) // 2]) / 2
 print(json.dumps({{
     "core_sf1": timings,
     # sum over the FIXED core set only: _SF1_EXTRA entries are timed
@@ -711,6 +740,11 @@ print(json.dumps({{
         sum(v for k, v in timings.items() if k in _bench._CORE), 3),
     "ingest_rps_sf1": round(s.total_records / ingest_sec, 1),
     "build_sec": build_sec,
+    # this probe's own co-tenant window (quiet const / in-probe
+    # ref-loop median) + which queries needed the third measurement —
+    # the annotations that make a burst reading self-describing
+    "load_index_sf1": round(_bench.REF_LOOP_QUIET_RPS / mid, 3),
+    "remeasured_sf1": remeasured,
 }}))
 """
 
@@ -980,6 +1014,16 @@ def main() -> None:
     def _probe_load(ref_runs_sorted: list[float]) -> float:
         return round(REF_LOOP_QUIET_RPS / statistics.median(ref_runs_sorted), 3)
 
+    # A probe is also retried when its RUN SPREAD exceeds 3x even on a
+    # quiet-median window (r11 verdict item 1: a burst shorter than
+    # the probe can inflate one run while the bracketing ref loops
+    # read quiet — BENCH_r11's sf1 sim_knn_blocked pattern) — the same
+    # >3x trigger the main sweep's interleaved re-measure uses.
+    RUN_SPREAD_MAX = 3.0
+
+    def _probe_spread(rps_sorted: list[float]) -> float:
+        return round(rps_sorted[-1] / max(rps_sorted[0], 1e-9), 3)
+
     def _quiet_scale_probe(factor, n_runs, discard, budget_floor):
         probe = bench_ingest_scale(
             sf_dir, factor=factor, n_runs=n_runs, discard=discard
@@ -987,11 +1031,15 @@ def main() -> None:
         if probe is None:
             return None, None, False
         load = _probe_load(probe[1])
-        if load <= QUIET_LOAD_MAX or _remaining() <= budget_floor:
+        spread = _probe_spread(probe[0])
+        if (
+            load <= QUIET_LOAD_MAX and spread <= RUN_SPREAD_MAX
+        ) or _remaining() <= budget_floor:
             return probe, load, False
         print(
-            f"# ingest_{factor}x window loaded (load {load:.2f} > "
-            f"{QUIET_LOAD_MAX}) — re-running once for a quiet window",
+            f"# ingest_{factor}x window suspect (load {load:.2f}, run "
+            f"spread {spread:.2f}x; limits {QUIET_LOAD_MAX}/"
+            f"{RUN_SPREAD_MAX}x) — re-running once for a clean window",
             file=sys.stderr,
         )
         retry = bench_ingest_scale(
@@ -1000,7 +1048,7 @@ def main() -> None:
         if retry is None:
             return probe, load, True
         load2 = _probe_load(retry[1])
-        if load2 < load:
+        if (load2, _probe_spread(retry[0])) < (load, spread):
             return retry, load2, True
         return probe, load, True
 
@@ -1073,15 +1121,25 @@ def main() -> None:
     if sf1 is not None:
         timings["core_total_sec_sf1"] = sf1["core_total_sec_sf1"]
         timings["ingest_records_per_sec_sf1"] = sf1["ingest_rps_sf1"]
+        if "load_index_sf1" in sf1:
+            timings["load_index_sf1"] = sf1["load_index_sf1"]
         print(
             f"# core set at sf1 (10x tables, build {sf1['build_sec']}s): "
             f"{sf1['core_total_sec_sf1']:.1f}s total "
             f"(vs core_total_sec at sf0.1 below); sf1 ingest "
-            f"{sf1['ingest_rps_sf1']:,.0f} rec/s",
+            f"{sf1['ingest_rps_sf1']:,.0f} rec/s; probe load "
+            f"{sf1.get('load_index_sf1', float('nan')):.2f}",
             file=sys.stderr,
         )
         for k, v in sorted(sf1["core_sf1"].items()):
             print(f"# sf1 {k}: {v:.2f}s", file=sys.stderr)
+        for k, r in sorted(sf1.get("remeasured_sf1", {}).items()):
+            print(
+                f"# sf1 {k}: re-measured (readings "
+                f"{'/'.join(f'{x:.2f}' for x in r)}) -> "
+                f"{sf1['core_sf1'][k]:.2f}s",
+                file=sys.stderr,
+            )
 
     _checkpoint()
     all_q = registry.all_queries()
@@ -1168,8 +1226,13 @@ def main() -> None:
     }
     if sf1 is not None:
         # per-query sf1 entries (full JSON + logs only; the compact
-        # tail line carries the two sf1 headline numbers)
+        # tail line carries the sf1 headline numbers + load index).
+        # Each block ships with its probe's own load index and the
+        # re-measured list (r11 verdict item 1), so a burst reading
+        # can never sit in the artifact unannotated.
         full["queries_sf1"] = sf1["core_sf1"]
+        full["sf1_load_index"] = sf1.get("load_index_sf1")
+        full["sf1_remeasured"] = sf1.get("remeasured_sf1", {})
     # The driver captures only a ~2000-char TAIL of bench output;
     # round 3's grown per-query dict pushed the single JSON line past
     # that window and the driver recorded parsed=null. So: the full
@@ -1200,6 +1263,7 @@ _COMPACT_EXTRAS = (
     "ingest_records_per_sec_100x_min",
     "ingest_records_per_sec_sf1",
     "core_total_sec_sf1",
+    "load_index_sf1",
     "ingest_concurrent_4x",
     "ingest_concurrent_scaling",
     "ingest_concurrent_scaling_min",
@@ -1234,6 +1298,7 @@ _NON_TIMING = (
     "ingest_records_per_sec_100x_min",
     "ingest_records_per_sec_sf1",
     "core_total_sec_sf1",
+    "load_index_sf1",
     "ingest_e2e_cold",
     "ingest_concurrent_4x",
     "ingest_concurrent_4x_min",
