@@ -59,6 +59,22 @@ def _bcast_nodes(df: DataFrame, n_nodes: int) -> DataFrame:
     """Broadcast hint gated on the measured node count."""
     return F.broadcast(df) if n_nodes <= NODE_BROADCAST_LIMIT else df
 
+
+def _node_count_bound(spark: SparkSession, sf_dir: str) -> int:
+    """Upper bound on |V| of the trade graph: every node is a customer
+    or a supplier, so customers + suppliers bounds the node count.
+    Both counts are metadata-only parquet jobs (row counts from file
+    footers, no data scan), where the exact ``deg.count()`` the r11
+    code used to size the broadcast gate cost a full graph
+    materialization job per query (guide §1.2: don't compute things
+    you throw away). An upper bound is the conservative direction for
+    a broadcast gate: it can only drop the hint early, never broadcast
+    something bigger than measured."""
+    return (
+        load(spark, sf_dir, "customer").count()
+        + load(spark, sf_dir, "supplier").count()
+    )
+
 # Shared SQL fragments: the bidirected trade graph and its out-degrees.
 _SQL_GRAPH = """
 edges AS (
@@ -154,11 +170,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank/outdeg happens once per node instead of once per edge: the
     # identical IEEE value replicated, so the decimal contribution sum
     # is unchanged (bit-identical to the unrolled-CTE oracle).
+    #
+    # r12: the per-round localCheckpoint is GONE. _N_ITER is a fixed 3,
+    # so the un-truncated plan is a bounded 3-level tree — and every
+    # round's output has exactly ONE consumer (the next round's
+    # contrib join), so nothing is recomputed: each broadcast exchange
+    # materializes its subtree once per execution. Dropping the three
+    # materialization jobs + the deg.count() sizing job (now a
+    # metadata-only bound) measured 2.36 s vs 3.42 s interleaved at
+    # sf0.1, bit-identical output (guide §1.2 / §2.4: fewer jobs,
+    # fewer materialization passes). Loops with DATA-DEPENDENT round
+    # counts (k-core) or multi-consumer round state (BFS) keep their
+    # checkpoints — this is safe only because rounds are few, fixed,
+    # and single-consumer.
     bi, deg = _trade_graph(spark, sf_dir)
-    # One count job sizes the node vector (and materializes the bi
-    # checkpoint that round 1 needs anyway); the broadcast hint below
-    # drops itself past NODE_BROADCAST_LIMIT.
-    n_nodes = deg.count()
+    n_nodes = _node_count_bound(spark, sf_dir)
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
     for _ in range(_N_ITER):
         rankdeg = ranks.join(deg, F.col("node") == F.col("src")).select(
@@ -178,7 +204,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank")
             )
             .select(F.col("dst").alias("node"), "rank")
-            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.round("rank", 12).alias("rank"))
 
@@ -215,10 +240,15 @@ GROUP BY node
     "O(1). Oracle is a recursive CTE with min-hop aggregation.",
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bi, deg = _trade_graph(spark, sf_dir)
-    # Frontier/visited are bounded by |V|: one count job sizes the
-    # gate for both hints below (NODE_BROADCAST_LIMIT degrade).
-    n_nodes = deg.count()
+    bi, _deg = _trade_graph(spark, sf_dir)
+    # Frontier/visited are bounded by |V|: the metadata-only customer+
+    # supplier row-count bound sizes both broadcast gates below
+    # (NODE_BROADCAST_LIMIT degrade) — the old deg.count() paid a full
+    # graph-build job just to size a hint. BFS KEEPS its per-round
+    # localCheckpoints: visited has two consumers per round (anti-join
+    # probe + union) and nxt two (union + next frontier), so without
+    # truncation each would recompute.
+    n_nodes = _node_count_bound(spark, sf_dir)
     customer = load(spark, sf_dir, "customer")
     seeds = (
         customer.where(F.col("c_nationkey") == 1)
@@ -305,24 +335,48 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # referenced by lists AND degrees
     )
     deg = el.groupBy("s").agg(F.count("*").alias("d"))
+    # repartition BEFORE the quadratic pair fan-out: the lists
+    # aggregate's output is tiny (one row per customer), so AQE
+    # coalesces it to ~one partition — and the O(L²)-per-row explode
+    # below then runs single-threaded (the late-projection trap from
+    # the verify recipe, here manifesting post-exchange). One cheap
+    # round-robin exchange of the list rows unlocks the full shuffle
+    # width for the expensive stage (guide §2.5 input-skew fix).
+    # Interleaved A/B at sf0.1: 6.85 s → 3.18 s. At cluster scale the
+    # lists table is large and the exchange stays proportionally
+    # negligible next to the pair fan-out it parallelizes.
     lists = (
         el.groupBy("c")
         .agg(F.sort_array(F.collect_list("s")).alias("ss"))
         .where((F.size("ss") > 1) & (F.size("ss") <= CN_DF_CAP))
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
     )
-    pair_structs = F.flatten(
+    # Pairs ride as ONE long each — (a << 32) | b — instead of a
+    # two-field struct: primitive-array explode + long hash-agg keys
+    # beat struct rows measurably (interleaved A/B on top of the
+    # repartition: 3.18 s → 2.82 s; guide §2.3 narrower types).
+    # Safe: TPC-H suppkey is positive and < 2^32 at any realistic SF
+    # (10k per SF unit → 2^32 would need SF ~400k, a 400 PB dataset).
+    pair_longs = F.flatten(
         F.transform(
             F.col("ss"),
             lambda x, i: F.transform(
                 F.slice(F.col("ss"), i + F.lit(2), F.size(F.col("ss"))),
-                lambda y: F.struct(x.alias("supp_a"), y.alias("supp_b")),
+                lambda y: F.shiftleft(x, 32) + y,
             ),
         )
     )
     pairs = (
-        lists.select(F.explode(pair_structs).alias("p"))
-        .groupBy("p.supp_a", "p.supp_b")
+        lists.select(F.explode(pair_longs).alias("p"))
+        .groupBy("p")
         .agg(F.count(F.lit(1)).alias("shared"))
+        .select(
+            F.shiftright("p", 32).alias("supp_a"),
+            F.col("p").bitwiseAND(F.lit(0xFFFFFFFF)).alias("supp_b"),
+            "shared",
+        )
     )
     da = deg.select(F.col("s").alias("supp_a"), F.col("d").alias("da"))
     db = deg.select(F.col("s").alias("supp_b"), F.col("d").alias("db"))
@@ -399,8 +453,12 @@ GROUP BY lbl
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi, deg = _trade_graph(spark, sf_dir)
-    # One count job sizes the label table's broadcast gate.
-    n_nodes = deg.count()
+    # Metadata-only broadcast gate (see _node_count_bound); r12 also
+    # drops the per-round localCheckpoint for the same reason as
+    # graph_pagerank: _LPA_ROUNDS is a fixed 2 and each round's label
+    # table has exactly one consumer, so the un-truncated plan is a
+    # bounded 2-level tree with zero recompute.
+    n_nodes = _node_count_bound(spark, sf_dir)
     labels = deg.select(F.col("src").alias("v"), F.col("src").alias("lbl"))
     for _ in range(_LPA_ROUNDS):
         # The label table is |V| rows (node, label) — broadcast it into
@@ -425,7 +483,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("node").alias("v"), (-F.col("best.neg")).alias("lbl")
             )
-            .localCheckpoint(eager=False)
         )
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count("*").cast("long").alias("n_nodes")
