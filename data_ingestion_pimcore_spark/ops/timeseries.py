@@ -1718,9 +1718,16 @@ def ts_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(root, "stream")
     os.makedirs(src)
     try:
+        # localCheckpoint: the replay stages FOUR consumers of the same
+        # projection (the max probe + three filtered file writes) —
+        # checkpointing scans events once instead of four times
+        # (interleaved A/B at sf0.1: 3.66 s → 3.03 s, identical
+        # output). The materialized state is the same 2-column slice
+        # the replay writes to disk anyway, so this adds no new
+        # scale exposure.
         ev = _load(spark, sf_dir, "events").select(
             "event_id", F.col("ts").cast("timestamp").alias("ts")
-        )
+        ).localCheckpoint()
         # driver-side scalar metadata (one max), not a data collect
         mx = ev.agg(F.max("ts")).first()[0]
         is_late = (F.col("event_id") % 97 == 0) & (
