@@ -1176,7 +1176,15 @@ def test_boilerplate_removal_two_keyed_shuffles_no_raw_window(spark):
     plan = plan_of(spark, "text_remove_boilerplate")
     assert "Window" not in tree
     assert "CartesianProduct" not in plan
-    assert tree.count("Generate") >= 1  # the segment posexplode
+    # r12: the segment posexplode is localCheckpoint-materialized (two
+    # consumers), so the visible plan shows the checkpoint scan instead
+    # of the Generate; checkpoint scans flip between ExistingRDD and
+    # LocalTableScan across sessions, so accept any of the three forms.
+    assert (
+        tree.count("Generate") >= 1
+        or "ExistingRDD" in tree
+        or "LocalTableScan" in tree
+    )
 
 
 def test_calendar_proration_is_explode_plus_one_aggregate(spark):
