@@ -585,14 +585,32 @@ SELECT src AS doc_id, MIN(node) AS component_id FROM reach GROUP BY src
     "CTE computing min reachable id, which equals the component min.",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    rev = pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    edges = pairs.unionByName(rev).localCheckpoint()
-    labels = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("component_id"))
+    # One direction is checkpointed (half the materialized bytes); the
+    # symmetric view below is a narrow projection union over it.
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .localCheckpoint()
     )
+    nodes = load(spark, sf_dir, "documents").select("doc_id")
+    # r12 small-graph fast path (guide §1.2, same gate as
+    # connected_components_star): the near-dup edge set is tiny
+    # relative to the corpus by construction (DF_CAP-capped pairing +
+    # Jaccard threshold), and below the gate each label-propagation
+    # round spends whole jobs (join + aggregate + convergence count)
+    # contracting a graph that fits in a driver page. The count is one
+    # cheap job over the already-materialized checkpoint; graphs past
+    # the gate take the distributed loop unchanged.
+    if pairs.count() <= _CC_DRIVER_EDGE_LIMIT:
+        return _cc_driver_small(nodes, pairs, "doc_id")
+    edges = pairs.select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    ).unionByName(
+        pairs.select(F.col("dst").alias("doc_a"), F.col("src").alias("doc_b"))
+    )
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    ).localCheckpoint()
     for _ in range(20):
         nbr = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])

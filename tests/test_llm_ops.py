@@ -243,14 +243,19 @@ def test_jaccard_df_cap_bounds_skew(spark):
     assert uncapped.count() == n * (n - 1) // 2  # the blow-up the cap prevents
 
 
-def test_star_cc_chain_and_random(spark):
+def test_star_cc_chain_and_random(spark, monkeypatch):
     """Large-star/small-star CC: a 1000-node chain (the adversarial
     diameter that label propagation cannot finish in bounded rounds)
     must converge within the default 20-round budget, and random graphs
-    must match a union-find reference exactly."""
+    must match a union-find reference exactly. The r12 driver-side
+    union-find gate is forced OFF here so the distributed star loop
+    stays covered (the graphs below all sit under the gate); the gate's
+    own path is covered by test_cc_driver_fast_path_matches_star."""
     import random
 
-    from data_ingestion_pimcore_spark.ops.dedup import connected_components_star
+    from data_ingestion_pimcore_spark.ops import dedup as dd
+
+    monkeypatch.setattr(dd, "_CC_DRIVER_EDGE_LIMIT", -1)
 
     # 1000-node chain: component min is 0 for every node
     n = 1000
@@ -260,7 +265,7 @@ def test_star_cc_chain_and_random(spark):
     )
     got = {
         r["doc_id"]: r["component_id"]
-        for r in connected_components_star(nodes, chain).collect()
+        for r in dd.connected_components_star(nodes, chain).collect()
     }
     assert got == {i: 0 for i in range(n)}
 
@@ -291,9 +296,32 @@ def test_star_cc_chain_and_random(spark):
     e2 = spark.createDataFrame(edges, "src long, dst long")
     got2 = {
         r["doc_id"]: r["component_id"]
-        for r in connected_components_star(nodes2, e2).collect()
+        for r in dd.connected_components_star(nodes2, e2).collect()
     }
     assert got2 == expect
+
+
+def test_cc_driver_fast_path_matches_star(spark, monkeypatch):
+    """The gate-bounded driver union-find fast path (r12) must produce
+    labels identical to the distributed star loop on the same graph —
+    chain, triangle, isolated nodes, and a random graph — including
+    edges arriving in either orientation."""
+    import random
+
+    from data_ingestion_pimcore_spark.ops import dedup as dd
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(40)]  # chain 0..40
+    edges += [(50, 51), (52, 51), (50, 52)]  # triangle, mixed orientation
+    edges += [(rng.randrange(60, 90), rng.randrange(60, 90)) for _ in range(30)]
+    nodes = spark.range(95).withColumnRenamed("id", "doc_id")
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    monkeypatch.setattr(dd, "_CC_DRIVER_EDGE_LIMIT", -1)
+    star = sorted(map(tuple, dd.connected_components_star(nodes, e).collect()))
+    monkeypatch.setattr(dd, "_CC_DRIVER_EDGE_LIMIT", 8192)
+    fast = sorted(map(tuple, dd.connected_components_star(nodes, e).collect()))
+    assert fast == star
 
 
 def test_star_cc_survives_fingerprint_collision(spark, monkeypatch):
@@ -305,6 +333,9 @@ def test_star_cc_survives_fingerprint_collision(spark, monkeypatch):
     a spurious hash collision would otherwise silently exercise."""
     from data_ingestion_pimcore_spark.ops import dedup as dd
 
+    # force the distributed loop: the collision stub returns count 0,
+    # which would otherwise satisfy the r12 driver fast-path gate
+    monkeypatch.setattr(dd, "_CC_DRIVER_EDGE_LIMIT", -1)
     monkeypatch.setattr(dd, "_edge_fingerprint", lambda e: (0, 0))
 
     n = 50  # chain needs multiple star rounds -> many collision checks
