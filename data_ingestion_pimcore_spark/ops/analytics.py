@@ -210,12 +210,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    pair_structs = F.flatten(
+    # Pairs ride the dedup exchange as ONE long each — (a << 32) | b,
+    # a < b by the array sort — instead of a two-field struct:
+    # primitive-array explode + a single-long distinct key shuffles
+    # fewer bytes and hashes faster (guide §2.3 narrower types; the
+    # same encoding graph_common_neighbors carries). Safe: TPC-H
+    # partkey is positive and < 2^32 at any realistic SF.
+    pair_longs = F.flatten(
         F.transform(
             F.col("ps"),
             lambda x, i: F.transform(
                 F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                lambda y: F.shiftleft(x, 32) + y,
             ),
         )
     )
@@ -226,17 +232,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equivalent is a persisted/checkpointed edge table.
     edges = (
         baskets.where(F.size("ps") <= ORDER_ITEM_CAP)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.a", "p.b")
+        .select(F.explode(pair_longs).alias("p"))
         .distinct()
+        .select(
+            F.shiftright("p", 32).alias("a"),
+            F.col("p").bitwiseAND(F.lit(0xFFFFFFFF)).alias("b"),
+        )
         .localCheckpoint()
     )
     # Degree per node, then orient each edge low→high by (degree, id).
+    # deg has THREE consumers (the da/db orientation attaches and the
+    # n_nodes aggregate); without a lineage barrier the 2×|E|-row union
+    # + hash aggregate recomputes once per reference (the multi-
+    # consumer recompute trap) — checkpoint the tiny O(|V|) result.
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     ranked = (
         edges.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")

@@ -782,15 +782,27 @@ def ingest_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     d = tempfile.mkdtemp(prefix="src_incr_")
     try:
-        for b in range(3):
-            o.where(F.col("o_orderkey") % 3 == b).select(
-                "o_orderkey", "o_totalprice"
-            ).coalesce(1).write.mode("overwrite").parquet(f"{d}/batch_{b}")
-        landed = spark.read.parquet(f"{d}/batch_*").withColumn(
+        # Land all three batch directories in ONE partitioned write job
+        # (r12): the per-batch loop was 3 write jobs, each re-scanning
+        # orders and each squeezed through coalesce(1)'s single task —
+        # 3 sequential single-threaded passes to build the fixture the
+        # query then prunes. partitionBy lands the same per-batch
+        # directories from one parallel scan; the manifest/anti-join
+        # pattern under test is unchanged (it lists files, whatever
+        # their count per batch).
+        o.select(
+            (F.col("o_orderkey") % 3).alias("__b"),
+            "o_orderkey",
+            "o_totalprice",
+        ).write.partitionBy("__b").mode("overwrite").parquet(f"{d}/landed")
+        landed = spark.read.parquet(f"{d}/landed").withColumn(
             "__file", F.input_file_name()
         )
         manifest = spark.createDataFrame(
-            [(f,) for f in spark.read.parquet(f"{d}/batch_0").inputFiles()],
+            [
+                (f,)
+                for f in spark.read.parquet(f"{d}/landed/__b=0").inputFiles()
+            ],
             "__file string",
         )
         fresh = landed.join(F.broadcast(manifest), "__file", "left_anti")
