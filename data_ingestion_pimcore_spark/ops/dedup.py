@@ -83,7 +83,10 @@ def _shingle_pair_counts(docs: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
     for every document pair sharing ≥1 shingle whose document frequency
     is ≤ ``df_cap``. The shared core of Jaccard and containment dedup.
     """
-    d = with_shingles(docs)
+    # Accept a pre-shingled frame (column already attached) so callers
+    # that need BOTH the Jaccard pairs and another shingle consumer
+    # (dedup_lsh_eval_report) can share one shingling pass.
+    d = docs if "shingles" in docs.columns else with_shingles(docs)
     # sizes come from the array BEFORE exploding — no per-doc aggregate.
     sh = d.select(
         F.col("doc_id"),
@@ -193,7 +196,9 @@ def _sql_sig(i: int) -> str:
 
 def minhash_signatures(d: DataFrame) -> DataFrame:
     """doc_id + N_HASHES minhash values + N_BANDS band hashes."""
-    sh = with_shingles(d).select("doc_id", "shingles")
+    sh = (d if "shingles" in d.columns else with_shingles(d)).select(
+        "doc_id", "shingles"
+    )
     sigs = sh.select(
         "doc_id", *[_sig_expr(i).alias(f"sig_{i}") for i in range(N_HASHES)]
     )
@@ -1156,11 +1161,20 @@ SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
     "All counts exact integers; two final double divisions.",
 )
 def dedup_lsh_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    truth = jaccard_pairs(docs).select("doc_a", "doc_b").localCheckpoint(
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # ONE shingling pass shared by both pipelines (guide §2.4: the
+    # truth side and the signature side each re-scanned documents and
+    # re-shingled; the checkpoint computes the distinct-3-gram arrays
+    # once and both consumers read the materialized partitions).
+    shingled = (
+        with_shingles(docs)
+        .select("doc_id", "shingles")
+        .localCheckpoint(eager=False)
+    )
+    truth = jaccard_pairs(shingled).select("doc_a", "doc_b").localCheckpoint(
         eager=False
     )
-    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
+    sigs = minhash_signatures(shingled).localCheckpoint(eager=False)
     bands = _capped_bands(_exploded_bands(sigs))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -32,7 +32,14 @@ from ..chunker import (
 # bench scale, while the 2048-partition cap bounds job count (and
 # makes driver state O(n_chunks/2048) rows) at 100 TB. Finished chain
 # rows spill to parquet past this batch size instead of accumulating.
-_CHAIN_CHUNKS_PER_PART = 16
+# Manifest rows are ~100 bytes; the drain holds ONE partition of them
+# at a time, so thousands per partition is still a trivial driver
+# bound while each partition fetch is a scheduled job — 16/part made
+# the sf0.1 drain 9 sequential jobs of pure scheduling overhead
+# (r12: 4096/part → 1 job at bench scale, 2048-part cap unchanged at
+# the 37M-chunk extrapolation where it bounds a partition at ~18k
+# rows ≈ 1.8 MB).
+_CHAIN_CHUNKS_PER_PART = 4096
 _CHAIN_SPILL_BATCH = 100_000
 
 # Conf key naming a CLUSTER-VISIBLE scratch location for driver-fold

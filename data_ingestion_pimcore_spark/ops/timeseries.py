@@ -1272,11 +1272,20 @@ def ts_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from ..tables import load as _load
 
-    root = tempfile.mkdtemp(prefix="fb_upsert_")
+    # Same tmpfs rationale as _drain: the source replay dir, the
+    # version store, and the checkpoint all live for ONE drain — put
+    # the churn on RAM when available and remove it after. Production
+    # points state_dir/checkpoint at durable storage instead.
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="fb_upsert_", dir=tmp_root)
     src = os.path.join(root, "events")
     state_dir = os.path.join(root, "state")
-    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    ckpt = tempfile.mkdtemp(prefix="ckpt_fb_upsert_", dir=ckpt_root)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_fb_upsert_", dir=tmp_root)
+    # Pin shuffle width for the drain like _drain does: each of the 4
+    # micro-batches runs one users-sized aggregate + keyed merge —
+    # 32-wide exchanges on that are pure per-task overhead.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTITIONS)
     try:
         ev = _load(spark, sf_dir, "events").select(
             "event_id", F.col("ts").cast("timestamp").alias("ts"),
@@ -1372,6 +1381,7 @@ def ts_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
             .localCheckpoint(eager=True)
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
