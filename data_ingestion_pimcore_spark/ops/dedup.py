@@ -88,9 +88,17 @@ def _shingle_pair_counts(docs: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
     # (dedup_lsh_eval_report) can share one shingling pass.
     d = docs if "shingles" in docs.columns else with_shingles(docs)
     # sizes come from the array BEFORE exploding — no per-doc aggregate.
+    # (doc_id, n) travels as ONE encoded long, (doc_id << 32) | n —
+    # guide §2.3 narrower shuffle rows: the posting-list exchange
+    # carries 8-byte primitives instead of 16-byte structs (plus
+    # per-struct overhead), and the pair rows below carry two longs
+    # instead of a 4-field struct. n is functionally determined by
+    # doc_id, so sort_array still orders lists by doc_id and the same
+    # safety bound as stats_market_basket / graph_triangle_count
+    # applies (doc_id positive, < 2^31; n < 2^32 — both hold by
+    # construction at any SF this corpus schema reaches).
     sh = d.select(
-        F.col("doc_id"),
-        F.size("shingles").alias("n"),
+        (F.shiftleft(F.col("doc_id"), 32) + F.size("shingles")).alias("dn"),
         F.explode(F.transform("shingles", lambda s: md5_hash60(s))).alias("s"),
     )
     # Posting list per shingle, sorted so generated pairs satisfy
@@ -98,7 +106,7 @@ def _shingle_pair_counts(docs: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
     # above the df cap are stop-shingles and are dropped entirely.
     lists = (
         sh.groupBy("s")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .agg(F.sort_array(F.collect_list("dn")).alias("ds"))
         .where((F.size("ds") > 1) & (F.size("ds") <= F.lit(df_cap)))
     )
     pair_structs = F.flatten(
@@ -106,19 +114,22 @@ def _shingle_pair_counts(docs: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
             F.col("ds"),
             lambda x, i: F.transform(
                 F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["n"].alias("na"),
-                    y["n"].alias("nb"),
-                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
     )
+    mask = F.lit(0xFFFFFFFF)
     return (
         lists.select(F.explode(pair_structs).alias("p"))
-        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .groupBy("p.a", "p.b")
         .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            F.shiftright("a", 32).alias("doc_a"),
+            F.shiftright("b", 32).alias("doc_b"),
+            F.col("a").bitwiseAND(mask).cast("int").alias("na"),
+            F.col("b").bitwiseAND(mask).cast("int").alias("nb"),
+            "inter",
+        )
     )
 
 
