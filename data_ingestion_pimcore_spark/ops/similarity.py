@@ -624,6 +624,15 @@ LSH_BITS = 32
 LSH_BANDS = 4  # 8 bits per band
 _LSH_DIM = 64
 
+# Broadcast gate for the exact-cosine verify's vector attach: one
+# embedding row is vec_id + a 64-float array (~300 B framed in a hashed
+# relation), so 500k rows ≈ 150-250 MB — comfortably inside executor/
+# driver budgets while far beyond the measured range where broadcast
+# beats shuffle locally. Past the gate the hint is dropped and the
+# attach degrades to the planner's shuffle join (guide §3.1: the small
+# side must actually be small).
+_VEC_BROADCAST_LIMIT = 500_000
+
 
 def _hyperplane_sign_sql(d: str, b: str) -> str:
     """Deterministic ±1 hyperplane weight, identical in both engines."""
@@ -752,11 +761,25 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # r13: the broadcast hint on the vector attach is GATED on a
+    # metadata-only row-count bound (same pattern as graph.py's
+    # _bcast_nodes — parquet footer count, no data scan). r12 forced
+    # F.broadcast unconditionally, which at corpus scale collects the
+    # FULL embeddings table to the driver — exactly the §3.1 "small
+    # side must fit" failure. Below the gate the hint keeps the
+    # candidate side unshuffled; above it the attach degrades to the
+    # planner's choice (shuffle join on vec_id — the standard shape for
+    # a corpus-sized build side).
+    n_vecs = load(spark, sf_dir, "embeddings").count()
     ex = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("xv"))
     ey = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("yv"))
+
+    def _bcast_vectors(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_vecs <= _VEC_BROADCAST_LIMIT else df
+
     joined = (
-        cand.join(F.broadcast(ex), "vec_a")
-        .join(F.broadcast(ey), "vec_b")
+        cand.join(_bcast_vectors(ex), "vec_a")
+        .join(_bcast_vectors(ey), "vec_b")
         .select("vec_a", "vec_b", "xv", "yv")
     )
     thr = PAIR_THRESHOLD

@@ -233,6 +233,14 @@ _STREAM_SEQ = iter(range(10**9))
 # fixed at first checkpoint write), not with CPU count.
 _STREAM_STATE_PARTITIONS = "8"
 
+# tmpfs gate for the foreachBatch upsert's source REPLAY DIR (which,
+# unlike the drains' checkpoint metadata, holds a copy of the events
+# slice): keep RAM-backed scratch bounded — 1 GiB is far below /dev/shm
+# budgets here while orders of magnitude above bench inputs. Bigger
+# inputs replay from disk-backed tmp; production replays from the
+# durable source itself.
+_SHM_REPLAY_LIMIT_BYTES = 1 << 30
+
 
 def _drain(spark: SparkSession, df: DataFrame, prefix: str, mode: str) -> str:
     """Run a streaming DataFrame to completion (AvailableNow) into a
@@ -1276,7 +1284,27 @@ def ts_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     # version store, and the checkpoint all live for ONE drain — put
     # the churn on RAM when available and remove it after. Production
     # points state_dir/checkpoint at durable storage instead.
-    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    #
+    # r13 (r12 verdict item 5): unlike _drain's checkpoints (state-store
+    # metadata, tiny), the replay dir here holds the events-slice DATA,
+    # so the tmpfs choice is gated on the input's on-disk footprint —
+    # RAM-backed scratch must not grow with the corpus. The gate costs
+    # nothing locally (the r12 scratch-medium sweep measured the medium
+    # flat at bench sizes); above it everything rides default disk tmp.
+    events_bytes = 0
+    try:
+        ev_root = os.path.join(sf_dir.rstrip("/"), "events.parquet")
+        for dirpath, _dirs, files in os.walk(ev_root):
+            events_bytes += sum(
+                os.path.getsize(os.path.join(dirpath, f)) for f in files
+            )
+    except OSError:
+        events_bytes = _SHM_REPLAY_LIMIT_BYTES + 1  # unknown size: stay off RAM
+    tmp_root = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and events_bytes <= _SHM_REPLAY_LIMIT_BYTES
+        else None
+    )
     root = tempfile.mkdtemp(prefix="fb_upsert_", dir=tmp_root)
     src = os.path.join(root, "events")
     state_dir = os.path.join(root, "state")
