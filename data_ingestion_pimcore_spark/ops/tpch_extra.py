@@ -498,27 +498,44 @@ LIMIT 10
     "deterministic.",
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    l1 = li.where(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("l1_orderkey"), F.col("l_suppkey").alias("l1_suppkey")
+    # r13 (guide §1.2: fix the algorithm before the per-task work): the
+    # EXISTS/NOT-EXISTS pair is a per-order predicate, so both
+    # correlated subqueries collapse into ONE per-order supplier
+    # aggregate instead of two lineitem self-joins —
+    #   EXISTS(other supplier)        ⇔ #distinct suppliers in order ≥ 2
+    #   NOT EXISTS(other 'R' supplier)⇔ #distinct suppliers with an 'R'
+    #                                    row in the order = 1
+    # (an l1 row is itself an 'R' row, so the singleton 'R' supplier IS
+    # l1's supplier, and the count of surviving l1 rows per order is
+    # that supplier's 'R' row count). Two-level aggregation — per
+    # (order, supplier) then per order — keeps partial map-side
+    # aggregation and avoids the Expand a multi-count-distinct would
+    # plan. Plan effect: three lineitem-scale exchanges (semi + anti +
+    # the l1 probe side) become one, and lineitem is scanned once, not
+    # three times. Interleaved A/B: sf1 3.60 s → 1.74 s (2.1×) with the
+    # sf0.1 reading inside noise (1.04 → 1.17 s; the aggregate's fixed
+    # cost only amortizes once exchanges dominate), identical top-10
+    # rows every iteration; oracle green at sf0.01/sf0.1.
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("r_rows")
     )
-    l3 = li.where(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
-    )
-    exists = l1.join(
-        l2,
-        (F.col("l1_orderkey") == F.col("l2_orderkey"))
-        & (F.col("l1_suppkey") != F.col("l2_suppkey")),
-        "left_semi",
-    )
-    not_exists = exists.join(
-        l3,
-        (F.col("l1_orderkey") == F.col("l3_orderkey"))
-        & (F.col("l1_suppkey") != F.col("l3_suppkey")),
-        "left_anti",
+    stats = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum((F.col("r_rows") > 0).cast("int")).alias("n_rsupp"),
+            F.max(F.when(F.col("r_rows") > 0, F.col("l_suppkey"))).alias(
+                "r_supp"
+            ),
+            F.max(F.when(F.col("r_rows") > 0, F.col("r_rows"))).alias(
+                "wait_rows"
+            ),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_rsupp") == 1))
+        .select("l_orderkey", "r_supp", "wait_rows")
     )
     ords = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
@@ -534,10 +551,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        not_exists.join(ords, F.col("l1_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(supp, F.col("l1_suppkey") == F.col("s_suppkey"))
+        stats.join(ords, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(supp, F.col("r_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("wait_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
