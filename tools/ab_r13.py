@@ -127,6 +127,187 @@ def q21_new(spark, sf_dir):
     )
 
 
+# -------------------------------------------------------------- minhash
+
+def minhash_old(spark, sf_dir):
+    from data_ingestion_pimcore_spark.ops import dedup as D
+
+    return D.minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+def minhash_new(spark, sf_dir):
+    """mapInPandas variant: ship doc_id+text once, compute shingles,
+    16 md5-permutation mins and 4 band hashes with hashlib batches.
+    Must be bit-identical to the HOF form."""
+    from hashlib import md5
+
+    import pandas as pd
+
+    from data_ingestion_pimcore_spark.ops.dedup import (
+        N_BANDS,
+        N_HASHES,
+        ROWS_PER_BAND,
+    )
+    from data_ingestion_pimcore_spark.tables import spread
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    prefixes = [f"{i}:".encode() for i in range(N_HASHES)]
+    INF = 1 << 62
+
+    def sigfn(batches):
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"]}
+            sig_rows = []
+            for text in pdf["text"]:
+                words = text.split(" ")
+                if len(words) >= 3:
+                    grams = {
+                        " ".join(words[i : i + 3])
+                        for i in range(len(words) - 2)
+                    }
+                else:
+                    grams = {text}
+                mins = [INF] * N_HASHES
+                for g in grams:
+                    gb = g.encode()
+                    for i, p in enumerate(prefixes):
+                        h = int.from_bytes(md5(p + gb).digest()[:8], "big") >> 4
+                        if h < mins[i]:
+                            mins[i] = h
+                sig_rows.append(mins)
+            for i in range(N_HASHES):
+                out[f"sig_{i}"] = [r[i] for r in sig_rows]
+            for b in range(N_BANDS):
+                out[f"band_{b}"] = [
+                    md5(
+                        ",".join(
+                            str(r[b * ROWS_PER_BAND + k])
+                            for k in range(ROWS_PER_BAND)
+                        ).encode()
+                    ).hexdigest()[:16]
+                    for r in sig_rows
+                ]
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, "
+        + ", ".join(f"sig_{i} long" for i in range(N_HASHES))
+        + ", "
+        + ", ".join(f"band_{b} string" for b in range(N_BANDS))
+    )
+    return docs.mapInPandas(sigfn, schema=schema)
+
+
+# --------------------------------------------------------- lsh_eval sig path
+
+def _minhash_hof(d):
+    """The pre-r13 JVM higher-order-function signature stage (old)."""
+    from data_ingestion_pimcore_spark.ops.dedup import (
+        N_BANDS,
+        N_HASHES,
+        ROWS_PER_BAND,
+    )
+    from data_ingestion_pimcore_spark.ops.textops import (
+        md5_hash60,
+        with_shingles,
+    )
+
+    def sig_expr(i):
+        return F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: md5_hash60(F.concat_ws(":", F.lit(str(i)), s)),
+            )
+        )
+
+    sh = (d if "shingles" in d.columns else with_shingles(d)).select(
+        "doc_id", "shingles"
+    )
+    sigs = sh.select(
+        "doc_id", *[sig_expr(i).alias(f"sig_{i}") for i in range(N_HASHES)]
+    )
+    band_cols = []
+    for b in range(N_BANDS):
+        parts = [
+            F.col(f"sig_{b * ROWS_PER_BAND + k}") for k in range(ROWS_PER_BAND)
+        ]
+        band_cols.append(
+            F.substring(
+                F.md5(F.concat_ws(",", *[p.cast("string") for p in parts])),
+                1,
+                16,
+            ).alias(f"band_{b}")
+        )
+    return sigs.select(
+        "doc_id", *[F.col(f"sig_{i}") for i in range(N_HASHES)], *band_cols
+    )
+
+
+def _lsh_eval_with(spark, sf_dir, sig_fn, sig_input):
+    from data_ingestion_pimcore_spark.ops import dedup as D
+    from data_ingestion_pimcore_spark.ops.textops import with_shingles
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = (
+        with_shingles(docs)
+        .select("doc_id", "shingles")
+        .localCheckpoint(eager=False)
+    )
+    truth = D.jaccard_pairs(shingled).select("doc_a", "doc_b").localCheckpoint(
+        eager=False
+    )
+    sigs = sig_fn(shingled if sig_input == "shingled" else docs).localCheckpoint(
+        eager=False
+    )
+    bands = D._capped_bands(D._exploded_bands(sigs))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    n_truth = truth.agg(F.count("*").alias("c"))
+    n_cand = cand.agg(F.count("*").alias("c"))
+    n_hit = hits.agg(F.count("*").alias("c"))
+    return (
+        n_truth.select(F.col("c").alias("n_truth"))
+        .join(n_cand.select(F.col("c").alias("n_candidates")))
+        .join(n_hit.select(F.col("c").alias("n_hits")))
+        .select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
+            (F.col("n_hits").cast("double") / F.col("n_candidates")).alias(
+                "precision_vs_truth"
+            ),
+        )
+    )
+
+
+def lsh_hof(spark, sf_dir):
+    return _lsh_eval_with(spark, sf_dir, _minhash_hof, "shingled")
+
+
+def lsh_py_shingled(spark, sf_dir):
+    from data_ingestion_pimcore_spark.ops.dedup import minhash_signatures
+
+    return _lsh_eval_with(spark, sf_dir, minhash_signatures, "shingled")
+
+
+def lsh_py_text(spark, sf_dir):
+    from data_ingestion_pimcore_spark.ops.dedup import minhash_signatures
+
+    return _lsh_eval_with(spark, sf_dir, minhash_signatures, "docs")
+
+
 def run_ab(spark, variants: dict, reps: int, check_rows: bool = True) -> None:
     times: dict[str, list[float]] = {k: [] for k in variants}
     for it in range(reps):
@@ -165,6 +346,18 @@ def main() -> int:
     li.groupBy("l_returnflag").count().count()
     if exp == "q21":
         run_ab(spark, {"old": q21_old, "new": q21_new}, reps)
+    elif exp == "minhash":
+        run_ab(spark, {"old": minhash_old, "new": minhash_new}, reps)
+    elif exp == "lsh_eval":
+        run_ab(
+            spark,
+            {
+                "hof": lsh_hof,
+                "py_shingled": lsh_py_shingled,
+                "py_text": lsh_py_text,
+            },
+            reps,
+        )
     else:
         raise SystemExit(f"unknown experiment {exp}")
     return 0
