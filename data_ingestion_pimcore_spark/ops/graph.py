@@ -548,13 +548,32 @@ def _kcore_peel(edges: DataFrame, k: int, max_rounds: int) -> tuple[DataFrame, i
     rule. A converged round is idempotent, so stopping at fingerprint
     repeat equals running every remaining round. Returns (core edges,
     rounds actually executed)."""
-    from data_ingestion_pimcore_spark.ops.dedup import _edge_fingerprint
+    from data_ingestion_pimcore_spark.ops.dedup import (
+        _CC_DRIVER_EDGE_LIMIT,
+        _edge_fingerprint,
+    )
 
     fp = _edge_fingerprint(edges)
     rounds = 0
     for _ in range(max_rounds):
         if fp[0] == 0:  # already empty — nothing left to peel
             break
+        if fp[0] <= _CC_DRIVER_EDGE_LIMIT:
+            # r13 (r12 verdict item 6): once the surviving edge set fits
+            # the same bounded-collect gate the CC driver fast path uses
+            # (~8192 edges ≈ 128 KB), the remaining rounds are pure job
+            # overhead — each distributed round costs 1 aggregate + 2
+            # joins + 1 fingerprint job to contract a driver-page-sized
+            # graph. The gate check reuses the fingerprint count the
+            # loop already computes (zero extra jobs); the driver peel
+            # below runs the IDENTICAL round rule to the same remaining-
+            # round cap, so early rounds distributed + tail rounds on
+            # the driver equals running every round distributed. At
+            # bench scale the k=8 trade-graph core never dwindles below
+            # the gate (probe: 1.17M edges at sf0.1, fixpoint in 2
+            # rounds), so this branch is exercised by the synthetic-
+            # graph pytest pin, not the bench.
+            return _kcore_peel_driver(edges, k, max_rounds - rounds, rounds)
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         # keep has TWO consumers (the src and dst survivor joins) and
         # Spark plans the degree aggregate once per reference —
@@ -579,6 +598,46 @@ def _kcore_peel(edges: DataFrame, k: int, max_rounds: int) -> tuple[DataFrame, i
             break
         fp = new_fp
     return edges, rounds
+
+
+def _kcore_peel_driver(
+    edges: DataFrame, k: int, rounds_left: int, rounds_done: int
+) -> tuple[DataFrame, int]:
+    """Finish the peel on the driver for a gate-bounded edge set: the
+    same per-round rule (drop nodes with current degree < k, keep edges
+    between survivors) over the collected bidirected edge list, capped
+    at the SAME remaining round budget so the result is identical to
+    running those rounds distributed. Edge sets only shrink, so a
+    stable count is a fixpoint. Returns the surviving edges as an
+    inline ``VALUES`` relation (never ``createDataFrame`` — Python-RDD-
+    backed relations re-fork workers per evaluating job)."""
+    es = [(int(r["src"]), int(r["dst"])) for r in edges.collect()]
+    rounds = rounds_done
+    for _ in range(rounds_left):
+        if not es:
+            break
+        deg: dict[int, int] = {}
+        for s, _d in es:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, c in deg.items() if c >= k}
+        nxt = [(s, d) for s, d in es if s in keep and d in keep]
+        rounds += 1
+        if len(nxt) == len(es):
+            break
+        es = nxt
+    spark = edges.sparkSession
+    if not es:
+        return (
+            spark.sql(
+                "SELECT * FROM VALUES (0L, 0L) AS t(src, dst) WHERE 1 = 0"
+            ),
+            rounds,
+        )
+    values = ",".join(f"({s}L,{d}L)" for s, d in es)
+    return (
+        spark.sql(f"SELECT * FROM VALUES {values} AS t(src, dst)"),
+        rounds,
+    )
 
 
 @register(

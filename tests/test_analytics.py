@@ -592,14 +592,27 @@ def test_lpa_disjoint_cliques_never_mix(spark):
     assert sum(r["n_nodes"] for r in out) == 8
 
 
-def test_kcore_chain_converges_before_cap(spark):
+def _pin_kcore_path(monkeypatch, path: str) -> None:
+    """Pin _kcore_peel onto the distributed loop (gate 0) or the
+    driver tail (default gate) — the r12 CC pattern, so the r13 gate
+    can't silently reroute the adversarial fixtures."""
+    if path == "distributed":
+        from data_ingestion_pimcore_spark.ops import dedup
+
+        monkeypatch.setattr(dedup, "_CC_DRIVER_EDGE_LIMIT", 0)
+
+
+@pytest.mark.parametrize("path", ["distributed", "driver"])
+def test_kcore_chain_converges_before_cap(spark, monkeypatch, path):
     """Adversarial chain for k=2: peeling removes only the two
     endpoints per round, so a 12-node path needs 6 rounds to empty —
     the shape a fixed small round cap silently truncates. The
     fingerprint early-stop must reach the exact (empty) fixpoint and
-    report it converged strictly before an over-sized cap."""
+    report it converged strictly before an over-sized cap — on BOTH
+    the distributed loop and the r13 gate-bounded driver tail."""
     from data_ingestion_pimcore_spark.ops.graph import _kcore_peel
 
+    _pin_kcore_path(monkeypatch, path)
     n = 12
     und = [(i, i + 1) for i in range(n - 1)]
     bi = spark.createDataFrame(
@@ -612,13 +625,15 @@ def test_kcore_chain_converges_before_cap(spark):
     assert rounds <= n // 2 + 1
 
 
-def test_kcore_cycle_is_fixpoint_in_one_round(spark):
+@pytest.mark.parametrize("path", ["distributed", "driver"])
+def test_kcore_cycle_is_fixpoint_in_one_round(spark, monkeypatch, path):
     """A cycle IS its own 2-core: the first peel changes nothing, the
     fingerprint repeats, and the loop must stop after exactly one
     round with every edge intact — early-stop as the termination rule,
-    not the cap."""
+    not the cap — on BOTH peel paths."""
     from data_ingestion_pimcore_spark.ops.graph import _kcore_peel
 
+    _pin_kcore_path(monkeypatch, path)
     n = 10
     und = [(i, (i + 1) % n) for i in range(n)]
     bi = spark.createDataFrame(
@@ -627,6 +642,38 @@ def test_kcore_cycle_is_fixpoint_in_one_round(spark):
     edges, rounds = _kcore_peel(bi, k=2, max_rounds=100)
     assert edges.count() == 2 * n
     assert rounds == 1
+
+
+@pytest.mark.parametrize("k,max_rounds", [(8, 100), (2, 3)])
+def test_kcore_driver_tail_equals_distributed(spark, monkeypatch, k, max_rounds):
+    """The r13 driver tail must be round-for-round identical to the
+    distributed loop — including when the round CAP truncates the peel
+    mid-way (k=2, max_rounds=3 on a chain that needs 6): same surviving
+    edge set, same executed-round count. Mixed shape (clique survives,
+    chain peels) so both keep- and drop-paths are exercised."""
+    from data_ingestion_pimcore_spark.ops import dedup
+    from data_ingestion_pimcore_spark.ops.graph import _kcore_peel
+
+    clique = [
+        (a, b) for a in range(100, 110) for b in range(100, 110) if a < b
+    ]
+    chain = [(i, i + 1) for i in range(11)]
+    und = clique + chain
+    bi = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    results = {}
+    for path, gate in [("driver", dedup._CC_DRIVER_EDGE_LIMIT), ("dist", 0)]:
+        monkeypatch.setattr(dedup, "_CC_DRIVER_EDGE_LIMIT", gate)
+        edges, rounds = _kcore_peel(bi, k=k, max_rounds=max_rounds)
+        results[path] = (
+            sorted((r["src"], r["dst"]) for r in edges.collect()),
+            rounds,
+        )
+    assert results["driver"] == results["dist"]
+    if k == 8:
+        # the 10-clique (degree 9 >= 8) survives bidirected; chain gone
+        assert len(results["driver"][0]) == 90
 
 
 def test_attribution_boundary_semantics(spark):
