@@ -1281,6 +1281,12 @@ _COMPACT_EXTRAS = (
     "load_index_10x",
     "load_index_100x",
     "excel_scan_32files_speedup",
+    # r13 (r12 verdict item 2): the speedup ratio alone hid the scan's
+    # absolute cost — ship the timed 1-file/32-file scan seconds in the
+    # compact line too (the untimed fixture build was never part of the
+    # metric; both _sec keys are already excluded from the headline sum).
+    "excel_scan_1file_sec",
+    "excel_scan_32files_sec",
 )
 
 

@@ -249,29 +249,46 @@ def headers_from_row(first_row: list[Any]) -> list[str]:
     ]
 
 
-def iter_excel_records(
+def iter_excel_lists(
     path: str, sheet_path: str | None = None
-) -> Iterator[dict[str, Any]]:
-    """Stream one workbook as header-projected records.
-
-    Reproduces the reference row loop (`excel_reader.py:45-74`):
-    header → schema, empty-row filter (``not any(row)`` — note a row of
-    all ``0``/``""`` is also dropped, replicated deliberately), null
-    padding for short rows, extra trailing cells ignored.
-    ``sheet_path`` selects a specific worksheet (default active).
-    """
+) -> tuple[list[str], Iterator[list[Any]]]:
+    """(headers, iterator of raw data rows) for one workbook — the
+    list-level surface the Arrow reader batches from. Applies the
+    header rule and the F1 empty-row filter (``not any(row)`` — a row
+    of all ``0``/``""`` is also dropped, replicated deliberately);
+    rows keep their native lengths (padding/projection is the
+    caller's concern, so the reader can do it column-wise)."""
     rows = _iter_raw_rows(path, sheet_path)
     try:
         first = next(rows)
     except StopIteration:
         raise EmptyHeaderError("empty worksheet")
     headers = headers_from_row(first)
+
+    def data() -> Iterator[list[Any]]:
+        for row in rows:
+            if not any(row):  # F1 empty-row filter (excel_reader.py:61-63)
+                continue
+            yield row
+
+    return headers, data()
+
+
+def iter_excel_records(
+    path: str, sheet_path: str | None = None
+) -> Iterator[dict[str, Any]]:
+    """Stream one workbook as header-projected records.
+
+    Reproduces the reference row loop (`excel_reader.py:45-74`):
+    header → schema, empty-row filter, null padding for short rows,
+    extra trailing cells ignored. ``sheet_path`` selects a specific
+    worksheet (default active).
+    """
+    headers, rows = iter_excel_lists(path, sheet_path)
+    n = len(headers)
     for row in rows:
-        if not any(row):  # F1 empty-row filter (excel_reader.py:61-63)
-            continue
         yield {
-            headers[i]: row[i] if i < len(row) else None
-            for i in range(len(headers))
+            headers[i]: row[i] if i < len(row) else None for i in range(n)
         }
 
 
@@ -320,11 +337,52 @@ class _ExcelReader(DataSourceReader):
         # (sequential zip + row stream), many parallelize perfectly.
         return [_FilePartition(p) for p in excel_paths(self.path)]
 
+    # Rows per Arrow batch crossing the worker→JVM boundary. Workbook
+    # rows are short strings, so 8k rows ≈ a few hundred KB per batch —
+    # large enough to amortize the per-batch framing, far below any
+    # Arrow 2 GiB buffer concern.
+    _BATCH_ROWS = 8192
+
     def read(self, partition: _FilePartition):
+        # r13 (guide §4.2): yield whole Arrow RecordBatches instead of
+        # per-row tuples — the row path re-serialized every cell
+        # through the tuple→Arrow converter one row at a time, and at
+        # 20k rows/workbook that was the scan's biggest non-parse cost.
+        # Interleaved A/B, both readers in ONE session (4 iters,
+        # logs/ab_excel_interleaved_r13.out): 32-file scan 1.66 s →
+        # 1.46 s min / 1.79 → 1.61 med, 1-file scan flat, all 640k
+        # collected rows identical. The remaining floor is the
+        # sequential iterparse of ~80k XML cells per workbook — a
+        # per-file parse cost no batching can remove.
+        # Values are stringified and placed
+        # column-wise by the file's own header→schema-field mapping, so
+        # mismatched/short/over-long rows keep the exact row-path
+        # semantics.
         os.environ.update(self._s3_env)
+        import pyarrow as pa
+
         fields = [f.name for f in self.schema.fields]
-        for rec in iter_excel_records(partition.path):
-            yield tuple(_to_string(rec.get(f)) for f in fields)
+        headers, rows = iter_excel_lists(partition.path)
+        pos = {h: i for i, h in enumerate(headers)}
+        idx = [pos.get(f) for f in fields]
+        cols: list[list] = [[] for _ in fields]
+        n = 0
+        for row in rows:
+            ln = len(row)
+            for c, i in enumerate(idx):
+                v = row[i] if i is not None and i < ln else None
+                cols[c].append(_to_string(v))
+            n += 1
+            if n >= self._BATCH_ROWS:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c, type=pa.string()) for c in cols], names=fields
+                )
+                cols = [[] for _ in fields]
+                n = 0
+        if n:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=pa.string()) for c in cols], names=fields
+            )
 
 
 def _to_string(v: Any) -> str | None:
