@@ -808,20 +808,34 @@ FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
 WHERE l.l_quantity < pa.half_avg
 """,
     doc="TPC-H Q17 shape: correlated scalar subquery (per-part average) "
-    "decorrelated into an aggregate + self-join — one shuffle on "
-    "l_partkey serves both the aggregate and the join (co-partitioned).",
+    "decorrelated into ONE pass — a per-part window average instead of "
+    "an aggregate + self-join, so lineitem is scanned and shuffled "
+    "once (r12's shape scanned it twice and sort-merge-joined the "
+    "aggregate back).",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    pa = li.groupBy("l_partkey").agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    # r13 (guide §2.4 remove shuffles outright): the per-part average
+    # rides a window over the SAME l_partkey partitioning the old
+    # aggregate+join paid two lineitem-scale exchanges and two scans
+    # for. Equivalence is exact, not approximate: l_quantity is
+    # integral (checked 0 non-integer values; TPC-H quantities are
+    # 1..50), so the double sum inside AVG is exact under ANY
+    # association and the window's avg equals the groupBy's avg
+    # bit-for-bit; the final revenue sum is DECIMAL (order-free).
+    # Interleaved A/B: sf1 2.89 s → 0.71 s min (4.1×), sf0.1 flat,
+    # identical single-row output every iteration; oracle green at
+    # sf0.01/sf0.1.
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
     )
-    joined = li.select("l_partkey", "l_quantity", "l_extendedprice").join(
-        pa, "l_partkey"
-    )
-    return joined.where(F.col("l_quantity") < F.col("half_avg")).agg(
-        (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0)
-        .alias("avg_yearly")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("half_avg", F.lit(0.5) * F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
     )
 
 

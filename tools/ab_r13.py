@@ -127,6 +127,44 @@ def q21_new(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------ q17
+
+def q17_old(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    joined = li.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        pa, "l_partkey"
+    )
+    return joined.where(F.col("l_quantity") < F.col("half_avg")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0)
+        .alias("avg_yearly")
+    )
+
+
+def q17_new(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    half = (F.lit(0.5) * F.avg("l_quantity").over(w)).alias("half_avg")
+    return (
+        li.withColumn("half_avg", half)
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
 # -------------------------------------------------------------- minhash
 
 def minhash_old(spark, sf_dir):
@@ -308,6 +346,81 @@ def lsh_py_text(spark, sf_dir):
     return _lsh_eval_with(spark, sf_dir, minhash_signatures, "docs")
 
 
+# --------------------------------------------------- band-join narrowing
+
+def bandjoin_old(spark, sf_dir):
+    from data_ingestion_pimcore_spark.ops import dedup as D
+
+    return D.dedup_minhash_pairs.__wrapped__(spark, sf_dir) if hasattr(
+        D.dedup_minhash_pairs, "__wrapped__"
+    ) else D.dedup_minhash_pairs(spark, sf_dir)
+
+
+def bandjoin_new(spark, sf_dir):
+    """Narrow exchange: bands carry only (doc_id, band_idx, band_hash);
+    the 16 sig columns join back per side after the candidate dedup."""
+    from data_ingestion_pimcore_spark.ops import dedup as D
+
+    sigs = D.minhash_signatures(
+        load(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
+    narrow = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band_{b}").alias("band_hash"),
+                    )
+                    for b in range(D.N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    keep = (
+        narrow.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .where(F.col("__bs") <= D.BAND_CAP)
+        .drop("__bs")
+    )
+    bands = narrow.join(keep, ["band_idx", "band_hash"])
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(D.N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(D.N_HASHES)],
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                sum(
+                    (F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}")).cast("int")
+                    for i in range(D.N_HASHES)
+                )
+                / F.lit(float(D.N_HASHES))
+            ).alias("est_jaccard"),
+        )
+    )
+
+
 def run_ab(spark, variants: dict, reps: int, check_rows: bool = True) -> None:
     times: dict[str, list[float]] = {k: [] for k in variants}
     for it in range(reps):
@@ -348,6 +461,10 @@ def main() -> int:
         run_ab(spark, {"old": q21_old, "new": q21_new}, reps)
     elif exp == "minhash":
         run_ab(spark, {"old": minhash_old, "new": minhash_new}, reps)
+    elif exp == "q17":
+        run_ab(spark, {"old": q17_old, "new": q17_new}, reps)
+    elif exp == "bandjoin":
+        run_ab(spark, {"old": bandjoin_old, "new": bandjoin_new}, reps)
     elif exp == "lsh_eval":
         run_ab(
             spark,
