@@ -165,6 +165,64 @@ def q17_new(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------ q18
+
+def q18_old(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.select("l_orderkey", "l_quantity")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+    )
+
+
+def q18_new(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sqd"))
+        .where(F.col("sqd") > 250)
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            F.col("sqd").cast("double").alias("total_qty"),
+        )
+    )
+
+
 # -------------------------------------------------------------- minhash
 
 def minhash_old(spark, sf_dir):
@@ -346,6 +404,222 @@ def lsh_py_text(spark, sf_dir):
     return _lsh_eval_with(spark, sf_dir, minhash_signatures, "docs")
 
 
+# ---------------------------------------------- shingle-hash python stage
+
+def _pair_counts_py(docs, df_cap):
+    """_shingle_pair_counts with the shingle+md5 stage in whole-batch
+    Python (one 60-bit md5 per distinct gram, dn encoding in-batch)."""
+    from hashlib import md5
+
+    import pandas as pd
+
+    from data_ingestion_pimcore_spark.ops import dedup as D
+    from data_ingestion_pimcore_spark.tables import spread
+
+    src = spread(docs.select("doc_id", "text"))
+
+    def fn(batches):
+        for pdf in batches:
+            dns, ss = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    grams = [None]
+                else:
+                    words = text.split(" ")
+                    if len(words) >= 3:
+                        grams = {
+                            " ".join(words[i : i + 3])
+                            for i in range(len(words) - 2)
+                        }
+                    else:
+                        grams = {text}
+                dn = (int(doc_id) << 32) + len(grams)
+                for g in grams:
+                    dns.append(dn)
+                    ss.append(
+                        None
+                        if g is None
+                        else int.from_bytes(
+                            md5(g.encode()).digest()[:8], "big"
+                        )
+                        >> 4
+                    )
+            yield pd.DataFrame(
+                {
+                    "dn": pd.array(dns, dtype="Int64"),
+                    "s": pd.array(ss, dtype="Int64"),
+                }
+            )
+
+    sh = src.mapInPandas(fn, schema="dn long, s long")
+    lists = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_list("dn")).alias("ds"))
+        .where((F.size("ds") > 1) & (F.size("ds") <= F.lit(df_cap)))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    mask = F.lit(0xFFFFFFFF)
+    return (
+        lists.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            F.shiftright("a", 32).alias("doc_a"),
+            F.shiftright("b", 32).alias("doc_b"),
+            F.col("a").bitwiseAND(mask).cast("int").alias("na"),
+            F.col("b").bitwiseAND(mask).cast("int").alias("nb"),
+            "inter",
+        )
+    )
+
+
+def jaccard_old(spark, sf_dir):
+    from data_ingestion_pimcore_spark.ops import dedup as D
+
+    return D.dedup_ngram_jaccard(spark, sf_dir)
+
+
+def jaccard_new(spark, sf_dir):
+    from data_ingestion_pimcore_spark.ops import dedup as D
+
+    pairs = _pair_counts_py(load(spark, sf_dir, "documents"), D.DF_CAP)
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return pairs.where(jac >= 0.2).select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
+# -------------------------------------------- substring winnowed k-grams
+
+def substring_old(spark, sf_dir):
+    """Pre-r13 JVM form: sequence+substring explode, per-gram md5."""
+    from data_ingestion_pimcore_spark.ops import dedup as D
+    from data_ingestion_pimcore_spark.ops.textops import md5_hash60
+    from data_ingestion_pimcore_spark.tables import spread
+
+    k, winnow_mod, df_cap, min_shared = (
+        D.K_GRAM,
+        D.WINNOW_MOD,
+        D.DF_CAP,
+        D.MIN_SHARED_GRAMS,
+    )
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("text") >= k,
+                F.expr(
+                    f"transform(sequence(1, length(text) - {k} + 1), "
+                    f"p -> substring(text, p, {k}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    hashed = grams.select(
+        "doc_id", md5_hash60(F.col("g")).alias("h")
+    ).where(F.col("h") % winnow_mod == 0)
+    lists = (
+        hashed.groupBy("h")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .where((F.size("ds") > 1) & (F.size("ds") <= F.lit(df_cap)))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        lists.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def substring_new(spark, sf_dir):
+    """Winnowed k-gram hashes computed whole-batch in Python (hashlib)
+    with per-doc dedup BEFORE the exchange (collect_set semantics)."""
+    from hashlib import md5
+
+    import pandas as pd
+
+    from data_ingestion_pimcore_spark.ops import dedup as D
+    from data_ingestion_pimcore_spark.tables import spread
+
+    k, mod, df_cap, min_shared = (
+        D.K_GRAM,
+        D.WINNOW_MOD,
+        D.DF_CAP,
+        D.MIN_SHARED_GRAMS,
+    )
+    src = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            ids, hs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or len(text) < k:
+                    continue
+                seen = set()
+                tb = text
+                for p in range(len(tb) - k + 1):
+                    h = (
+                        int.from_bytes(
+                            md5(tb[p : p + k].encode()).digest()[:8], "big"
+                        )
+                        >> 4
+                    )
+                    if h % mod == 0:
+                        seen.add(h)
+                did = int(doc_id)
+                for h in seen:
+                    ids.append(did)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "h": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    hashed = src.mapInPandas(fn, schema="doc_id long, h long")
+    lists = (
+        hashed.groupBy("h")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .where((F.size("ds") > 1) & (F.size("ds") <= F.lit(df_cap)))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        lists.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 # --------------------------------------------------- band-join narrowing
 
 def bandjoin_old(spark, sf_dir):
@@ -461,6 +735,12 @@ def main() -> int:
         run_ab(spark, {"old": q21_old, "new": q21_new}, reps)
     elif exp == "minhash":
         run_ab(spark, {"old": minhash_old, "new": minhash_new}, reps)
+    elif exp == "substring":
+        run_ab(spark, {"old": substring_old, "new": substring_new}, reps)
+    elif exp == "jaccard":
+        run_ab(spark, {"old": jaccard_old, "new": jaccard_new}, reps)
+    elif exp == "q18":
+        run_ab(spark, {"old": q18_old, "new": q18_new}, reps)
     elif exp == "q17":
         run_ab(spark, {"old": q17_old, "new": q17_new}, reps)
     elif exp == "bandjoin":
